@@ -1,0 +1,46 @@
+"""linkgraph — a from-scratch PySpark-native distributed link-graph engine.
+
+Re-expresses the query surface of the reference (bkj/essentials, a fork of
+the public gunrock/essentials GPU graph-analytics library — see SURVEY.md §0
+for provenance; the reference mount was empty, so semantics derive from
+SURVEY.md + BASELINE.json) as idiomatic Spark DataFrame programs:
+
+- data model: canonical ``edges(src: long, dst: long)`` DataFrame
+  (reference: COO/CSR views of ``graph_t``) + per-vertex state DataFrames
+  (reference: ``problem_t`` device arrays);
+- dataflow operators (reference ``operators::{advance,filter,parallel_for,
+  neighborreduce,uniquify}``) in :mod:`linkgraph.operators`;
+- algorithm primitives PageRank / connected components / label propagation /
+  triangle count (reference ``algorithms/{pr,tc}.hxx`` + fork-side CC/LP) in
+  :mod:`linkgraph.algorithms`;
+- the superstep runtime (reference ``framework/enactor.hxx``) with
+  checkpoint/resume + per-iteration metrics in :mod:`linkgraph.superstep`;
+- web-corpus front end (pages → text/links → dictionary-encoded edges) in
+  :mod:`linkgraph.extract` / :mod:`linkgraph.dictionary`;
+- training-data pipeline operators (dedup, similarity, text quality) in
+  :mod:`linkgraph.textops`.
+
+Everything is DataFrame + vectorized Arrow/pandas UDFs; no RDDs, no
+per-row Python on hot paths.
+"""
+
+from linkgraph.graph import Graph
+from linkgraph.algorithms.pagerank import pagerank
+from linkgraph.algorithms.cc import connected_components
+from linkgraph.algorithms.labelprop import label_propagation
+from linkgraph.algorithms.triangles import triangle_count, triangle_counts_per_vertex
+from linkgraph.algorithms.bfs import bfs
+from linkgraph.algorithms.sssp import sssp
+
+__all__ = [
+    "Graph",
+    "pagerank",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+    "triangle_counts_per_vertex",
+    "bfs",
+    "sssp",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,59 @@
+"""BFS — single-source depth labels (reference A5, SURVEY.md §2.3).
+
+Out-of-scope for the graft's four mandated primitives but shares the
+advance/filter operator pair verbatim, so it ships as the canonical
+demonstration of frontier-style iteration (reference EP3):
+
+    frontier' = uniquify(advance(frontier, edges)) ∖ visited
+
+The frontier starts tiny (one vertex) — exactly the case where Catalyst's
+broadcast-join fast path mirrors the reference's small-frontier
+``thread_mapped`` advance.  The visited check is a **left_anti** join
+(SURVEY.md §2.5 joins row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+from linkgraph.operators.advance import advance
+from linkgraph.operators.uniquify import uniquify
+from linkgraph.superstep import IterationResult
+from pyspark.storagelevel import StorageLevel
+
+
+def bfs(
+    graph: Graph,
+    source: int,
+    directed: bool = True,
+    max_iters: int = 10_000,
+) -> IterationResult:
+    """Depth of every reachable vertex from ``source``: ``(vid, depth)``."""
+    spark = graph.spark
+    edges = graph.edges if directed else graph.symmetrized_edges
+    state = spark.createDataFrame([(int(source), 0)], "vid long, depth int").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    frontier = state.select("vid")
+    history = []
+    depth = 0
+    while depth < max_iters:
+        nxt = uniquify(
+            advance(frontier, edges).select(F.col("dst").alias("vid"))
+        ).join(state, "vid", "left_anti")
+        depth += 1
+        new_state = state.unionAll(
+            nxt.select("vid", F.lit(depth).cast("int").alias("depth"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        grew = new_state.count() - state.count()
+        history.append({"iter": depth, "new_vertices": grew})
+        if grew == 0:
+            new_state.unpersist()
+            break
+        state.unpersist()
+        state = new_state
+        frontier = state.where(F.col("depth") == depth).select("vid")
+    return IterationResult(
+        state=state, iterations=depth, converged=True, history=history
+    )

@@ -1,0 +1,91 @@
+"""Connected components — hash-min label propagation (reference A2).
+
+Fork-side primitive; semantics authoritative from BASELINE.json:6
+("connected components (hash-min label propagation)"; SURVEY.md §2.3 A2):
+undirected CC, ``comp(v) = v`` initially, each superstep
+``comp(v) = min(comp(v), min_{u∈N(v)} comp(u))`` until no change.
+Output is exact: every vertex labeled with the minimum vertex id in its
+component.
+
+Superstep = neighbor_reduce(min) over the symmetrized edge set + a
+least() merge — the reference's atomicMin becomes ``groupBy(dst).min()``
+(SURVEY.md §2.4 U2).  Convergence: changed-count == 0, folded into the
+single per-iteration stats action.
+
+``pointer_jumping=True`` adds the standard doubling shortcut (comp(v) ←
+comp(comp(v)) each superstep), reducing iterations from graph diameter to
+~log(diameter) — OFF by default to match the reference's plain hash-min
+iteration structure exactly (SURVEY.md §4.5); the converged labels are
+identical either way (min id per component), so it is safe to enable at
+scale where diameters are large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+from linkgraph.operators.neighbor_reduce import neighbor_reduce
+from linkgraph.superstep import (
+    CheckpointManager,
+    IterationResult,
+    changed_stats,
+    iterate,
+)
+
+
+def connected_components(
+    graph: Graph,
+    max_iters: int = 200,
+    salted: bool = True,
+    pointer_jumping: bool = False,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = True,
+) -> IterationResult:
+    """Label each vertex with min vid of its component: state ``(vid, comp)``."""
+    p = graph.num_partitions
+    sym = graph.symmetrized_edges
+    init = graph.vertices.select("vid", F.col("vid").alias("comp"))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        min_in = neighbor_reduce(
+            sym,
+            state.select("vid", "comp"),
+            F.col("comp"),
+            op="min",
+            out="min_in",
+            salted=salted,
+        )
+        new = (
+            state.join(min_in, "vid", "left")
+            .select(
+                "vid",
+                F.least(
+                    "comp", F.coalesce("min_in", F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        if pointer_jumping:
+            # comp(v) ← comp(comp(v)): join the new labels against
+            # themselves — a |V|-sized self-join, shrinks tall trees.
+            parent = new.select(
+                F.col("vid").alias("comp"), F.col("comp").alias("gcomp")
+            )
+            new = (
+                new.join(parent, "comp", "left")
+                .select("vid", F.least("comp", F.coalesce("gcomp", "comp")).alias("comp"))
+            )
+        return new.repartition(p, "vid")
+
+    return iterate(
+        init,
+        step,
+        stats_fn=changed_stats("comp"),
+        converged=lambda s: (s.get("changed") or 0) == 0,
+        max_iters=max_iters,
+        checkpoint=checkpoint,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+    )

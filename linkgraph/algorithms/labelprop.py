@@ -1,0 +1,92 @@
+"""Community label propagation (reference A3, SURVEY.md §2.3).
+
+Fork-side primitive; semantics authoritative from BASELINE.json:6
+("community label propagation"): init ``label(v) = v``; each synchronous
+superstep ``label(v) = mode of neighbor labels`` over the undirected
+graph, deterministic tie-break (minimum label); vertices with no
+neighbors keep their label; run to fixpoint or ``max_iters``.
+
+Determinism (SURVEY.md §7 watch list): synchronous updates + total-order
+tie-break make the output replay-stable under any partitioning —
+verified by the parallelism-invariance test.
+
+Physical plan: ``groupBy(dst, label).count()`` (partial+final hash agg —
+the (dst, label) composite key already spreads hub destinations across
+reducers) then argmax-per-dst via ``max(struct(cnt, -label))`` — a second
+hash aggregation rather than a window: a window over ``partitionBy(dst)``
+would put all of a hub's rows in one task, the agg keeps partial
+aggregation and AQE balancing.  (SURVEY.md §2.5 lists the window form;
+the struct-max form is the skew-safe equivalent and is what we ship, with
+the window form available for small graphs via ``use_window=True``.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+from linkgraph.superstep import (
+    CheckpointManager,
+    IterationResult,
+    changed_stats,
+    iterate,
+)
+
+
+def label_propagation(
+    graph: Graph,
+    max_iters: int = 20,
+    use_window: bool = False,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = True,
+) -> IterationResult:
+    """Synchronous LP; result state ``(vid, label)``."""
+    p = graph.num_partitions
+    sym = graph.symmetrized_edges
+    init = graph.vertices.select("vid", F.col("vid").alias("label"))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        # gather neighbor labels: edges(src,dst) ⋈ state on src → (dst, label)
+        gathered = sym.join(
+            state.select(F.col("vid").alias("src"), "label"), "src"
+        ).select("dst", "label")
+        counts = gathered.groupBy("dst", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        if use_window:
+            w = Window.partitionBy("dst").orderBy(
+                F.desc("cnt"), F.asc("label")
+            )
+            best = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select(F.col("dst").alias("vid"), F.col("label").alias("new_label"))
+            )
+        else:
+            # argmax by (cnt desc, label asc) == max of struct(cnt, -label)
+            best = (
+                counts.groupBy("dst")
+                .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("m"))
+                .select(
+                    F.col("dst").alias("vid"),
+                    (-F.col("m.nl")).alias("new_label"),
+                )
+            )
+        return (
+            state.join(best, "vid", "left")
+            .select("vid", F.coalesce("new_label", "label").alias("label"))
+            .repartition(p, "vid")
+        )
+
+    return iterate(
+        init,
+        step,
+        stats_fn=changed_stats("label"),
+        converged=lambda s: (s.get("changed") or 0) == 0,
+        max_iters=max_iters,
+        checkpoint=checkpoint,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+    )

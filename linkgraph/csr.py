@@ -1,0 +1,122 @@
+"""Per-partition CSR gather-scatter — the mandated SpMV superstep core.
+
+BASELINE.json:6: "Edges are range-partitioned into per-partition CSR
+blocks held in Arrow buffers, with each superstep a sparse gather-scatter
+(SpMV-style) pandas UDF over CSR followed by a shuffle-reduce by
+destination vertex, salted to handle hub-page skew."
+
+Reference analog: ``neighborreduce`` via moderngpu ``transform_segreduce``
+over the device CSR [ref: include/gunrock/framework/operators/
+neighborreduce/neighborreduce.hxx — UNVERIFIED] — i.e. SpMV (A13,
+SURVEY.md §2.3).
+
+Two physical modes, chosen by |V| (both end in the same shuffle-reduce):
+
+- **broadcast** (|V| ≤ threshold): the per-vertex contrib vector is
+  broadcast as a dense NumPy array; ``mapInArrow`` streams the persisted
+  edge partitions (already sorted by (src, dst) = the CSR layout) with
+  ZERO join and ZERO shuffle of edges, computes ``contrib[src]`` by NumPy
+  fancy-indexing (the gather), combines per destination inside the batch
+  via ``np.unique`` + ``np.bincount`` (the scatter+map-side combine), and
+  emits compact ``(dst, partial)`` rows.  On a real cluster this is an
+  executor-side torrent broadcast of 8·|V| bytes — viable to ~10^8
+  vertices per the usual broadcast budget.
+
+- **join** (|V| beyond broadcast): gather by equi-join on ``src`` (only
+  the |V|-sized contrib side shuffles — edges reuse their persisted
+  HashPartitioning), then the same Arrow batch scatter-combine.
+
+The map-side combine is the skew treatment here: a hub destination
+appears at most once **per Arrow batch** in the UDF output (≤ P·batches
+rows globally) instead of once per in-edge (10^8 rows), so the final
+``groupBy(dst).sum()`` is uniform — a stronger guarantee than salting and
+the same two-phase structure (partial by (dst, partition) → final by dst).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+
+# Above this vertex count the dense contrib vector is no longer a sane
+# broadcast (8 bytes/vertex ⇒ 10^8 vertices ≈ 800 MB); fall back to join.
+BROADCAST_MAX_VERTICES = 50_000_000
+
+_PARTIAL_SCHEMA = pa.schema(
+    [pa.field("dst", pa.int64()), pa.field("partial", pa.float64())]
+)
+
+
+def _combine_by_dst(dst: np.ndarray, vals: np.ndarray) -> pa.RecordBatch:
+    """Map-side combine: sum ``vals`` per distinct dst (vectorized)."""
+    uniq, inv = np.unique(dst, return_inverse=True)
+    partial = np.bincount(inv, weights=vals, minlength=len(uniq))
+    return pa.RecordBatch.from_arrays(
+        [pa.array(uniq, type=pa.int64()), pa.array(partial, type=pa.float64())],
+        schema=_PARTIAL_SCHEMA,
+    )
+
+
+def spmv_contrib_sums(
+    graph: Graph,
+    contrib: DataFrame,
+    mode: str = "auto",
+) -> DataFrame:
+    """Σ_{u→v} contrib(u) per destination v → ``(vid, msum)``.
+
+    ``contrib`` is ``(vid, contrib)`` for non-dangling vertices.
+    """
+    if mode == "auto":
+        mode = (
+            "broadcast"
+            if graph.num_vertices <= BROADCAST_MAX_VERTICES
+            else "join"
+        )
+
+    if mode == "broadcast":
+        pdf = contrib.toPandas()
+        size = int(graph.max_vid) + 1
+        vec = np.zeros(size, dtype=np.float64)
+        vec[pdf["vid"].to_numpy()] = pdf["contrib"].to_numpy()
+        bc = graph.spark.sparkContext.broadcast(vec)
+
+        def gather_scatter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            v = bc.value
+            for batch in batches:
+                src = batch.column("src").to_numpy(zero_copy_only=False)
+                dst = batch.column("dst").to_numpy(zero_copy_only=False)
+                if len(src) == 0:
+                    continue
+                yield _combine_by_dst(dst, v[src])
+
+        partials = graph.edges.mapInArrow(
+            gather_scatter, schema="dst long, partial double"
+        )
+    elif mode == "join":
+        gathered = graph.edges.join(
+            contrib.select(F.col("vid").alias("src"), "contrib"), "src"
+        ).select("dst", "contrib")
+
+        def scatter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for batch in batches:
+                dst = batch.column("dst").to_numpy(zero_copy_only=False)
+                c = batch.column("contrib").to_numpy(zero_copy_only=False)
+                if len(dst) == 0:
+                    continue
+                yield _combine_by_dst(dst, c)
+
+        partials = gathered.mapInArrow(scatter, schema="dst long, partial double")
+    else:
+        raise ValueError(f"unknown spmv mode: {mode!r}")
+
+    return (
+        partials.groupBy("dst")
+        .agg(F.sum("partial").alias("msum"))
+        .withColumnRenamed("dst", "vid")
+    )

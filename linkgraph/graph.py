@@ -1,0 +1,211 @@
+"""Graph container: the engine's analog of the reference ``graph_t``.
+
+Reference (SURVEY.md §1.1, [ref: include/gunrock/graph/graph.hxx —
+UNVERIFIED]): a multi-view container over CSR/CSC/COO device arrays with
+``get_number_of_vertices/edges``, neighbor access, degree access.
+
+Here: a thin wrapper around a **canonical edge DataFrame**
+``edges(src: long, dst: long)`` that is
+
+- normalized (self-loops dropped, duplicates removed — matching the mtx
+  loader / ``graph::build`` behavior, SURVEY.md §2.2 I1/I4),
+- hash-partitioned on ``src`` with a fixed partition count and sorted
+  within partitions by (src, dst) — the DataFrame analog of the reference's
+  CSR layout.  Hash (not range) partitioning is deliberate: Catalyst
+  recognizes the persisted ``HashPartitioning(src, P)`` as compatible with
+  the per-superstep gather join's required distribution, so the big edges
+  side is **never re-shuffled across iterations** — only the small
+  per-vertex state moves.  This is the property that makes the superstep
+  scale: shuffle bytes per iteration ∝ |V|, not |E|.
+- persisted MEMORY_AND_DISK (reference: graph stays on device across
+  iterations; spill-to-disk replaces device-memory pressure).
+
+Derived views (degrees, symmetrized, canonical orientation) are computed
+once and cached — they are the analogs of the reference's CSC/COO views.
+"""
+
+from __future__ import annotations
+
+from functools import cached_property
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+class Graph:
+    """Directed graph over a canonical edge DataFrame.
+
+    Construct via :meth:`from_edges`; do not call ``__init__`` directly
+    unless ``edges`` is already normalized and partitioned.
+    """
+
+    def __init__(self, edges: DataFrame, num_partitions: int):
+        self.edges = edges
+        self.num_partitions = num_partitions
+        self._persisted: list[DataFrame] = []
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_edges(
+        cls,
+        edges: DataFrame,
+        num_partitions: int | None = None,
+        dedupe: bool = True,
+        drop_self_loops: bool = True,
+        persist: bool = True,
+    ) -> "Graph":
+        """Normalize a raw (src, dst) DataFrame into a canonical Graph.
+
+        Reference analog: ``csr_t::from_coo`` + ``graph::build`` (sort +
+        dedupe + offsets — SURVEY.md §2.2 I3/I4).
+        """
+        spark = edges.sparkSession
+        if num_partitions is None:
+            num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        e = edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        if drop_self_loops:
+            e = e.where(F.col("src") != F.col("dst"))
+        if dedupe:
+            # dropDuplicates is a hash agg on (src, dst); its shuffle also
+            # serves as the partitioning shuffle when followed by the
+            # repartition on src (AQE coalesces, no extra full pass).
+            e = e.dropDuplicates(["src", "dst"])
+        e = e.repartition(num_partitions, "src").sortWithinPartitions("src", "dst")
+        g = cls(e, num_partitions)
+        if persist:
+            g.edges = g.edges.persist(StorageLevel.MEMORY_AND_DISK)
+            g._persisted.append(g.edges)
+        return g
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.edges.sparkSession
+
+    # -- stats (reference: get_number_of_vertices/edges) -------------------
+
+    @cached_property
+    def num_edges(self) -> int:
+        return self.edges.count()
+
+    @cached_property
+    def num_vertices(self) -> int:
+        return self.vertices.count()
+
+    @cached_property
+    def max_vid(self) -> int:
+        """Largest vertex id (dense dictionary ids ⇒ ≈ num_vertices − 1)."""
+        row = self.edges.agg(
+            F.greatest(F.max("src"), F.max("dst")).alias("m")
+        ).collect()[0]
+        return int(row["m"]) if row["m"] is not None else -1
+
+    @cached_property
+    def vertices(self) -> DataFrame:
+        """All vertex ids appearing as src or dst: ``(vid: long)``."""
+        v = (
+            self.edges.select(F.col("src").alias("vid"))
+            .unionAll(self.edges.select(F.col("dst").alias("vid")))
+            .dropDuplicates(["vid"])
+            .repartition(self.num_partitions, "vid")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self._persisted.append(v)
+        return v
+
+    @cached_property
+    def out_degrees(self) -> DataFrame:
+        """``(vid: long, outdeg: long)`` — only vertices with outdeg > 0.
+
+        Reference analog: ``get_number_of_neighbors(v)`` over the CSR view.
+        Partial (map-side) aggregation is automatic; the result is |V|-sized
+        and persisted for reuse across all supersteps.
+        """
+        d = (
+            self.edges.groupBy(F.col("src").alias("vid"))
+            .agg(F.count(F.lit(1)).alias("outdeg"))
+            .repartition(self.num_partitions, "vid")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self._persisted.append(d)
+        return d
+
+    @cached_property
+    def in_degrees(self) -> DataFrame:
+        d = (
+            self.edges.groupBy(F.col("dst").alias("vid"))
+            .agg(F.count(F.lit(1)).alias("indeg"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self._persisted.append(d)
+        return d
+
+    @cached_property
+    def degrees(self) -> DataFrame:
+        """Undirected degree over the symmetrized edge set: ``(vid, deg)``."""
+        d = (
+            self.symmetrized_edges.groupBy(F.col("src").alias("vid"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self._persisted.append(d)
+        return d
+
+    # -- derived views (reference: CSC view / symmetrize-on-load) ----------
+
+    @cached_property
+    def symmetrized_edges(self) -> DataFrame:
+        """Undirected view: union of (src,dst) and (dst,src), deduped.
+
+        Reference analog: the mtx loader's ``symmetric`` header handling
+        (SURVEY.md §2.2 I1).  Used by CC / LP / TC, which are defined on the
+        undirected graph.
+        """
+        e = (
+            self.edges.unionAll(
+                self.edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .dropDuplicates(["src", "dst"])
+            .repartition(self.num_partitions, "src")
+            .sortWithinPartitions("src", "dst")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self._persisted.append(e)
+        return e
+
+    @cached_property
+    def canonical_edges(self) -> DataFrame:
+        """DAG orientation src < dst of the undirected edge set.
+
+        Used by triangle counting (each undirected edge appears exactly
+        once, oriented low→high id — SURVEY.md §2.3 A4).
+        """
+        e = (
+            self.edges.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .dropDuplicates(["src", "dst"])
+            .repartition(self.num_partitions, "src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self._persisted.append(e)
+        return e
+
+    def symmetrized(self) -> "Graph":
+        """A Graph over the symmetrized edge set (shares persisted DF)."""
+        g = Graph(self.symmetrized_edges, self.num_partitions)
+        return g
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def unpersist(self) -> None:
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted.clear()

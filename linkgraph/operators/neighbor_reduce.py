@@ -1,0 +1,98 @@
+"""neighborreduce — segmented reduction over neighbor lists (reference O4).
+
+Reference: ``out[v] = reduce(op, map(e ∈ N(v)))`` via moderngpu
+``transform_segreduce`` [ref: include/gunrock/framework/operators/
+neighborreduce/neighborreduce.hxx — UNVERIFIED; SURVEY.md §2.1].
+
+Spark mapping: ``groupBy(dst).agg(...)`` — Spark's partial+final hash
+aggregation is the distributed segmented reduce, and the shuffle-reduce is
+the reference's atomic (SURVEY.md §2.4 U2: atomicAdd → sum, atomicMin →
+min).
+
+Skew (BASELINE.json:6 "salted to handle hub-page skew"): a hub page with
+10^8 in-links makes the final ``groupBy(dst)`` hot.  AQE's skew handling
+covers joins, not aggregations (SURVEY.md §4.3), so :func:`salted_agg`
+implements explicit two-phase salted aggregation: group on
+``(dst, salt)`` first (spreads a hot key over S reducers), then re-group on
+``dst``.  Both phases still get map-side partial aggregation for free, so
+the extra shuffle moves at most ``S × distinct_dst`` rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERGE = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    # phase-2 merge for count is sum of partial counts
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    op: str = "sum",
+    out: str = "agg",
+    salt_buckets: int = 32,
+    salt_col: str | Column | None = None,
+) -> DataFrame:
+    """Two-phase salted ``groupBy(key).op(value)`` → ``(key, out)``.
+
+    ``salt_col`` defaults to ``pmod(hash(all other grouping-safe bits), S)``
+    — we use ``spark_partition_id()`` so phase 1 needs **no shuffle at all**
+    (grouping by (key, partition_id) within already-partitioned data is
+    still a shuffle in DataFrame terms, but each (key, salt) group receives
+    rows from exactly one map partition, so partial aggregation collapses
+    it to ≤1 row per (key, input-partition) before the exchange).
+    """
+    if op == "count":
+        phase1, phase2 = F.count(value), F.sum
+    else:
+        phase1, phase2 = _MERGE[op](value), _MERGE[op]
+    if salt_col is None:
+        salt = F.spark_partition_id() % salt_buckets
+    elif isinstance(salt_col, str):
+        salt = F.pmod(F.hash(F.col(salt_col)), F.lit(salt_buckets))
+    else:
+        salt = salt_col
+    partial = df.groupBy(F.col(key), salt.alias("_salt")).agg(phase1.alias("_partial"))
+    return partial.groupBy(key).agg(phase2("_partial").alias(out))
+
+
+def neighbor_reduce(
+    edges: DataFrame,
+    state: DataFrame,
+    value: Column,
+    op: str = "sum",
+    out: str = "agg",
+    salted: bool = True,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Gather `state` along edges and reduce per destination vertex.
+
+    ``state`` must have a ``vid`` column; it is joined on ``src`` (the
+    gather), then ``value`` (an expression over edge+state columns) is
+    reduced per ``dst`` (the scatter+reduce).  This is one PageRank/CC
+    superstep's dataflow core (SURVEY.md §2.3 A1/A2).
+
+    The join shuffles only the |V|-sized state side when ``edges`` is the
+    graph's persisted hash-partitioned DataFrame.
+    """
+    gathered = edges.join(
+        state.withColumnRenamed("vid", "src"), on="src", how="inner"
+    )
+    msgs = gathered.select(F.col("dst"), value.alias("_v"))
+    if salted:
+        return salted_agg(
+            msgs, "dst", F.col("_v"), op=op, out=out, salt_buckets=salt_buckets
+        ).withColumnRenamed("dst", "vid")
+    agg_fn = F.count if op == "count" else _MERGE[op]
+    return (
+        msgs.groupBy("dst")
+        .agg(agg_fn("_v").alias(out))
+        .withColumnRenamed("dst", "vid")
+    )

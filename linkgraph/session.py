@@ -1,0 +1,62 @@
+"""SparkSession builder with the engine's required configuration.
+
+Reference analog: the CUDA context + moderngpu launch setup in
+``examples/algorithms/*/main`` (SURVEY.md §3.1 EP1).  Here the execution
+substrate is Catalyst + AQE + Arrow; these configs are the ones the engine's
+physical design assumes (SURVEY.md §4):
+
+- AQE on (post-shuffle coalescing + skew-join handling = the analog of the
+  reference's load-balanced advance variants);
+- Arrow on (the JVM↔Python boundary for vectorized UDFs is Arrow batches);
+- shuffle partitions sized to parallelism (so the same code scales
+  local[8] → local[32] → multi-executor just by changing the master).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str = "local[*]",
+    app_name: str = "linkgraph",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for the engine.
+
+    ``shuffle_partitions`` defaults to the parallelism implied by ``master``
+    (e.g. ``local[8]`` → 8), which keeps partition counts proportional to
+    cores — the property the N→4N scaling criterion measures.
+    """
+    if shuffle_partitions is None:
+        shuffle_partitions = _default_parallelism(master)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Iterative supersteps re-plan each job; keep planning cheap.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def _default_parallelism(master: str) -> int:
+    import os
+    import re
+
+    m = re.match(r"local\[(\d+|\*)\]", master)
+    if m:
+        tok = m.group(1)
+        return os.cpu_count() or 8 if tok == "*" else int(tok)
+    return 200  # cluster default; callers should size explicitly

@@ -1,0 +1,167 @@
+"""CPU oracle validators — the engine's ``*_cpu.hxx`` twins.
+
+Reference tests each GPU algorithm against a sequential CPU validator
+(SURVEY.md §5.1, [ref: examples/algorithms/<algo>/<algo>_cpu.hxx —
+UNVERIFIED]).  These are pure NumPy/stdlib ports of the same *semantics*
+(not the reference code — the mount was empty; semantics from SURVEY.md
+§2.3 / BASELINE.json:6), run on collected edge lists at test scale.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict, deque
+
+import numpy as np
+
+
+def _normalize(edges) -> np.ndarray:
+    """Match Graph.from_edges: drop self-loops, dedupe."""
+    e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    if len(e) == 0:
+        return e
+    e = e[e[:, 0] != e[:, 1]]
+    return np.unique(e, axis=0)
+
+
+def _vertices(e: np.ndarray) -> np.ndarray:
+    if len(e) == 0:
+        return np.array([], dtype=np.int64)
+    return np.unique(e)
+
+
+def pagerank_oracle(
+    edges,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iters: int = 100,
+) -> tuple[dict[int, float], int]:
+    """Probability-form PR (Σp=1, dangling redistributed). → ({vid: rank}, iters)."""
+    e = _normalize(edges)
+    verts = _vertices(e)
+    n = len(verts)
+    if n == 0:
+        return {}, 0
+    idx = {int(v): i for i, v in enumerate(verts)}
+    src = np.array([idx[int(s)] for s, _ in e], dtype=np.int64)
+    dst = np.array([idx[int(d)] for _, d in e], dtype=np.int64)
+    outdeg = np.bincount(src, minlength=n)
+    p = np.full(n, 1.0 / n)
+    it = 0
+    while it < max_iters:
+        it += 1
+        contrib = np.where(outdeg > 0, p / np.maximum(outdeg, 1), 0.0)
+        sums = np.bincount(dst, weights=contrib[src], minlength=n)
+        dangling = p[outdeg == 0].sum()
+        p_new = (1.0 - alpha) / n + alpha * (sums + dangling / n)
+        delta = np.abs(p_new - p).max()
+        p = p_new
+        if delta < tol:
+            break
+    return {int(v): float(p[idx[int(v)]]) for v in verts}, it
+
+
+def cc_oracle(edges) -> dict[int, int]:
+    """Min vertex id per undirected component (BFS-based)."""
+    e = _normalize(edges)
+    adj: dict[int, list[int]] = defaultdict(list)
+    verts = set()
+    for s, d in e:
+        s, d = int(s), int(d)
+        adj[s].append(d)
+        adj[d].append(s)
+        verts.update((s, d))
+    comp: dict[int, int] = {}
+    for v in sorted(verts):
+        if v in comp:
+            continue
+        q, seen = deque([v]), {v}
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    q.append(w)
+        m = min(seen)
+        for u in seen:
+            comp[u] = m
+    return comp
+
+
+def triangle_oracle(edges) -> tuple[int, dict[int, int]]:
+    """(total_triangles, {vid: incident_triangles}) — exact, undirected."""
+    e = _normalize(edges)
+    und = set()
+    for s, d in e:
+        s, d = int(s), int(d)
+        und.add((min(s, d), max(s, d)))
+    adj: dict[int, set[int]] = defaultdict(set)
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    per = Counter()
+    total = 0
+    for u, v in und:
+        common = adj[u] & adj[v]
+        for w in common:
+            # count each triangle once: require u < v < w
+            if u < v < w:
+                total += 1
+                per[u] += 1
+                per[v] += 1
+                per[w] += 1
+    verts = _vertices(e)
+    return total, {int(x): per.get(int(x), 0) for x in verts}
+
+
+def labelprop_oracle(edges, max_iters: int = 20) -> tuple[dict[int, int], int]:
+    """Synchronous mode-propagation with min-label tie-break (engine twin)."""
+    e = _normalize(edges)
+    adj: dict[int, list[int]] = defaultdict(list)
+    und = set()
+    for s, d in e:
+        s, d = int(s), int(d)
+        und.add((min(s, d), max(s, d)))
+    for u, v in und:
+        adj[u].append(v)
+        adj[v].append(u)
+    verts = sorted(_vertices(e).tolist())
+    label = {v: v for v in verts}
+    it = 0
+    while it < max_iters:
+        it += 1
+        new = {}
+        for v in verts:
+            if not adj[v]:
+                new[v] = label[v]
+                continue
+            cnt = Counter(label[u] for u in adj[v])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        changed = sum(1 for v in verts if new[v] != label[v])
+        label = new
+        if changed == 0:
+            break
+    return label, it
+
+
+def bfs_oracle(edges, source: int, directed: bool = True) -> dict[int, int]:
+    e = _normalize(edges)
+    adj: dict[int, list[int]] = defaultdict(list)
+    for s, d in e:
+        adj[int(s)].append(int(d))
+        if not directed:
+            adj[int(d)].append(int(s))
+    depth = {int(source): 0}
+    q = deque([int(source)])
+    while q:
+        u = q.popleft()
+        for w in adj[u]:
+            if w not in depth:
+                depth[w] = depth[u] + 1
+                q.append(w)
+    return depth
+
+
+def sssp_oracle(edges, source: int) -> dict[int, float]:
+    """Unit-weight shortest paths (== BFS depth on unit weights)."""
+    return {k: float(v) for k, v in bfs_oracle(edges, source, directed=True).items()}
