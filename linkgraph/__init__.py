@@ -24,6 +24,50 @@ Everything is DataFrame + vectorized Arrow/pandas UDFs; no RDDs, no
 per-row Python on hot paths.
 """
 
+def _register_self_pickle_by_value() -> None:
+    """Ship linkgraph functions BY VALUE inside UDF closures.
+
+    cloudpickle serializes module-level functions by reference
+    (module + qualname), which breaks executors that don't have the
+    package on PYTHONPATH (plain ``python script.py`` without
+    ``spark-submit --py-files``).  Registering the package for by-value
+    pickling makes every closure self-contained (~KB per task — noise).
+    With ``--py-files`` this is merely redundant, never wrong.
+    """
+    try:
+        from pyspark import cloudpickle  # type: ignore[attr-defined]
+    except ImportError:  # pragma: no cover
+        try:
+            from pyspark.serializers import cloudpickle  # type: ignore
+        except ImportError:
+            return
+    import sys
+
+    reg = getattr(cloudpickle, "register_pickle_by_value", None)
+    if reg is None:  # pragma: no cover
+        return
+    pkg = sys.modules[__name__]
+    reg(pkg)
+    # submodules register themselves as they are imported below
+    import linkgraph.csr
+    import linkgraph.extract
+    import linkgraph.dictionary
+    import linkgraph.superstep
+    import linkgraph.textops.dedup
+    import linkgraph.textops.quality
+    import linkgraph.textops.ann
+    import linkgraph.textops.multimodal
+
+    for name, mod in list(sys.modules.items()):
+        if name.startswith("linkgraph"):
+            try:
+                reg(mod)
+            except Exception:  # pragma: no cover
+                pass
+
+
+_register_self_pickle_by_value()
+
 from linkgraph.graph import Graph
 from linkgraph.algorithms.pagerank import pagerank
 from linkgraph.algorithms.cc import connected_components

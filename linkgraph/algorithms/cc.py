@@ -45,7 +45,6 @@ def connected_components(
     resume: bool = True,
 ) -> IterationResult:
     """Label each vertex with min vid of its component: state ``(vid, comp)``."""
-    p = graph.num_partitions
     sym = graph.symmetrized_edges
     init = graph.vertices.select("vid", F.col("vid").alias("comp"))
 
@@ -58,14 +57,11 @@ def connected_components(
             out="min_in",
             salted=salted,
         )
-        new = (
-            state.join(min_in, "vid", "left")
-            .select(
-                "vid",
-                F.least(
-                    "comp", F.coalesce("min_in", F.col("comp"))
-                ).alias("comp"),
-            )
+        merged = F.least("comp", F.coalesce("min_in", F.col("comp")))
+        new = state.join(min_in, "vid", "left").select(
+            "vid",
+            merged.alias("comp"),
+            (merged != F.col("comp")).alias("_changed"),
         )
         if pointer_jumping:
             # comp(v) ← comp(comp(v)): join the new labels against
@@ -73,19 +69,23 @@ def connected_components(
             parent = new.select(
                 F.col("vid").alias("comp"), F.col("comp").alias("gcomp")
             )
-            new = (
-                new.join(parent, "comp", "left")
-                .select("vid", F.least("comp", F.coalesce("gcomp", "comp")).alias("comp"))
+            jumped = F.least("comp", F.coalesce("gcomp", "comp"))
+            new = new.join(parent, "comp", "left").select(
+                "vid",
+                jumped.alias("comp"),
+                (F.col("_changed") | (jumped != F.col("comp"))).alias("_changed"),
             )
-        return new.repartition(p, "vid")
+        return new
 
-    return iterate(
+    result = iterate(
         init,
         step,
-        stats_fn=changed_stats("comp"),
+        stats_fn=changed_stats(),
         converged=lambda s: (s.get("changed") or 0) == 0,
         max_iters=max_iters,
         checkpoint=checkpoint,
         checkpoint_every=checkpoint_every,
         resume=resume,
     )
+    result.state = result.state.select("vid", "comp")
+    return result

@@ -43,7 +43,6 @@ def label_propagation(
     resume: bool = True,
 ) -> IterationResult:
     """Synchronous LP; result state ``(vid, label)``."""
-    p = graph.num_partitions
     sym = graph.symmetrized_edges
     init = graph.vertices.select("vid", F.col("vid").alias("label"))
 
@@ -74,19 +73,22 @@ def label_propagation(
                     (-F.col("m.nl")).alias("new_label"),
                 )
             )
-        return (
-            state.join(best, "vid", "left")
-            .select("vid", F.coalesce("new_label", "label").alias("label"))
-            .repartition(p, "vid")
+        upd = F.coalesce("new_label", "label")
+        return state.join(best, "vid", "left").select(
+            "vid",
+            upd.alias("label"),
+            (upd != F.col("label")).alias("_changed"),
         )
 
-    return iterate(
+    result = iterate(
         init,
         step,
-        stats_fn=changed_stats("label"),
+        stats_fn=changed_stats(),
         converged=lambda s: (s.get("changed") or 0) == 0,
         max_iters=max_iters,
         checkpoint=checkpoint,
         checkpoint_every=checkpoint_every,
         resume=resume,
     )
+    result.state = result.state.select("vid", "label")
+    return result

@@ -34,12 +34,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.graph import Graph
 from linkgraph.operators.neighbor_reduce import neighbor_reduce
-from linkgraph.superstep import (
-    CheckpointManager,
-    IterationResult,
-    delta_stats,
-    iterate,
-)
+from linkgraph.superstep import CheckpointManager, IterationResult, iterate
 
 
 def pagerank(
@@ -59,22 +54,36 @@ def pagerank(
     if n == 0:
         empty = graph.spark.createDataFrame([], "vid long, rank double")
         return IterationResult(state=empty, iterations=0, converged=True)
-    p = graph.num_partitions
-    deg = graph.out_degrees
-    verts = graph.vertices
-    init = verts.select("vid", F.lit(1.0 / n).alias("rank"))
+    # State permanently carries outdeg (null for dangling vertices): the
+    # degree table is joined ONCE at init, not per superstep — the
+    # reference likewise keeps degrees resident next to ranks in problem_t.
+    init = graph.vertices.select(
+        "vid", F.lit(1.0 / n).alias("rank")
+    ).join(graph.out_degrees, "vid", "left")
 
     if strategy == "spmv":
         from linkgraph.csr import spmv_contrib_sums
     elif strategy != "join":
         raise ValueError(f"unknown strategy: {strategy!r}")
 
+    # Dangling mass is a driver-side scalar: iteration i needs
+    # Σ rank over outdeg-null vertices of state_i, which the PREVIOUS
+    # iteration's stats action already computed (one action/iter total —
+    # the reference's device→host readback, SURVEY.md §4.9).  None ⇒
+    # compute lazily from the current state (first iteration / resume).
+    dangling_cell: list[float | None] = [None]
+
     def step(state: DataFrame, i: int) -> DataFrame:
-        withdeg = state.join(deg, "vid", "left")
-        dangling = withdeg.where(F.col("outdeg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
-        )
-        contrib = withdeg.where(F.col("outdeg").isNotNull()).select(
+        if dangling_cell[0] is None:
+            row = state.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("outdeg").isNull(), F.col("rank"))),
+                    F.lit(0.0),
+                ).alias("d")
+            ).collect()[0]
+            dangling_cell[0] = float(row["d"])
+        dangling = dangling_cell[0]
+        contrib = state.where(F.col("outdeg").isNotNull()).select(
             "vid", (F.col("rank") / F.col("outdeg")).alias("contrib")
         )
         if strategy == "spmv":
@@ -89,31 +98,39 @@ def pagerank(
                 salted=salted,
                 salt_buckets=salt_buckets,
             )
-        new = (
-            verts.join(sums, "vid", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "vid",
-                (
-                    F.lit((1.0 - alpha) / n)
-                    + alpha
-                    * (
-                        F.coalesce(F.col("msum"), F.lit(0.0))
-                        + F.col("_dangling") / n
-                    )
-                ).alias("rank"),
-            )
-            .repartition(p, "vid")
+        new_rank = F.lit((1.0 - alpha) / n) + alpha * (
+            F.coalesce(F.col("msum"), F.lit(0.0)) + F.lit(dangling / n)
         )
-        return new
+        return state.join(sums, "vid", "left").select(
+            "vid",
+            new_rank.alias("rank"),
+            "outdeg",
+            F.abs(new_rank - F.col("rank")).alias("_delta"),
+        )
 
-    return iterate(
+    def stats_fn(old: DataFrame, new: DataFrame) -> DataFrame:
+        return new.agg(
+            F.max("_delta").alias("delta"),
+            F.coalesce(
+                F.sum(F.when(F.col("outdeg").isNull(), F.col("rank"))),
+                F.lit(0.0),
+            ).alias("dangling"),
+        )
+
+    def converged(s: dict) -> bool:
+        if s.get("dangling") is not None:
+            dangling_cell[0] = float(s["dangling"])
+        return s.get("delta") is not None and s["delta"] < tol
+
+    result = iterate(
         init,
         step,
-        stats_fn=delta_stats("rank"),
-        converged=lambda s: s.get("delta") is not None and s["delta"] < tol,
+        stats_fn=stats_fn,
+        converged=converged,
         max_iters=max_iters,
         checkpoint=checkpoint,
         checkpoint_every=checkpoint_every,
         resume=resume,
     )
+    result.state = result.state.select("vid", "rank")
+    return result

@@ -48,19 +48,26 @@ from linkgraph.graph import Graph
 # broadcast (8 bytes/vertex ⇒ 10^8 vertices ≈ 800 MB); fall back to join.
 BROADCAST_MAX_VERTICES = 50_000_000
 
-_PARTIAL_SCHEMA = pa.schema(
-    [pa.field("dst", pa.int64()), pa.field("partial", pa.float64())]
-)
+def _make_combiner():
+    """Map-side combine: sum values per distinct dst (vectorized).
 
+    Defined as a factory returning a LOCAL function so cloudpickle ships
+    it by value inside the UDF closure — the library then works on
+    executors that don't have ``linkgraph`` on their PYTHONPATH (plain
+    ``python script.py`` without ``--py-files``).
+    """
 
-def _combine_by_dst(dst: np.ndarray, vals: np.ndarray) -> pa.RecordBatch:
-    """Map-side combine: sum ``vals`` per distinct dst (vectorized)."""
-    uniq, inv = np.unique(dst, return_inverse=True)
-    partial = np.bincount(inv, weights=vals, minlength=len(uniq))
-    return pa.RecordBatch.from_arrays(
-        [pa.array(uniq, type=pa.int64()), pa.array(partial, type=pa.float64())],
-        schema=_PARTIAL_SCHEMA,
-    )
+    def combine(dst: np.ndarray, vals: np.ndarray) -> pa.RecordBatch:
+        uniq, inv = np.unique(dst, return_inverse=True)
+        partial = np.bincount(inv, weights=vals, minlength=len(uniq))
+        return pa.RecordBatch.from_arrays(
+            [pa.array(uniq, type=pa.int64()), pa.array(partial, type=pa.float64())],
+            schema=pa.schema(
+                [pa.field("dst", pa.int64()), pa.field("partial", pa.float64())]
+            ),
+        )
+
+    return combine
 
 
 def spmv_contrib_sums(
@@ -86,6 +93,8 @@ def spmv_contrib_sums(
         vec[pdf["vid"].to_numpy()] = pdf["contrib"].to_numpy()
         bc = graph.spark.sparkContext.broadcast(vec)
 
+        combine = _make_combiner()
+
         def gather_scatter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             v = bc.value
             for batch in batches:
@@ -93,7 +102,7 @@ def spmv_contrib_sums(
                 dst = batch.column("dst").to_numpy(zero_copy_only=False)
                 if len(src) == 0:
                     continue
-                yield _combine_by_dst(dst, v[src])
+                yield combine(dst, v[src])
 
         partials = graph.edges.mapInArrow(
             gather_scatter, schema="dst long, partial double"
@@ -103,13 +112,15 @@ def spmv_contrib_sums(
             contrib.select(F.col("vid").alias("src"), "contrib"), "src"
         ).select("dst", "contrib")
 
+        combine = _make_combiner()
+
         def scatter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             for batch in batches:
                 dst = batch.column("dst").to_numpy(zero_copy_only=False)
                 c = batch.column("contrib").to_numpy(zero_copy_only=False)
                 if len(dst) == 0:
                     continue
-                yield _combine_by_dst(dst, c)
+                yield combine(dst, c)
 
         partials = gathered.mapInArrow(scatter, schema="dst long, partial double")
     else:

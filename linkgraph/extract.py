@@ -1,0 +1,144 @@
+"""Pages → text + links extraction (reference I5, SURVEY.md §2.2).
+
+The graft's web-corpus front end (BASELINE.json:15): from an Iceberg/
+Parquet table of Common-Crawl-style pages ``(url, warc_ts, html, text,
+lang)``, derive
+
+- ``extract_text(html)`` — deterministic visible-text extraction with the
+  binding per-row invariant **byte-identical extracted text per url**
+  (property-tested: idempotent, partitioning/parallelism-independent);
+- ``extract_links(html)`` — the page's outgoing hrefs, feeding the edge
+  builder.
+
+Both run as ONE vectorized ``mapInArrow`` pass over the corpus (Arrow
+batches in, Arrow batches out — no per-row Python dispatch).  The parser
+is a small deterministic regex HTML subset parser written for this
+engine: pure function of the bytes, no external libraries, so the same
+bytes always yield the same text on any executor — that purity IS the
+invariant.
+
+Latest-snapshot-per-url dedup (multiple WARC captures of one url) is a
+window ``row_number over (partition by url order by warc_ts desc)`` —
+SURVEY.md §2.5 date/time row.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# --- pure extraction functions (shipped by value into UDF closures) -------
+
+_SCRIPT_RE = re.compile(rb"<(script|style)\b[^>]*>.*?</\1>", re.S | re.I)
+_COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
+_HREF_RE = re.compile(rb"""<a\b[^>]*?\bhref\s*=\s*["']([^"'<>]+)["']""", re.I)
+_TAG_RE = re.compile(rb"<[^>]+>")
+_BLOCK_TAG_RE = re.compile(
+    rb"</?(p|div|br|li|ul|ol|h[1-6]|tr|table|title|head|body|html)\b[^>]*>", re.I
+)
+_WS_RE = re.compile(rb"[ \t\r\f\v]+")
+_NL_RE = re.compile(rb"\n{2,}")
+
+
+def extract_text(html: bytes) -> str:
+    """Deterministic visible text of an HTML page.
+
+    Pure function of the bytes: strip script/style/comments, break on
+    block tags, drop all tags, collapse whitespace.  The golden-bytes
+    tests pin this byte-for-byte (BASELINE.json:15).
+    """
+    if html is None:
+        return ""
+    b = _SCRIPT_RE.sub(b"", html)
+    b = _COMMENT_RE.sub(b"", b)
+    b = _BLOCK_TAG_RE.sub(b"\n", b)
+    b = _TAG_RE.sub(b" ", b)
+    b = _WS_RE.sub(b" ", b)
+    lines = [ln.strip() for ln in b.split(b"\n")]
+    b = b"\n".join(ln for ln in lines if ln)
+    b = _NL_RE.sub(b"\n", b)
+    return b.decode("utf-8", errors="replace").strip()
+
+
+def extract_links(html: bytes) -> list[str]:
+    """All href targets of ``<a>`` tags, in document order."""
+    if html is None:
+        return []
+    return [
+        m.group(1).decode("utf-8", errors="replace")
+        for m in _HREF_RE.finditer(html)
+    ]
+
+
+# --- Spark surface --------------------------------------------------------
+
+EXTRACTED_SCHEMA = "url string, warc_ts timestamp, lang string, text string, links array<string>"
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    """One Arrow pass: pages → ``(url, warc_ts, lang, text, links)``.
+
+    ``mapInArrow`` keeps the whole batch in Arrow buffers; the regex
+    extraction runs per-row inside the batch loop but with zero
+    serialization overhead per row (SURVEY.md §4.7).
+    """
+    # rebind as locals so cloudpickle ships the pure functions by value
+    _extract_text, _extract_links = extract_text, extract_links
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols = {n: batch.column(n) for n in batch.schema.names}
+            htmls = cols["html"].to_pylist()
+            texts = [_extract_text(h) for h in htmls]
+            links = [_extract_links(h) for h in htmls]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["url"],
+                    cols["warc_ts"],
+                    cols["lang"],
+                    pa.array(texts, type=pa.string()),
+                    pa.array(links, type=pa.list_(pa.string())),
+                ],
+                names=["url", "warc_ts", "lang", "text", "links"],
+            )
+
+    return pages.mapInArrow(run, schema=EXTRACTED_SCHEMA)
+
+
+def latest_snapshot_per_url(pages: DataFrame) -> DataFrame:
+    """Keep only the most recent WARC capture of each url.
+
+    Deterministic under capture-time ties: tie-break on the page bytes'
+    hash so re-runs pick the same row.
+    """
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc(F.xxhash64(F.col("html")))
+    )
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def pages_to_edge_urls(pages: DataFrame) -> DataFrame:
+    """pages → distinct (src_url, dst_url) link pairs.
+
+    Full front-end chain: latest-snapshot dedup → extraction →
+    ``explode(links)`` (SURVEY.md §2.5 array row) → self-link drop.
+    Join to the vertex dictionary afterwards (linkgraph.dictionary).
+    """
+    latest = latest_snapshot_per_url(pages)
+    extracted = extract_pages(latest)
+    return (
+        extracted.select(
+            F.col("url").alias("src_url"),
+            F.explode("links").alias("dst_url"),
+        )
+        .where(F.col("src_url") != F.col("dst_url"))
+        .dropDuplicates(["src_url", "dst_url"])
+    )

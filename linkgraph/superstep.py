@@ -58,26 +58,27 @@ class IterationResult:
     history: list[dict] = field(default_factory=list)
 
 
-def delta_stats(col: str = "rank", out: str = "delta") -> StatsFn:
-    """L∞ change between generations (PR convergence, SURVEY.md §2.3 A1)."""
+def delta_stats(col: str = "_delta", out: str = "delta") -> StatsFn:
+    """L∞ convergence metric (PR, SURVEY.md §2.3 A1).
+
+    The superstep computes per-vertex ``|rank' − rank|`` inline as a state
+    column (the old state is already part of the superstep join, so this
+    costs nothing); the stats job is then a single aggregation over the
+    cached new state — no extra old⋈new join per iteration.
+    """
 
     def fn(old: DataFrame, new: DataFrame) -> DataFrame:
-        o = old.select("vid", F.col(col).alias("_old"))
-        return new.join(o, "vid").agg(
-            F.max(F.abs(F.col(col) - F.col("_old"))).alias(out)
-        )
+        return new.agg(F.max(F.col(col)).alias(out))
 
     return fn
 
 
-def changed_stats(col: str, out: str = "changed") -> StatsFn:
-    """Count of vertices whose label changed (CC/LP convergence)."""
+def changed_stats(col: str = "_changed", out: str = "changed") -> StatsFn:
+    """Count of vertices whose label changed (CC/LP convergence); same
+    inline-column pattern as :func:`delta_stats`."""
 
     def fn(old: DataFrame, new: DataFrame) -> DataFrame:
-        o = old.select("vid", F.col(col).alias("_old"))
-        return new.join(o, "vid").agg(
-            F.sum(F.when(F.col(col) != F.col("_old"), 1).otherwise(0)).alias(out)
-        )
+        return new.agg(F.sum(F.col(col).cast("long")).alias(out))
 
     return fn
 

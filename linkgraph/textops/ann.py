@@ -1,0 +1,238 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — brute-force exact top-k: query set ⨯ corpus with
+  the dot product expressed in built-in higher-order functions
+  (``zip_with`` + ``aggregate`` — JVM-side, no Python).  Exact baseline;
+  cost |Q|·|N|·d.  Scale discipline: the QUERY side must be the small
+  side (broadcast), never corpus⨯corpus.
+- :func:`lsh_cosine_topk` — random-hyperplane LSH: deterministic seeded
+  projection planes (driver-generated, broadcast), sign-bit bucket keys,
+  candidates = same-bucket rows under any of ``num_tables`` independent
+  tables, then exact cosine re-rank of candidates only.  Approximate;
+  recall grows with tables.  This is the 100 TB path: each table is one
+  hash-partitioned equi-join on the bucket key.
+- :func:`embedding_near_duplicates` — corpus near-dup pairs with
+  cosine ≥ threshold via the same LSH bucketing (never all-pairs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine: ``(query_id, vec_id, cosine, rank)``.
+
+    ``queries``: ``(query_id, embedding)`` — broadcast (must be small).
+    Self-matches (query_id == vec_id) are excluded.  Deterministic
+    ordering: ties broken by vec_id ascending.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+        )
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    qd = q.select("query_id", F.col("_qv").cast("array<double>").alias("_qv"))
+    scored = (
+        c.crossJoin(qd)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket_ids(
+    embeddings: DataFrame,
+    dim: int,
+    num_tables: int = 4,
+    bits_per_table: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit LSH buckets: ``(vec_id, table, bucket)`` — one row per table.
+
+    Planes are seeded and broadcast; the projection runs vectorized in one
+    Arrow pass (|N|·tables·bits·d flops, linear in corpus size).
+    """
+    planes = _hyperplanes(dim, num_tables * bits_per_table, seed)
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+    nt, bpt = num_tables, bits_per_table
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        P = bc.value
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            vecs = batch.column(1)
+            if len(ids) == 0:
+                continue
+            mat = np.array(vecs.to_pylist(), dtype=np.float64)
+            signs = (mat @ P.T) > 0  # (n, nt*bpt)
+            weights = (1 << np.arange(bpt)).astype(np.int64)
+            out_ids, out_tbl, out_bkt = [], [], []
+            for t in range(nt):
+                block = signs[:, t * bpt : (t + 1) * bpt].astype(np.int64)
+                buckets = block @ weights
+                out_ids.append(ids)
+                out_tbl.append(np.full(len(ids), t, dtype=np.int64))
+                out_bkt.append(buckets)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_ids), type=pa.int64()),
+                    pa.array(np.concatenate(out_tbl), type=pa.int64()),
+                    pa.array(np.concatenate(out_bkt), type=pa.int64()),
+                ],
+                names=["vec_id", "table", "bucket"],
+            )
+
+    return embeddings.select(
+        F.col(id_col).cast("long"), F.col(vec_col)
+    ).mapInArrow(run, schema="vec_id long, table long, bucket long")
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_tables: int = 4,
+    bits_per_table: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: LSH candidates → exact cosine re-rank.
+
+    Same output shape as :func:`cosine_topk`; recall < 1 by construction
+    (tested against the brute-force baseline).
+    """
+    corpus_b = lsh_bucket_ids(
+        embeddings, dim, num_tables, bits_per_table, seed, id_col, vec_col
+    )
+    query_b = lsh_bucket_ids(
+        queries, dim, num_tables, bits_per_table, seed, query_id_col, vec_col
+    ).withColumnRenamed("vec_id", "query_id")
+    cand = (
+        query_b.join(corpus_b, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    cv = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_tables: int = 6,
+    bits_per_table: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus near-dup pairs ``(a, b, cosine)`` with cosine ≥ threshold.
+
+    LSH-bucketed self-join — quadratic only within buckets.
+    """
+    b = lsh_bucket_ids(embeddings, dim, num_tables, bits_per_table, seed, id_col, vec_col)
+    l = b.select(F.col("vec_id").alias("a"), "table", "bucket")
+    r = b.select(F.col("vec_id").alias("b"), "table", "bucket")
+    cand = (
+        l.join(r, ["table", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    v = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    va = v.select(F.col("_id").alias("a"), F.col("_v").alias("_va"))
+    vb = v.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

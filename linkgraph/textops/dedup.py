@@ -1,0 +1,266 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design notes for 10^12-document scale:
+
+- **exact**: hash-groupBy on md5(text) — one shuffle of (hash, id), never
+  of the text bodies.  Partial aggregation makes duplicate-heavy corpora
+  cheap (map-side combine collapses per-partition duplicates).
+- **MinHash**: signatures via md5 over word-shingles (md5 chosen
+  deliberately: identical hex output in Spark and DuckDB, so the oracle
+  can replay the exact pipeline).  k hash functions = k seeded prefixes;
+  per-doc min per seed is one hash aggregation, linear in
+  |docs|·|shingles|·k.
+- **LSH banding**: signatures → band keys → self-join per band =
+  candidate pairs; only candidates are verified (exact Jaccard), so the
+  all-pairs product never materializes.
+- **SimHash**: 64-bit fingerprints via a vectorized Arrow UDF (bit math
+  isn't expressible with built-ins); near-dups = Hamming distance ≤ r on
+  band-partitioned fingerprints.
+- **n-gram Jaccard**: exact pairwise Jaccard through an inverted shingle
+  index (join on shingle, count common, normalize), with a document-
+  frequency cap on hot shingles — the textual analog of hub-skew
+  handling: a shingle appearing in 10^6 docs would create 10^12 candidate
+  pairs; capping df ≤ ``max_df`` bounds the join fan-out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_tokens(col):
+    """lowercase whitespace tokenization — identical semantics in DuckDB:
+    ``string_split_regex(lower(trim(text)), '\\s+')``."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def word_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: ``(doc_id, shingle)``."""
+    toks = df.select(id_col, F.posexplode(_norm_tokens(F.col(text_col))).alias("pos", "tok"))
+    out = toks
+    for i in range(1, n):
+        nxt = toks.select(
+            id_col,
+            (F.col("pos") - i).alias("pos"),
+            F.col("tok").alias(f"tok{i}"),
+        )
+        out = out.join(nxt, [id_col, "pos"])
+    shingle = F.concat_ws(" ", "tok", *[f"tok{i}" for i in range(1, n)])
+    return out.select(id_col, shingle.alias("shingle")).dropDuplicates([id_col, "shingle"])
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate groups: ``(doc_id, group_id, group_size)``.
+
+    ``group_id`` = min doc_id sharing identical text bytes (via md5);
+    only docs in groups of size ≥ 2 are returned.
+    """
+    h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    groups = h.groupBy("_h").agg(
+        F.min(id_col).alias("group_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        h.join(groups.where(F.col("group_size") >= 2), "_h")
+        .select(id_col, "group_id", "group_size")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: ``(doc_id, seed, minhash)``.
+
+    hash_s(shingle) = md5(s || ':' || shingle); minhash = lexicographic
+    min of the hex digests — engine-portable (same values in DuckDB).
+    """
+    sh = word_shingles(df, text_col, id_col, n=shingle_n)
+    seeds = F.explode(
+        F.array(*[F.lit(i) for i in range(num_hashes)])
+    ).alias("seed")
+    hashed = (
+        sh.select(id_col, "shingle", seeds)
+        .select(
+            id_col,
+            "seed",
+            F.md5(
+                F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))
+            ).alias("h"),
+        )
+    )
+    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs ``(a, b)`` (a < b): docs agreeing on ≥1 band.
+
+    bands = num_hashes / rows_per_band; band key = concatenated minhashes
+    of the band's seeds.  The per-band self-join touches only same-bucket
+    docs — linear in Σ bucket².
+    """
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band = (F.col("seed") / rows_per_band).cast("int").alias("band")
+    bands = (
+        sig.select(id_col, band, "seed", "minhash")
+        .groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                "|", F.array_sort(F.collect_list(F.concat_ws("=", F.col("seed").cast("string"), "minhash")))
+            ).alias("band_key")
+        )
+    )
+    left = bands.select(F.col(id_col).alias("a"), "band", "band_key")
+    right = bands.select(F.col(id_col).alias("b"), "band", "band_key")
+    return (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold: ``(a, b, jaccard)``.
+
+    Inverted-index join on shingles; ``max_df`` drops shingles appearing
+    in more than that many docs before pairing (skew guard — such
+    shingles carry almost no similarity signal but quadratic join cost).
+    """
+    sh = word_shingles(df, text_col, id_col, n=shingle_n)
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(dfreq.where(F.col("_df") <= max_df), "shingle").select(
+            id_col, "shingle"
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("_sz").alias("_sa"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("_sz").alias("_sb"))
+    jac = (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("_common")
+                / (F.col("_sa") + F.col("_sb") - F.col("_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold)
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash fingerprint per doc: ``(doc_id, simhash)``.
+
+    Token hashes are the first 8 bytes of md5 (deterministic across
+    engines/runs); the bit-vote accumulation runs vectorized in NumPy
+    inside one Arrow pass.
+    """
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import hashlib
+
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out = []
+            for t in texts:
+                toks = (t or "").lower().split()
+                if not toks:
+                    out.append(0)
+                    continue
+                hs = np.frombuffer(
+                    b"".join(
+                        hashlib.md5(tok.encode("utf-8")).digest()[:8]
+                        for tok in toks
+                    ),
+                    dtype=">u8",
+                ).astype(np.uint64)
+                bits = (
+                    (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)
+                ).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                fp = np.uint64(0)
+                for i in np.nonzero(votes > 0)[0]:
+                    fp |= np.uint64(1) << np.uint64(i)
+                out.append(int(np.int64(fp)))  # reinterpret as signed
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), pa.array(out, type=pa.int64())],
+                names=["doc_id", "simhash"],
+            )
+
+    return df.select(F.col(id_col).cast("long"), F.col(text_col)).mapInArrow(
+        run, schema="doc_id long, simhash long"
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: ``(a, b, hamming)`` with distance ≤ r.
+
+    Pigeonhole banding: split the 64-bit fingerprint into ``num_bands``
+    blocks; any pair within Hamming r < num_bands agrees on ≥1 whole
+    block, so a per-block equality self-join finds all candidates —
+    verified exactly with bit_count(xor).
+    """
+    fp = simhash64(df, text_col, id_col)
+    width = 64 // num_bands
+    block = lambda b: F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(
+        F.lit((1 << width) - 1)
+    )
+    cands = None
+    for bnd in range(num_bands):
+        l = fp.select(F.col("doc_id").alias("a"), F.col("simhash").alias("fa"), block(bnd).alias("blk"))
+        r = fp.select(F.col("doc_id").alias("b"), F.col("simhash").alias("fb"), block(bnd).alias("blk"))
+        c = l.join(r, "blk").where(F.col("a") < F.col("b")).select("a", "b", "fa", "fb")
+        cands = c if cands is None else cands.unionAll(c)
+    cands = cands.dropDuplicates(["a", "b"])
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cands.select("a", "b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,184 @@
+"""Text analysis operators: token counts, quality scores, language ID,
+document fingerprints.
+
+All hot-path math uses built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen); the only Arrow UDF is the rolling-hash fingerprint
+(bit math).  Expressions are chosen to have exact ANSI-SQL twins so the
+DuckDB oracle can replay them (regexp semantics kept to the common
+POSIX-class subset both engines share).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons (deterministic heuristic language ID —
+# the classic stopword-profile method; NOT a trained model).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por", "con", "para"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour", "qui", "pas"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不", "这", "中"],
+}
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(doc_id, n_tokens, n_chars, avg_token_len)``.
+
+    Whitespace tokenization; empty text → 0 tokens.  SQL twin uses the
+    same ``length``-difference formulation so the two engines agree on
+    edge cases (consecutive whitespace, leading/trailing).
+    """
+    t = F.trim(F.col(text_col))
+    n_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+    n_chars = F.length(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        F.when(n_tokens > 0, n_chars.cast("double") / n_tokens)
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+    )
+
+
+def quality_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality features + composite score per doc.
+
+    ``(doc_id, n_tokens, punct_ratio, digit_ratio, upper_ratio,
+    stopword_ratio, quality)`` — the standard cheap pre-filter features
+    for web-corpus curation.  ``quality`` ∈ [0,1]: product of clamped
+    feature terms (monotone, deterministic).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    nz = F.greatest(n_chars, F.lit(1)).cast("double")
+    trimmed = F.trim(t)
+    n_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("long")
+    punct = (
+        n_chars - F.length(F.regexp_replace(t, r"[.,;:!?'\"()\[\]{}-]", ""))
+    ).cast("double") / nz
+    digits = (
+        n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    ).cast("double") / nz
+    uppers = (
+        n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    ).cast("double") / nz
+    en_stop = LANG_MARKERS["en"]
+    toks = F.split(F.lower(trimmed), r"\s+")
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*en_stop)))
+    stopword_ratio = F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    len_term = F.least(n_tokens.cast("double") / F.lit(20.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct * 4, F.lit(1.0))
+    digit_term = F.lit(1.0) - F.least(digits * 4, F.lit(1.0))
+    quality = F.round(len_term * punct_term * digit_term, 6)
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(digits, 6).alias("digit_ratio"),
+        F.round(uppers, 6).alias("upper_ratio"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic language ID: ``(doc_id, pred_lang, lang_hits)``.
+
+    Tokenize, count marker-word hits per language, argmax with
+    deterministic tie-break (fewest hits wins to 'und'?? no — max hits,
+    ties broken by language code ascending); zero hits → 'und'.
+    Implementation is an explode + broadcast-join against the tiny marker
+    table + hash agg + struct-max argmax — linear, skew-free.
+    """
+    spark = df.sparkSession
+    markers = spark.createDataFrame(
+        [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws],
+        "lang string, word string",
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word"),
+    )
+    # zh has no whitespace tokens; also match per-character for CJK markers
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), ""),
+                lambda c: (c >= "一") & (c <= "鿿"),
+            )
+        ).alias("word"),
+    )
+    hits = (
+        toks.unionAll(chars)
+        .join(F.broadcast(markers), "word")
+        .groupBy(id_col, "lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    best = (
+        hits.groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("hits"), F.col("lang"))).alias("m")
+        )
+        .select(
+            F.col(id_col),
+            F.col("m.lang").alias("pred_lang"),
+            F.col("m.hits").alias("lang_hits"),
+        )
+    )
+    return df.select(id_col).join(best, id_col, "left").select(
+        id_col,
+        F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+        F.coalesce("lang_hits", F.lit(0)).alias("lang_hits"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Polynomial rolling hash of the text bytes: ``(doc_id, fingerprint)``.
+
+    fp = Σ bytes[i]·B^(n−1−i) mod P (B=131, P=2^61−1) — deterministic,
+    order-sensitive (unlike bag-of-words hashes), computed vectorized in
+    one Arrow pass.  The content-identity key for incremental re-crawls.
+    """
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        B, P = 131, (1 << 61) - 1
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out = []
+            for t in texts:
+                h = 0
+                for byte in (t or "").encode("utf-8"):
+                    h = (h * B + byte) % P
+                out.append(h)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), pa.array(out, type=pa.int64())],
+                names=["doc_id", "fingerprint"],
+            )
+
+    return df.select(F.col(id_col).cast("long"), F.col(text_col)).mapInArrow(
+        run, schema="doc_id long, fingerprint long"
+    )

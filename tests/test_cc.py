@@ -1,0 +1,48 @@
+"""Connected components vs BFS oracle — exact (BASELINE.json:6)."""
+
+from __future__ import annotations
+
+from conftest import edges_df
+from linkgraph.algorithms.cc import connected_components
+from linkgraph.fixtures import MICRO_GRAPHS, chesapeake_edges, synthetic_crawl
+from linkgraph.graph import Graph
+from oracles import cc_oracle
+
+
+def _check(spark, edges, graph=None, **kw):
+    g = graph or Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+    res = connected_components(g, **kw)
+    got = {r.vid: r.comp for r in res.state.collect()}
+    want = cc_oracle(edges)
+    assert got == want
+    assert res.converged
+    return res
+
+
+def test_chesapeake(spark, chesapeake_graph):
+    _check(spark, chesapeake_edges(), graph=chesapeake_graph)
+
+
+def test_two_cliques(spark):
+    res = _check(spark, MICRO_GRAPHS["two_cliques"])
+    comps = {r.comp for r in res.state.collect()}
+    assert comps == {0, 5}
+
+
+def test_chain(spark):
+    _check(spark, MICRO_GRAPHS["chain"])
+
+
+def test_star_hub(spark):
+    _check(spark, MICRO_GRAPHS["star_hub"])
+
+
+def test_crawl(spark, crawl_graph):
+    _check(spark, synthetic_crawl(500), graph=crawl_graph)
+
+
+def test_pointer_jumping_same_result(spark):
+    edges = MICRO_GRAPHS["chain"] + MICRO_GRAPHS["two_cliques"]
+    a = _check(spark, edges, pointer_jumping=False)
+    b = _check(spark, edges, pointer_jumping=True)
+    assert b.iterations <= a.iterations

@@ -1,0 +1,97 @@
+"""Deduplication operators (exact / MinHash-LSH / SimHash / Jaccard)."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from linkgraph.textops.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash64,
+    simhash_near_duplicates,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "by the warm fire and dreams of chasing mice through green fields"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("fox", "wolf")),  # near dup
+        (3, "completely different text about spark dataframes and shuffles"),
+        (4, ""),
+        (5, BASE + " extra tail words appended here"),  # near dup superset
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_shingles(text, n=3):
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_duplicates(spark):
+    d = exact_duplicates(_docs(spark))
+    rows = {(r.doc_id, r.group_id, r.group_size) for r in d.collect()}
+    assert rows == {(0, 0, 2), (1, 0, 2)}
+
+
+def test_word_shingles_match_python(spark):
+    sh = word_shingles(_docs(spark))
+    got = {}
+    for r in sh.collect():
+        got.setdefault(r.doc_id, set()).add(r.shingle)
+    for doc_id, text in [(0, BASE), (3, "completely different text about spark dataframes and shuffles")]:
+        assert got.get(doc_id, set()) == _py_shingles(text)
+    assert 4 not in got  # empty text → no shingles
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    sig = minhash_signatures(_docs(spark))
+    s = {}
+    for r in sig.collect():
+        s.setdefault(r.doc_id, {})[r.seed] = r.minhash
+    assert s[0] == s[1]
+    assert s[0] != s[3]
+
+
+def test_lsh_candidates_find_dups(spark):
+    cands = {
+        (r.a, r.b) for r in minhash_lsh_candidates(_docs(spark)).collect()
+    }
+    assert (0, 1) in cands  # exact dups always collide
+    # near-dups highly likely to collide on ≥1 band (deterministic given
+    # fixed hash functions — pinned by this test)
+    assert (0, 2) in cands or (0, 5) in cands
+    assert (0, 3) not in cands and (1, 3) not in cands
+
+
+def test_jaccard_pairs_exact_values(spark):
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in jaccard_pairs(_docs(spark), threshold=0.0).collect()
+    }
+    docs = {r.doc_id: r.text for r in _docs(spark).collect()}
+    for (a, b), jac in got.items():
+        sa, sb = _py_shingles(docs[a]), _py_shingles(docs[b])
+        want = len(sa & sb) / len(sa | sb)
+        assert abs(jac - want) < 1e-12, (a, b)
+    assert got[(0, 1)] == 1.0
+    assert (0, 3) not in got  # no shared shingles
+
+
+def test_simhash_properties(spark):
+    fp = {r.doc_id: r.simhash for r in simhash64(_docs(spark)).collect()}
+    assert fp[0] == fp[1]
+    assert fp[4] == 0
+    nd = {(r.a, r.b): r.hamming for r in simhash_near_duplicates(_docs(spark), max_hamming=10).collect()}
+    assert nd.get((0, 1)) == 0

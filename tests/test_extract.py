@@ -1,0 +1,114 @@
+"""Extraction invariant tests (BASELINE.json:15: byte-identical extracted
+text per url; SURVEY.md §5.2.3) + full pages→edges front-end chain."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from linkgraph.extract import (
+    extract_links,
+    extract_pages,
+    extract_text,
+    latest_snapshot_per_url,
+    pages_to_edge_urls,
+)
+from linkgraph.dictionary import edges_from_url_pairs, encode_urls
+from linkgraph.fixtures import pages_corpus, page_url
+from linkgraph.graph import Graph
+from linkgraph.types import PAGES_SCHEMA
+
+
+def _pages_df(spark, n=60):
+    rows, truth = pages_corpus(n)
+    return spark.createDataFrame(rows, PAGES_SCHEMA), truth
+
+
+def test_extract_text_golden_bytes():
+    """Pin exact bytes — the per-row invariant vs any re-implementation."""
+    html = (
+        b"<html><head><title>T1</title><script>var x=1;</script></head>"
+        b"<body><p>Hello  world</p><!-- c --><div>Bye</div>"
+        b'<a href="https://a.example/x">link text</a></body></html>'
+    )
+    assert extract_text(html) == "T1\nHello world\nBye\nlink text"
+    assert extract_links(html) == ["https://a.example/x"]
+
+
+def test_extract_text_deterministic_and_idempotent():
+    html = b"<html><body><p>a</p><p>b</p></body></html>"
+    t1 = extract_text(html)
+    assert t1 == extract_text(html)
+    # idempotent: extracting already-extracted text changes nothing
+    assert extract_text(t1.encode()) == t1
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_extract_total_on_arbitrary_bytes(b):
+    """Extraction is total and deterministic on arbitrary input bytes."""
+    assert extract_text(b) == extract_text(b)
+    assert extract_links(b) == extract_links(b)
+
+
+def test_fixture_text_matches_extraction(spark):
+    """The pages fixture's text column IS extract_text(html), byte-equal,
+    through the distributed Arrow path."""
+    pages, _ = _pages_df(spark, 60)
+    ext = extract_pages(pages).select("url", "warc_ts", "text")
+    joined = ext.join(
+        pages.selectExpr("url", "warc_ts", "text as expected"),
+        ["url", "warc_ts"],
+    )
+    rows = joined.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.text == r.expected, r.url
+
+
+def test_extraction_parallelism_invariant(spark):
+    """Same bytes → same text regardless of partitioning (SURVEY.md §5.2.3)."""
+    pages, _ = _pages_df(spark, 40)
+    a = {
+        (r.url, r.warc_ts): r.text
+        for r in extract_pages(pages.repartition(1)).collect()
+    }
+    b = {
+        (r.url, r.warc_ts): r.text
+        for r in extract_pages(pages.repartition(16)).collect()
+    }
+    assert a == b
+
+
+def test_latest_snapshot_dedup(spark):
+    pages, _ = _pages_df(spark, 100)
+    latest = latest_snapshot_per_url(pages)
+    assert latest.count() == pages.select("url").distinct().count()
+    assert latest.groupBy("url").count().where("count > 1").count() == 0
+
+
+def test_pages_to_edges_matches_ground_truth(spark):
+    """Full front end: pages → extract → explode → dictionary → edges —
+    the resulting vid graph is isomorphic to the generator's edge list."""
+    pages, truth = _pages_df(spark, 80)
+    pairs = pages_to_edge_urls(pages)
+    verts = encode_urls(pairs.selectExpr("src_url as url").unionAll(
+        pairs.selectExpr("dst_url as url")
+    ), num_partitions=4)
+    edges = edges_from_url_pairs(pairs, verts)
+    g = Graph.from_edges(edges, num_partitions=4)
+
+    # map engine vids back to generator vids via url
+    url_to_gen = {}
+    for s, d in truth:
+        url_to_gen.setdefault(page_url(int(s)), int(s))
+        url_to_gen.setdefault(page_url(int(d)), int(d))
+    vid_map = {
+        r.vid: url_to_gen[r.url] for r in verts.collect() if r.url in url_to_gen
+    }
+    got = {
+        (vid_map[r.src], vid_map[r.dst]) for r in g.edges.collect()
+    }
+    want = {(int(s), int(d)) for s, d in truth}
+    assert got == want

@@ -15,9 +15,9 @@ from oracles import pagerank_oracle
 
 def _check(spark, edges, graph=None, **kw):
     g = graph or Graph.from_edges(edges_df(spark, edges), num_partitions=4)
-    res = pagerank(g, tol=1e-8, **kw)
+    res = pagerank(g, tol=1e-6, **kw)
     got = {r.vid: r.rank for r in res.state.collect()}
-    want, _ = pagerank_oracle(edges, tol=1e-8)
+    want, _ = pagerank_oracle(edges, tol=1e-6)
     assert set(got) == set(want)
     if want:
         gv = np.array([got[v] for v in sorted(want)])
@@ -59,8 +59,8 @@ def test_crawl(spark, crawl_graph):
 
 
 def test_unsalted_matches_salted(spark, chesapeake_graph):
-    a = pagerank(chesapeake_graph, tol=1e-8, salted=True).state.collect()
-    b = pagerank(chesapeake_graph, tol=1e-8, salted=False).state.collect()
+    a = pagerank(chesapeake_graph, tol=1e-6, salted=True).state.collect()
+    b = pagerank(chesapeake_graph, tol=1e-6, salted=False).state.collect()
     da = {r.vid: r.rank for r in a}
     db = {r.vid: r.rank for r in b}
     for v in da:

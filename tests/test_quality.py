@@ -1,0 +1,70 @@
+"""Text-analysis operators: token counts, quality, language ID, fingerprint."""
+
+from __future__ import annotations
+
+from linkgraph.textops.quality import (
+    doc_fingerprint,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "a bb  ccc"), (1, ""), (2, "   "), (3, "single")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.n_chars) for r in token_counts(df).collect()}
+    assert got[0] == (3, 9)
+    assert got[1] == (0, 0)
+    assert got[2] == (0, 3)
+    assert got[3] == (1, 6)
+
+
+def test_quality_scores_monotone(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and then it ran to the door of the house near the lake shore today"),
+            (1, "!!! ??? ,,, ;;; ::: !!!"),
+            (2, "1234 5678 9012 3456"),
+        ],
+        "doc_id long, text string",
+    )
+    q = {r.doc_id: r.quality for r in quality_scores(df).collect()}
+    assert q[0] > q[1] and q[0] > q[2]
+    p = {r.doc_id: r.punct_ratio for r in quality_scores(df).collect()}
+    assert p[1] > 0.5
+
+
+def test_language_id_marker_texts(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of the house is that for with was"),
+            (1, "el perro y la casa de que los las una por con para"),
+            (2, "der hund und die katze ist nicht ein mit auf zu"),
+            (3, "le chien et la maison est une dans pour qui pas les des"),
+            (4, "的是了在我有和不这中"),
+            (5, "zzz qqq xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pred_lang for r in language_id(df).collect()}
+    assert got == {0: "en", 1: "es", 2: "de", 3: "fr", 4: "zh", 5: "und"}
+
+
+def test_doc_fingerprint_matches_python_twin(spark):
+    texts = [(0, "hello world"), (1, ""), (2, "hello world"), (3, "HELLO")]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: r.fingerprint for r in doc_fingerprint(df).collect()}
+
+    def twin(t):
+        B, P = 131, (1 << 61) - 1
+        h = 0
+        for byte in t.encode():
+            h = (h * B + byte) % P
+        return h
+
+    for i, t in texts:
+        assert got[i] == twin(t)
+    assert got[0] == got[2] != got[3]
