@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: documents@sf0.001 → synthetic pages (html
+wrapping each doc + deterministic hrefs) → extraction front end
+(byte-identical text invariant) → url dictionary → edge DataFrame →
+PageRank to 1e-6 → top-20 ranked urls.
+
+``queries()`` / ``oracle_sql()`` — the operator catalog from SURVEY.md §2
+with DuckDB twins; see linkgraph/queries.py.  Entries without an oracle
+(simhash, doc_fingerprint, lsh_ann) are intentionally rows-only:
+bit/byte-loop/hyperplane math has no clean SQL twin; their correctness is
+pinned by pytest oracles instead (tests/test_dedup.py, test_quality.py,
+test_ann.py).
 """
 
 from __future__ import annotations
@@ -12,27 +18,82 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from linkgraph.algorithms.pagerank import pagerank
+    from linkgraph.dictionary import edges_from_url_pairs, encode_urls
+    from linkgraph.extract import pages_to_edge_urls
+    from linkgraph.graph import Graph
+    from linkgraph.queries import EDGE_SQL
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+
+    # Deterministic pages: html wraps each doc's text plus one <a href>
+    # per derived edge (the arithmetic rule EDGE_SQL, so the extracted
+    # graph is independently re-derivable).
+    links = spark.sql(
+        f"WITH {EDGE_SQL.strip()} SELECT src, dst FROM edges"
+    ).groupBy("src").agg(F.collect_list("dst").alias("dsts"))
+    url = F.concat(F.lit("https://docs.example/d/"), F.col("doc_id"))
+    pages = (
+        docs.join(links, docs["doc_id"] == links["src"], "left")
+        .select(
+            url.alias("url"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            F.encode(
+                F.concat(
+                    F.lit("<html><head><title>D"),
+                    F.col("doc_id"),
+                    F.lit("</title></head><body><p>"),
+                    F.col("text"),
+                    F.lit("</p><p>"),
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.coalesce("dsts", F.array()),
+                            lambda d: F.concat(
+                                F.lit('<a href="https://docs.example/d/'),
+                                d,
+                                F.lit('">ref</a>'),
+                            ),
+                        ),
+                    ),
+                    F.lit("</p></body></html>"),
+                ),
+                "utf-8",
+            ).alias("html"),
+            F.col("text"),
+            F.col("lang"),
+        )
+    )
+    pairs = pages_to_edge_urls(pages)
+    urls = pairs.selectExpr("src_url as url").unionAll(
+        pairs.selectExpr("dst_url as url")
+    )
+    verts = encode_urls(urls)
+    edges = edges_from_url_pairs(pairs, verts)
+    g = Graph.from_edges(edges)
+    res = pagerank(g, tol=1e-6, max_iters=100)
+    return (
+        res.state.join(verts, "vid")
+        .select("url", F.round("rank", 6).alias("rank6"))
+        .orderBy(F.desc("rank6"), F.asc("url"))
+        .limit(20)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from linkgraph.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from linkgraph.queries import ORACLES
+
+    return dict(ORACLES)

@@ -32,12 +32,16 @@ def bfs(
     """Depth of every reachable vertex from ``source``: ``(vid, depth)``."""
     spark = graph.spark
     edges = graph.edges if directed else graph.symmetrized_edges
-    state = spark.createDataFrame([(int(source), 0)], "vid long, depth int").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # Eager localCheckpoint per superstep: the new state's plan contains
+    # the old state three times (union + anti-join + frontier filter), so
+    # without lineage truncation the plan grows 3^k (superstep.py rationale).
+    state = spark.createDataFrame(
+        [(int(source), 0)], "vid long, depth int"
+    ).localCheckpoint(eager=True)
     frontier = state.select("vid")
     history = []
     depth = 0
+    size = 1
     while depth < max_iters:
         nxt = uniquify(
             advance(frontier, edges).select(F.col("dst").alias("vid"))
@@ -45,14 +49,13 @@ def bfs(
         depth += 1
         new_state = state.unionAll(
             nxt.select("vid", F.lit(depth).cast("int").alias("depth"))
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        grew = new_state.count() - state.count()
+        ).localCheckpoint(eager=True)
+        new_size = new_state.count()
+        grew = new_size - size
         history.append({"iter": depth, "new_vertices": grew})
         if grew == 0:
-            new_state.unpersist()
             break
-        state.unpersist()
-        state = new_state
+        state, size = new_state, new_size
         frontier = state.where(F.col("depth") == depth).select("vid")
     return IterationResult(
         state=state, iterations=depth, converged=True, history=history

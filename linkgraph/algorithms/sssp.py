@@ -30,9 +30,11 @@ def sssp(
         edges = edges.withColumn("_w", F.lit(1.0))
     else:
         edges = edges.withColumn("_w", F.col(weight_col).cast("double"))
+    # Eager localCheckpoint per superstep (lineage truncation — the state
+    # appears twice in each iteration's plan; see superstep.py rationale).
     state = spark.createDataFrame(
         [(int(source), 0.0)], "vid long, dist double"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     improved = state
     history = []
     it = 0
@@ -58,7 +60,7 @@ def sssp(
                     | (F.col("cand") < F.col("dist"))
                 ).alias("_improved"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         n_improved = merged.where("_improved").count()
         history.append({"iter": it, "improved": n_improved})
@@ -67,6 +69,5 @@ def sssp(
             state = new_state
             break
         improved = merged.where("_improved").select("vid", "dist")
-        state.unpersist()
         state = new_state
     return IterationResult(state=state, iterations=it, converged=True, history=history)

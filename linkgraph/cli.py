@@ -1,0 +1,132 @@
+"""spark-submit entry point (BASELINE.json:6: "launched via spark-submit
+--py-files on multi-executor clusters").
+
+Usage::
+
+    spark-submit --py-files linkgraph.zip -m linkgraph.cli \\
+        pagerank --edges s3://bucket/edges.parquet --out /tmp/ranks \\
+        --checkpoint-dir /tmp/ck --tol 1e-6
+
+    python -m linkgraph.cli pipeline --pages pages.parquet --out /tmp/out
+
+Subcommands: pagerank | cc | labelprop | triangles | pipeline (pages →
+edges → all four primitives).  Reads/writes Parquet; Iceberg tables work
+transparently when the catalog is configured on the session
+(``--table catalog.db.pages`` style paths via ``spark.read.table``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _load(spark, path: str):
+    if "://" not in path and not path.endswith(".parquet") and "." in path.strip("/"):
+        return spark.read.table(path)  # Iceberg/catalog table name
+    return spark.read.parquet(path)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="linkgraph")
+    ap.add_argument("command", choices=["pagerank", "cc", "labelprop", "triangles", "pipeline"])
+    ap.add_argument("--edges", help="edges parquet/table (src,dst)")
+    ap.add_argument("--pages", help="pages parquet/table (url,warc_ts,html,text,lang)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=5)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--alpha", type=float, default=0.85)
+    ap.add_argument("--max-iters", type=int, default=100)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--strategy", default="join", choices=["join", "spmv"])
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from linkgraph import (
+        Graph,
+        connected_components,
+        label_propagation,
+        pagerank,
+        triangle_counts_per_vertex,
+    )
+    from linkgraph.superstep import CheckpointManager
+
+    spark = SparkSession.builder.appName(f"linkgraph-{args.command}").getOrCreate()
+    ck = (
+        CheckpointManager(spark, args.checkpoint_dir)
+        if args.checkpoint_dir
+        else None
+    )
+
+    if args.command == "pipeline":
+        if not args.pages:
+            ap.error("pipeline requires --pages")
+        from linkgraph.dictionary import edges_from_url_pairs, encode_urls
+        from linkgraph.extract import pages_to_edge_urls
+
+        pages = _load(spark, args.pages)
+        pairs = pages_to_edge_urls(pages)
+        urls = pairs.selectExpr("src_url as url").unionAll(
+            pairs.selectExpr("dst_url as url")
+        )
+        verts = encode_urls(urls, num_partitions=args.partitions)
+        verts.write.mode("overwrite").parquet(f"{args.out}/vertices.parquet")
+        edges = edges_from_url_pairs(pairs, verts)
+        edges.write.mode("overwrite").parquet(f"{args.out}/edges.parquet")
+        g = Graph.from_edges(
+            spark.read.parquet(f"{args.out}/edges.parquet"),
+            num_partitions=args.partitions,
+        )
+        t0 = time.perf_counter()
+        pr = pagerank(g, alpha=args.alpha, tol=args.tol, max_iters=args.max_iters,
+                      strategy=args.strategy, checkpoint=ck,
+                      checkpoint_every=args.checkpoint_every)
+        pr.state.write.mode("overwrite").parquet(f"{args.out}/pagerank.parquet")
+        cc = connected_components(g)
+        cc.state.write.mode("overwrite").parquet(f"{args.out}/components.parquet")
+        lp = label_propagation(g)
+        lp.state.write.mode("overwrite").parquet(f"{args.out}/labels.parquet")
+        tc = triangle_counts_per_vertex(g)
+        tc.write.mode("overwrite").parquet(f"{args.out}/triangles.parquet")
+        print(json.dumps({
+            "pages": pages.count(), "vertices": g.num_vertices,
+            "edges": g.num_edges, "pr_iters": pr.iterations,
+            "cc_iters": cc.iterations, "lp_iters": lp.iterations,
+            "wall_s": round(time.perf_counter() - t0, 2),
+        }))
+        return 0
+
+    if not args.edges:
+        ap.error(f"{args.command} requires --edges")
+    g = Graph.from_edges(_load(spark, args.edges), num_partitions=args.partitions)
+    t0 = time.perf_counter()
+    if args.command == "pagerank":
+        res = pagerank(g, alpha=args.alpha, tol=args.tol,
+                       max_iters=args.max_iters, strategy=args.strategy,
+                       checkpoint=ck, checkpoint_every=args.checkpoint_every)
+        out_df, iters, conv = res.state, res.iterations, res.converged
+    elif args.command == "cc":
+        res = connected_components(g, max_iters=args.max_iters, checkpoint=ck,
+                                   checkpoint_every=args.checkpoint_every)
+        out_df, iters, conv = res.state, res.iterations, res.converged
+    elif args.command == "labelprop":
+        res = label_propagation(g, max_iters=args.max_iters, checkpoint=ck,
+                                checkpoint_every=args.checkpoint_every)
+        out_df, iters, conv = res.state, res.iterations, res.converged
+    else:  # triangles
+        out_df, iters, conv = triangle_counts_per_vertex(g), 1, True
+    out_df.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({
+        "command": args.command, "vertices": g.num_vertices,
+        "edges": g.num_edges, "iterations": iters, "converged": conv,
+        "wall_s": round(time.perf_counter() - t0, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,683 @@
+"""Query catalog for the driver's DuckDB-oracle harness
+(__spark_entry__.py contract) and for users wanting canned queries.
+
+Each entry pairs an engine-side callable ``(spark, sf_dir) -> DataFrame``
+with an ANSI-SQL oracle string DuckDB can run over the same parquet
+tables.  Column names/aliases are kept IDENTICAL on both sides (the
+driver hash-compares values after sorting columns by name).
+
+Determinism discipline for float columns: round to a fixed precision on
+BOTH sides (sum-order noise is ~1e-15, far below the rounding quantum).
+Aggregate integer outputs are CAST to BIGINT in DuckDB (its SUM(BIGINT)
+returns HUGEINT, which would break schema parity).
+
+The graph queries run over a deterministic edge table derived from the
+``documents`` table by pure integer arithmetic (EDGE_SQL below) — the
+same SQL text evaluates in Spark SQL and DuckDB, so both engines see
+byte-identical graphs without shipping data between them.  (The
+extraction front end is exercised by ``entry()`` and the pytest golden
+tests; the arithmetic rule exists so the oracle can re-derive the graph
+without an HTML parser.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (valid in BOTH Spark SQL and DuckDB)
+# ---------------------------------------------------------------------------
+
+EDGE_SQL = """
+nn AS (SELECT COUNT(*) AS n FROM documents),
+fan AS (SELECT i FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) AS t(i)),
+base AS (
+  SELECT d.doc_id AS src,
+         CAST((d.doc_id + 1 + ((d.doc_id * 131 + f.i * 31) % (nn.n - 1))) % nn.n AS BIGINT) AS dst
+  FROM documents d CROSS JOIN nn CROSS JOIN fan f
+  WHERE f.i <= 1 + (d.doc_id % 7)
+),
+hubs AS (
+  SELECT d.doc_id AS src, CAST(d.doc_id % 5 AS BIGINT) AS dst
+  FROM documents d WHERE (d.doc_id % 10) < 3
+),
+edges AS (
+  SELECT DISTINCT src, dst
+  FROM (SELECT src, dst FROM base UNION ALL SELECT src, dst FROM hubs) u
+  WHERE src <> dst
+)
+"""
+
+SYM_SQL = """
+sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges
+  ) z
+)
+"""
+
+CANON_SQL = """
+canon AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges
+)
+"""
+
+# synthesized duplicate corpus for dedup queries (documents are all-distinct)
+DOCS2_SQL = """
+docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+def _load(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def build_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic documents-derived edge table (engine input)."""
+    _load(spark, sf_dir, "documents")
+    return spark.sql(f"WITH {EDGE_SQL.strip()} SELECT src, dst FROM edges")
+
+
+_GRAPH_CACHE: dict[str, object] = {}
+
+
+def build_graph(spark: SparkSession, sf_dir: str, num_partitions: int | None = None):
+    """Graph over the derived edges; cached per sf_dir so the many graph
+    queries in one harness run share one persisted edge DataFrame."""
+    from linkgraph.graph import Graph
+
+    key = f"{id(spark)}:{sf_dir}:{num_partitions}"
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = Graph.from_edges(
+            build_edges_df(spark, sf_dir), num_partitions=num_partitions
+        )
+    return _GRAPH_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders (DuckDB dialect where the shared subset isn't enough)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_unrolled_sql(iters: int = 10, alpha: float = 0.85) -> str:
+    """Power iteration unrolled as chained CTEs (no dangling vertices by
+    construction: every doc has outdeg ≥ 1 under EDGE_SQL)."""
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        "deg AS (SELECT src AS vid, COUNT(*) AS outdeg FROM edges GROUP BY src),",
+        "p0 AS (SELECT d.doc_id AS vid, 1.0 / nn.n AS r FROM documents d CROSS JOIN nn),",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"p{i - 1}"
+        parts.append(
+            f"""p{i} AS (
+  SELECT v.vid, {1 - alpha} / nn.n + {alpha} * COALESCE(s.m, 0.0) AS r
+  FROM {prev} v CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS vid, SUM({prev}.r / deg.outdeg) AS m
+    FROM edges e JOIN {prev} ON {prev}.vid = e.src JOIN deg ON deg.vid = e.src
+    GROUP BY e.dst
+  ) s ON s.vid = v.vid
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid, ROUND(r, 6) AS rank6 FROM p{iters} ORDER BY vid"
+    )
+    return "\n".join(parts)
+
+
+def _labelprop_unrolled_sql(iters: int = 3) -> str:
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        SYM_SQL.strip() + ",",
+        "l0 AS (SELECT doc_id AS vid, doc_id AS lab FROM documents),",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"l{i - 1}"
+        parts.append(
+            f"""l{i} AS (
+  SELECT v.vid, COALESCE(b.lab, v.lab) AS lab
+  FROM {prev} v LEFT JOIN (
+    SELECT vid, lab FROM (
+      SELECT c.vid, c.lab,
+             ROW_NUMBER() OVER (PARTITION BY c.vid ORDER BY c.cnt DESC, c.lab ASC) AS rn
+      FROM (
+        SELECT e.dst AS vid, {prev}.lab AS lab, COUNT(*) AS cnt
+        FROM sym e JOIN {prev} ON {prev}.vid = e.src
+        GROUP BY e.dst, {prev}.lab
+      ) c
+    ) rr WHERE rn = 1
+  ) b ON b.vid = v.vid
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT vid, lab AS label FROM l{iters} ORDER BY vid")
+    return "\n".join(parts)
+
+
+CC_SQL = f"""
+WITH RECURSIVE {EDGE_SQL.strip()},
+{SYM_SQL.strip()},
+reach(vid, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.m FROM reach r JOIN sym e ON e.src = r.vid
+)
+SELECT vid, MIN(m) AS comp FROM reach GROUP BY vid ORDER BY vid
+"""
+
+BFS_SQL = f"""
+WITH RECURSIVE {EDGE_SQL.strip()},
+walk(vid, d) AS (
+  SELECT CAST(0 AS BIGINT) AS vid, 0 AS d
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.vid
+  WHERE w.d < 64
+)
+SELECT vid, CAST(MIN(d) AS BIGINT) AS depth FROM walk GROUP BY vid ORDER BY vid
+"""
+
+TRI_TOTAL_SQL = f"""
+WITH {EDGE_SQL.strip()},
+{CANON_SQL.strip()}
+SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+FROM canon e1
+JOIN canon e2 ON e1.b = e2.a
+JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+TRI_PER_VERTEX_SQL = f"""
+WITH {EDGE_SQL.strip()},
+{CANON_SQL.strip()},
+tris AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM canon e1
+  JOIN canon e2 ON e1.b = e2.a
+  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT a AS vid FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+),
+verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM edges UNION ALL SELECT dst FROM edges) v)
+SELECT verts.vid, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS triangles
+FROM verts LEFT JOIN (SELECT vid, COUNT(*) AS c FROM corners GROUP BY vid) cnt
+ON cnt.vid = verts.vid ORDER BY verts.vid
+"""
+
+DEGREES_SQL = f"""
+WITH {EDGE_SQL.strip()}
+SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src ORDER BY vid
+"""
+
+EDGE_COUNT_SQL = f"""
+WITH {EDGE_SQL.strip()}
+SELECT CAST(COUNT(*) AS BIGINT) AS num_edges,
+       CAST(COUNT(DISTINCT src) AS BIGINT) AS num_sources
+FROM edges
+"""
+
+DEDUP_EXACT_SQL = f"""
+WITH {DOCS2_SQL.strip()},
+h AS (SELECT doc_id, md5(text) AS hh FROM docs2),
+g AS (SELECT hh, MIN(doc_id) AS group_id, COUNT(*) AS group_size FROM h GROUP BY hh)
+SELECT h.doc_id, CAST(g.group_id AS BIGINT) AS group_id,
+       CAST(g.group_size AS BIGINT) AS group_size
+FROM h JOIN g ON g.hh = h.hh WHERE g.group_size >= 2 ORDER BY h.doc_id
+"""
+
+# DuckDB shingles: 1-based list indexing; i ranges over 1..len-2
+_DUCK_SHINGLES = """
+toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l FROM docs2),
+pos AS (SELECT doc_id, l, unnest(range(1, greatest(len(l) - 1, 1))) AS i FROM toks),
+sh AS (
+  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+  FROM pos
+)
+"""
+
+MINHASH_SQL = f"""
+WITH {DOCS2_SQL.strip()},
+{_DUCK_SHINGLES.strip()},
+seeds AS (SELECT i AS seed FROM (VALUES (0),(1),(2),(3)) AS t(i))
+SELECT sh.doc_id, CAST(seeds.seed AS INT) AS seed,
+       MIN(md5(CAST(seeds.seed AS VARCHAR) || ':' || sh.shingle)) AS minhash
+FROM sh CROSS JOIN seeds
+GROUP BY sh.doc_id, seeds.seed ORDER BY sh.doc_id, seed
+"""
+
+JACCARD_SQL = f"""
+WITH {DOCS2_SQL.strip()},
+{_DUCK_SHINGLES.strip()},
+small AS (SELECT * FROM sh WHERE doc_id < 100),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM small GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+  FROM small x JOIN small y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT common.a, common.b,
+       ROUND(CAST(common.c AS DOUBLE) / (sa.sz + sb.sz - common.c), 6) AS jaccard6
+FROM common
+JOIN sizes sa ON sa.doc_id = common.a
+JOIN sizes sb ON sb.doc_id = common.b
+WHERE CAST(common.c AS DOUBLE) / (sa.sz + sb.sz - common.c) >= 0.05
+ORDER BY common.a, common.b
+"""
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       ROUND(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+             THEN CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '\\S+'))
+             ELSE 0.0 END, 6) AS avg_token_len6
+FROM documents ORDER BY doc_id
+"""
+
+QUALITY_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS digit_ratio
+FROM documents ORDER BY doc_id
+"""
+
+_MARKER_VALUES = ", ".join(
+    f"('{lang}', '{w}')"
+    for lang, ws in {
+        "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+        "es": ["el", "la", "de", "que", "los", "las", "una", "por", "con", "para"],
+        "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+        "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour", "qui", "pas"],
+    }.items()
+    for w in ws
+)
+
+LANGID_SQL = f"""
+WITH markers AS (SELECT lang, word FROM (VALUES {_MARKER_VALUES}) AS m(lang, word)),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, lang, COUNT(*) AS hits
+  FROM toks JOIN markers USING (word) GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang, hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang,
+       CAST(COALESCE(b.hits, 0) AS BIGINT) AS lang_hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+ANN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+SELECT q.query_id, c.vec_id,
+       ROUND(list_cosine_similarity(q.qv, c.cv), 5) AS cosine5
+FROM q CROSS JOIN c
+WHERE q.query_id <> c.vec_id
+  AND ROUND(list_cosine_similarity(q.qv, c.cv), 5) >= 0.2
+ORDER BY q.query_id, c.vec_id
+"""
+
+EVENTS_TOP_TYPE_SQL = """
+WITH cnt AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY user_id, event_type
+),
+best AS (
+  SELECT user_id, event_type, cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM cnt
+)
+SELECT user_id, event_type AS top_type, CAST(cnt AS BIGINT) AS cnt
+FROM best WHERE rn = 1 ORDER BY user_id
+"""
+
+EVENTS_LATEST_SQL = """
+WITH best AS (
+  SELECT user_id, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, ts, ROUND(value, 4) AS value4
+FROM best WHERE rn = 1 ORDER BY user_id
+"""
+
+EVENTS_DAILY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS total_value4
+FROM events GROUP BY strftime(ts, '%Y-%m-%d'), event_type ORDER BY day, event_type
+"""
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+LINEITEM_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# engine-side callables
+# ---------------------------------------------------------------------------
+
+
+def q_edge_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = build_graph(spark, sf_dir)
+    return g.edges.select(
+        F.count(F.lit(1)).alias("num_edges"),
+        F.countDistinct("src").alias("num_sources"),
+    )
+
+
+def q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = build_graph(spark, sf_dir)
+    return g.out_degrees.select("vid", F.col("outdeg").cast("long").alias("outdeg"))
+
+
+def q_pagerank10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.pagerank import pagerank
+
+    g = build_graph(spark, sf_dir)
+    res = pagerank(g, alpha=0.85, tol=0.0, max_iters=10)
+    return res.state.select("vid", F.round("rank", 6).alias("rank6"))
+
+
+def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.cc import connected_components
+
+    g = build_graph(spark, sf_dir)
+    return connected_components(g).state.select("vid", "comp")
+
+
+def q_labelprop3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.labelprop import label_propagation
+
+    g = build_graph(spark, sf_dir)
+    return label_propagation(g, max_iters=3).state.select("vid", "label")
+
+
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.bfs import bfs
+
+    g = build_graph(spark, sf_dir)
+    return bfs(g, 0).state.select("vid", F.col("depth").cast("long").alias("depth"))
+
+
+def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.triangles import triangles
+
+    g = build_graph(spark, sf_dir)
+    return triangles(g).agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def q_triangle_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.triangles import triangle_counts_per_vertex
+
+    g = build_graph(spark, sf_dir)
+    return triangle_counts_per_vertex(g).select(
+        "vid", F.col("triangles").cast("long").alias("triangles")
+    )
+
+
+def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "documents")
+    return spark.sql(f"WITH {DOCS2_SQL.strip()} SELECT doc_id, text FROM docs2")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.textops.dedup import exact_duplicates
+
+    return exact_duplicates(_docs2(spark, sf_dir)).select(
+        "doc_id", "group_id", F.col("group_size").cast("long").alias("group_size")
+    )
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.textops.dedup import minhash_signatures
+
+    return minhash_signatures(_docs2(spark, sf_dir), num_hashes=4).select(
+        "doc_id", F.col("seed").cast("int").alias("seed"), "minhash"
+    )
+
+
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.textops.dedup import jaccard_pairs
+
+    docs = _docs2(spark, sf_dir).where(F.col("doc_id") < 100)
+    return jaccard_pairs(docs, threshold=0.05, max_df=None).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard6")
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.textops.quality import token_counts
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    return token_counts(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        F.round("avg_token_len", 6).alias("avg_token_len6"),
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.textops.quality import quality_scores
+
+    _load(spark, sf_dir, "documents")
+    return quality_scores(spark.table("documents")).select(
+        "doc_id", "n_tokens", "punct_ratio", "digit_ratio"
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.textops.quality import language_id
+
+    _load(spark, sf_dir, "documents")
+    return language_id(spark.table("documents")).select(
+        "doc_id", "pred_lang", F.col("lang_hits").cast("long").alias("lang_hits")
+    )
+
+
+def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.textops.ann import cosine_topk
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    scored = cosine_topk(emb, queries, k=1_000_000_000)
+    return scored.select(
+        "query_id", "vec_id", F.round("cosine", 5).alias("cosine5")
+    ).where(F.col("cosine5") >= 0.2)
+
+
+def q_events_top_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    _load(spark, sf_dir, "events")
+    cnt = (
+        spark.table("events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", F.col("event_type").alias("top_type"), "cnt")
+    )
+
+
+def q_events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        spark.table("events")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "event_id", "ts", F.round("value", 4).alias("value4"))
+    )
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "events")
+    return (
+        spark.table("events")
+        .groupBy(
+            F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value4"),
+        )
+    )
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "events")
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.get_json_object("props", "$.k").cast("long")
+            ).alias("k_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "lineitem")
+    li = spark.table("lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (bit manipulation has no clean SQL twin)."""
+    from linkgraph.textops.dedup import simhash64
+
+    return simhash64(_docs2(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (byte-loop rolling hash has no SQL twin)."""
+    from linkgraph.textops.quality import doc_fingerprint
+
+    _load(spark, sf_dir, "documents")
+    return doc_fingerprint(spark.table("documents"))
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (seeded hyperplane LSH is engine-internal; its
+    recall vs the exact baseline is pinned by tests/test_ann.py)."""
+    from linkgraph.textops.ann import lsh_cosine_topk
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_cosine_topk(emb, queries, dim=dim, k=10)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "edge_build": q_edge_build,
+    "degrees": q_degrees,
+    "pagerank10": q_pagerank10,
+    "connected_components": q_cc,
+    "labelprop3": q_labelprop3,
+    "bfs_depths": q_bfs,
+    "triangle_total": q_triangle_total,
+    "triangle_per_vertex": q_triangle_per_vertex,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash,
+    "ngram_jaccard": q_jaccard,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality,
+    "language_id": q_langid,
+    "ann_cosine": q_ann,
+    "events_top_type": q_events_top_type,
+    "events_latest": q_events_latest,
+    "events_daily": q_events_daily,
+    "events_json": q_events_json,
+    "lineitem_pricing": q_lineitem_pricing,
+    "simhash": q_simhash,
+    "doc_fingerprint": q_fingerprint,
+    "lsh_ann": q_lsh_ann,
+}
+
+ORACLES: dict[str, str] = {
+    "edge_build": f"WITH {EDGE_SQL.strip()} SELECT CAST(COUNT(*) AS BIGINT) AS num_edges, CAST(COUNT(DISTINCT src) AS BIGINT) AS num_sources FROM edges",
+    "degrees": DEGREES_SQL,
+    "pagerank10": _pagerank_unrolled_sql(10, 0.85),
+    "connected_components": CC_SQL,
+    "labelprop3": _labelprop_unrolled_sql(3),
+    "bfs_depths": BFS_SQL,
+    "triangle_total": TRI_TOTAL_SQL,
+    "triangle_per_vertex": TRI_PER_VERTEX_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "minhash_signatures": MINHASH_SQL,
+    "ngram_jaccard": JACCARD_SQL,
+    "token_stats": TOKEN_STATS_SQL,
+    "quality_scores": QUALITY_SQL,
+    "language_id": LANGID_SQL,
+    "ann_cosine": ANN_SQL,
+    "events_top_type": EVENTS_TOP_TYPE_SQL,
+    "events_latest": EVENTS_LATEST_SQL,
+    "events_daily": EVENTS_DAILY_SQL,
+    "events_json": EVENTS_JSON_SQL,
+    "lineitem_pricing": LINEITEM_PRICING_SQL,
+    # simhash / doc_fingerprint / lsh_ann: intentionally no oracle →
+    # rows-only check (non-SQL-expressible bit/byte/hyperplane math)
+}

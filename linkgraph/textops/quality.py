@@ -36,10 +36,7 @@ def token_counts(
     same ``length``-difference formulation so the two engines agree on
     edge cases (consecutive whitespace, leading/trailing).
     """
-    t = F.trim(F.col(text_col))
-    n_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, r"\s+"))
-    )
+    n_tokens = F.regexp_count(F.col(text_col), F.lit(r"\S+"))
     n_chars = F.length(F.col(text_col))
     return df.select(
         F.col(id_col),
@@ -65,9 +62,7 @@ def quality_scores(
     n_chars = F.length(t)
     nz = F.greatest(n_chars, F.lit(1)).cast("double")
     trimmed = F.trim(t)
-    n_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
-    ).cast("long")
+    n_tokens = F.regexp_count(t, F.lit(r"\S+")).cast("long")
     punct = (
         n_chars - F.length(F.regexp_replace(t, r"[.,;:!?'\"()\[\]{}-]", ""))
     ).cast("double") / nz
@@ -104,10 +99,11 @@ def language_id(
     """Heuristic language ID: ``(doc_id, pred_lang, lang_hits)``.
 
     Tokenize, count marker-word hits per language, argmax with
-    deterministic tie-break (fewest hits wins to 'und'?? no — max hits,
-    ties broken by language code ascending); zero hits → 'und'.
-    Implementation is an explode + broadcast-join against the tiny marker
-    table + hash agg + struct-max argmax — linear, skew-free.
+    deterministic tie-break (max hits, ties broken by language code
+    ascending); zero hits → 'und'.  Implementation is an explode +
+    broadcast-join against the tiny marker table + hash agg + a
+    row_number window (partitions are ≤ |languages| rows per doc, so the
+    window is skew-free by construction).
     """
     spark = df.sparkSession
     markers = spark.createDataFrame(
@@ -134,15 +130,16 @@ def language_id(
         .groupBy(id_col, "lang")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("hits"), F.asc("lang"))
     best = (
-        hits.groupBy(id_col)
-        .agg(
-            F.max(F.struct(F.col("hits"), F.col("lang"))).alias("m")
-        )
+        hits.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
         .select(
             F.col(id_col),
-            F.col("m.lang").alias("pred_lang"),
-            F.col("m.hits").alias("lang_hits"),
+            F.col("lang").alias("pred_lang"),
+            F.col("hits").alias("lang_hits"),
         )
     )
     return df.select(id_col).join(best, id_col, "left").select(

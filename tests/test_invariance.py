@@ -1,0 +1,78 @@
+"""Parallelism invariance (SURVEY.md §5.2.5): identical results at
+different core counts / partition counts — guards reduction-order and
+partitioning-dependence bugs.
+
+Different SparkSessions can't coexist in one JVM, so the cross-master
+check runs the CLI in subprocesses (which also exercises the
+spark-submit surface, SURVEY.md §7 M5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import edges_df
+from linkgraph.algorithms.cc import connected_components
+from linkgraph.algorithms.labelprop import label_propagation
+from linkgraph.algorithms.pagerank import pagerank
+from linkgraph.fixtures import synthetic_crawl
+from linkgraph.graph import Graph
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_partition_count_invariance_in_session(spark):
+    """Same session, different partition counts → identical CC/LP, PR close."""
+    edges = synthetic_crawl(300)
+    g2 = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
+    g8 = Graph.from_edges(edges_df(spark, edges), num_partitions=8)
+
+    cc2 = {r.vid: r.comp for r in connected_components(g2).state.collect()}
+    cc8 = {r.vid: r.comp for r in connected_components(g8).state.collect()}
+    assert cc2 == cc8
+
+    lp2 = {r.vid: r.label for r in label_propagation(g2, max_iters=8).state.collect()}
+    lp8 = {r.vid: r.label for r in label_propagation(g8, max_iters=8).state.collect()}
+    assert lp2 == lp8
+
+    pr2 = {r.vid: r.rank for r in pagerank(g2, tol=1e-6).state.collect()}
+    pr8 = {r.vid: r.rank for r in pagerank(g8, tol=1e-6).state.collect()}
+    assert set(pr2) == set(pr8)
+    assert max(abs(pr2[v] - pr8[v]) for v in pr2) < 1e-9
+
+
+@pytest.mark.slow
+def test_cross_master_invariance(tmp_path):
+    """local[2] vs local[8] via the CLI — byte-stable CC, allclose PR."""
+    edges = synthetic_crawl(200)
+    import pandas as pd
+
+    edges_path = str(tmp_path / "edges.parquet")
+    pd.DataFrame({"src": edges[:, 0], "dst": edges[:, 1]}).to_parquet(edges_path)
+
+    outs = {}
+    for cores in (2, 8):
+        out = str(tmp_path / f"pr{cores}")
+        env = dict(
+            os.environ,
+            PYTHONPATH=REPO,
+            PYSPARK_SUBMIT_ARGS=f"--master local[{cores}] --conf spark.sql.shuffle.partitions={cores} --conf spark.ui.enabled=false pyspark-shell",
+        )
+        r = subprocess.run(
+            [sys.executable, "-m", "linkgraph.cli", "pagerank",
+             "--edges", edges_path, "--out", out, "--tol", "1e-6"],
+            capture_output=True, text=True, env=env, timeout=480, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[cores] = out
+
+    df2 = pd.read_parquet(outs[2]).set_index("vid").sort_index()
+    df8 = pd.read_parquet(outs[8]).set_index("vid").sort_index()
+    assert list(df2.index) == list(df8.index)
+    np.testing.assert_allclose(df2["rank"], df8["rank"], atol=1e-9)

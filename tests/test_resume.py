@@ -1,0 +1,82 @@
+"""Checkpoint/resume mid-convergence (BASELINE.json:6; SURVEY.md §5.2.4).
+
+Simulated crash: run k iterations with a checkpoint dir, stop, relaunch
+with the same dir — the run must resume from the last durable epoch and
+finish with results identical to an uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from conftest import edges_df
+from linkgraph.algorithms.cc import connected_components
+from linkgraph.algorithms.pagerank import pagerank
+from linkgraph.fixtures import chesapeake_edges
+from linkgraph.graph import Graph
+from linkgraph.superstep import CheckpointManager
+
+
+def test_pagerank_resume(spark, tmp_path, chesapeake_graph):
+    g = chesapeake_graph
+    full = pagerank(g, tol=1e-6)
+    want = {r.vid: r.rank for r in full.state.collect()}
+
+    ckdir = str(tmp_path / "pr_ck")
+    # phase 1: "crash" after 7 iterations (checkpoint_every=3 → last
+    # durable epoch is 6)
+    ck1 = CheckpointManager(spark, ckdir)
+    part = pagerank(g, tol=1e-6, max_iters=7, checkpoint=ck1, checkpoint_every=3)
+    assert not part.converged
+    found = ck1.latest()
+    assert found is not None and found[0] in (6, 7)
+
+    # phase 2: fresh manager, same dir — resumes and converges
+    ck2 = CheckpointManager(spark, ckdir)
+    res = pagerank(g, tol=1e-6, checkpoint=ck2, checkpoint_every=3)
+    assert res.converged
+    assert res.iterations == full.iterations  # same trajectory
+    got = {r.vid: r.rank for r in res.state.collect()}
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
+
+    # metrics + manifests exist (per-partition lineage sidecar)
+    assert os.path.exists(os.path.join(ckdir, "metrics.jsonl"))
+    epochs = [d for d in os.listdir(ckdir) if d.startswith("epoch=")]
+    assert epochs
+    mf = json.load(
+        open(os.path.join(ckdir, sorted(epochs)[-1], "_manifest.json"))
+    )
+    assert mf["complete"] and mf["partitions"]
+
+
+def test_cc_resume_exact(spark, tmp_path):
+    edges = chesapeake_edges()
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+    want = {r.vid: r.comp for r in connected_components(g).state.collect()}
+
+    ckdir = str(tmp_path / "cc_ck")
+    connected_components(
+        g, max_iters=2, checkpoint=CheckpointManager(spark, ckdir), checkpoint_every=1
+    )
+    res = connected_components(
+        g, checkpoint=CheckpointManager(spark, ckdir), checkpoint_every=1
+    )
+    got = {r.vid: r.comp for r in res.state.collect()}
+    assert got == want
+
+
+def test_resume_ignores_incomplete_epoch(spark, tmp_path):
+    ckdir = str(tmp_path / "bad_ck")
+    g = Graph.from_edges(edges_df(spark, chesapeake_edges()), num_partitions=4)
+    ck = CheckpointManager(spark, ckdir)
+    pagerank(g, tol=1e-6, max_iters=4, checkpoint=ck, checkpoint_every=2)
+    # corrupt the newest epoch: delete its manifest (simulates crash mid-write)
+    epochs = sorted(d for d in os.listdir(ckdir) if d.startswith("epoch="))
+    os.remove(os.path.join(ckdir, epochs[-1], "_manifest.json"))
+    found = CheckpointManager(spark, ckdir).latest()
+    assert found is not None
+    assert found[0] == int(epochs[-2].split("=")[1])
