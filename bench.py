@@ -28,7 +28,16 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-TARGET_EDGES = int(os.environ.get("LINKGRAPH_BENCH_EDGES", "10000000"))
+# Scaling measurement graph: large enough that per-superstep parallel
+# compute dominates the ~1s fixed driver/scheduling cost per iteration
+# (at 10^7 edges the fixed cost caps measurable speedup at ~1.5×
+# regardless of how well the plan scales; at 10^8 the parallel fraction
+# is >90% and the N→4N criterion actually measures the engine).
+TARGET_EDGES = int(os.environ.get("LINKGRAPH_BENCH_EDGES", "100000000"))
+# Extras (converged PR / CC / TC / sf-graph) run once at the high level on
+# a smaller graph — they are operator-coverage timings, not the scaling
+# criterion.
+EXTRAS_EDGES = int(os.environ.get("LINKGRAPH_EXTRAS_EDGES", "10000000"))
 FIXED_ITERS = int(os.environ.get("LINKGRAPH_BENCH_ITERS", "10"))
 WORK_DIR = os.environ.get("LINKGRAPH_BENCH_DIR", "/tmp/linkgraph_bench")
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -71,7 +80,9 @@ def build_crawl_parquet(path: str, target_edges: int) -> int:
     return len(edges)
 
 
-def run_level(cores: int, edges_path: str, include_extras: bool) -> dict:
+def run_level(
+    cores: int, edges_path: str, include_extras: bool, extras_path: str | None = None
+) -> dict:
     sys.path.insert(0, REPO)
     from linkgraph.session import get_spark
     from linkgraph.graph import Graph
@@ -80,16 +91,21 @@ def run_level(cores: int, edges_path: str, include_extras: bool) -> dict:
     from linkgraph.algorithms.triangles import triangle_count
 
     out: dict = {"cores": cores}
+    # IDENTICAL job at every parallelism level: partition count is fixed
+    # to 2× the HIGH level's cores, so the low level runs the same tasks
+    # in more waves (the N→4N executor experiment on a real cluster keeps
+    # the dataset partitioning fixed and adds executors — same here).
+    parts = CPUS * 2
     spark = get_spark(
         master=f"local[{cores}]",
         app_name=f"linkgraph-bench-{cores}",
-        shuffle_partitions=cores * 2,
+        shuffle_partitions=parts,
         extra_conf={"spark.driver.memory": "48g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.perf_counter()
-    g = Graph.from_edges(spark.read.parquet(edges_path), num_partitions=cores * 2)
+    g = Graph.from_edges(spark.read.parquet(edges_path), num_partitions=parts)
     e, v = g.num_edges, g.num_vertices
     out["graph_build_s"] = round(time.perf_counter() - t0, 2)
     out["edges"], out["vertices"] = e, v
@@ -105,22 +121,30 @@ def run_level(cores: int, edges_path: str, include_extras: bool) -> dict:
     out["edges_per_sec"] = round(FIXED_ITERS * e / dt, 0)
 
     if include_extras:
+        gx = g
+        if extras_path is not None and extras_path != edges_path:
+            g.unpersist()
+            gx = Graph.from_edges(
+                spark.read.parquet(extras_path), num_partitions=cores * 2
+            )
+            out["extras_edges"] = gx.num_edges
+
         t0 = time.perf_counter()
-        res = pagerank(g, tol=1e-6, max_iters=100)
+        res = pagerank(gx, tol=1e-6, max_iters=100)
         out["pr_converged_s"] = round(time.perf_counter() - t0, 2)
         out["pr_converged_iters"] = res.iterations
 
         t0 = time.perf_counter()
-        pagerank(g, tol=0.0, max_iters=FIXED_ITERS, strategy="spmv")
+        pagerank(gx, tol=0.0, max_iters=FIXED_ITERS, strategy="spmv")
         out["pr_spmv_fixed_s"] = round(time.perf_counter() - t0, 2)
 
         t0 = time.perf_counter()
-        cc = connected_components(g)
+        cc = connected_components(gx)
         out["cc_s"] = round(time.perf_counter() - t0, 2)
         out["cc_iters"] = cc.iterations
 
         t0 = time.perf_counter()
-        out["triangles"] = triangle_count(g)
+        out["triangles"] = triangle_count(gx)
         out["tc_s"] = round(time.perf_counter() - t0, 2)
 
         # sf-dir documents-derived graph (ties bench to SPARK_GRAFT_SF_DIR)
@@ -141,7 +165,13 @@ def main() -> int:
         cores = int(sys.argv[i + 1])
         edges_path = sys.argv[sys.argv.index("--edges-path") + 1]
         extras = "--extras" in sys.argv
-        print("LEVELJSON:" + json.dumps(run_level(cores, edges_path, extras)))
+        extras_path = None
+        if "--extras-path" in sys.argv:
+            extras_path = sys.argv[sys.argv.index("--extras-path") + 1]
+        print(
+            "LEVELJSON:"
+            + json.dumps(run_level(cores, edges_path, extras, extras_path))
+        )
         return 0
 
     os.makedirs(WORK_DIR, exist_ok=True)
@@ -149,6 +179,9 @@ def main() -> int:
     edges_path = os.path.join(WORK_DIR, f"crawl_{TARGET_EDGES}.parquet")
     if not os.path.exists(edges_path):
         build_crawl_parquet(edges_path, TARGET_EDGES)
+    extras_path = os.path.join(WORK_DIR, f"crawl_{EXTRAS_EDGES}.parquet")
+    if not os.path.exists(extras_path):
+        build_crawl_parquet(extras_path, EXTRAS_EDGES)
 
     low_cores = int(os.environ.get("LINKGRAPH_BENCH_LOW_CORES", "8"))
     levels = {}
@@ -156,10 +189,11 @@ def main() -> int:
         cmd = [
             sys.executable, os.path.abspath(__file__),
             "--level", str(cores), "--edges-path", edges_path,
+            "--extras-path", extras_path,
         ] + (["--extras"] if extras else [])
         r = subprocess.run(
             cmd, capture_output=True, text=True, cwd=REPO,
-            env=dict(os.environ, PYTHONPATH=REPO), timeout=3000,
+            env=dict(os.environ, PYTHONPATH=REPO), timeout=5400,
         )
         line = next(
             (l for l in r.stdout.splitlines() if l.startswith("LEVELJSON:")),
@@ -203,10 +237,12 @@ def main() -> int:
 
     md = f"""# BENCH/BASELINE.md — measured numbers (deterministic crawl, seed=42)
 
-Input: synthetic web crawl, {hi['edges']:,} edges / {hi['vertices']:,} vertices
-(Zipf out-degrees, hub skew, 5% dangling — FIXTURES.md F1), identical
-Parquet bytes fed to both levels.  AQE on, Arrow on,
-shuffle_partitions = 2×cores.  PageRank α=0.85, probability form.
+Scaling input: synthetic web crawl, {hi['edges']:,} edges /
+{hi['vertices']:,} vertices (Zipf out-degrees, hub skew, 5% dangling —
+FIXTURES.md F1), identical Parquet bytes fed to both levels; partition
+count fixed at 2×{CPUS} for BOTH levels (same job, more/fewer cores —
+the N→4N executor experiment).  AQE on, Arrow on.  PageRank α=0.85,
+probability form.  Extras graph: {hi.get('extras_edges', hi['edges']):,} edges.
 
 | metric | local[{low_cores}] | local[{CPUS}] |
 |---|---|---|

@@ -75,6 +75,12 @@ from linkgraph.algorithms.labelprop import label_propagation
 from linkgraph.algorithms.triangles import triangle_count, triangle_counts_per_vertex
 from linkgraph.algorithms.bfs import bfs
 from linkgraph.algorithms.sssp import sssp
+from linkgraph.algorithms.ppr import personalized_pagerank
+from linkgraph.algorithms.hits import hits
+from linkgraph.algorithms.kcore import k_core
+from linkgraph.algorithms.coloring import jpl_coloring
+from linkgraph.algorithms.spgemm import spgemm, square_counts
+from linkgraph.algorithms.bc import betweenness_centrality
 
 __all__ = [
     "Graph",
@@ -85,6 +91,13 @@ __all__ = [
     "triangle_counts_per_vertex",
     "bfs",
     "sssp",
+    "personalized_pagerank",
+    "hits",
+    "k_core",
+    "jpl_coloring",
+    "spgemm",
+    "square_counts",
+    "betweenness_centrality",
 ]
 
 __version__ = "0.1.0"

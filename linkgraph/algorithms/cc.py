@@ -38,7 +38,7 @@ from linkgraph.superstep import (
 def connected_components(
     graph: Graph,
     max_iters: int = 200,
-    salted: bool = True,
+    salted: bool = False,
     pointer_jumping: bool = False,
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 10,
@@ -58,7 +58,7 @@ def connected_components(
             salted=salted,
         )
         merged = F.least("comp", F.coalesce("min_in", F.col("comp")))
-        new = state.join(min_in, "vid", "left").select(
+        new = state.join(min_in.hint("merge"), "vid", "left").select(
             "vid",
             merged.alias("comp"),
             (merged != F.col("comp")).alias("_changed"),

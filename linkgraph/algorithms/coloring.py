@@ -1,0 +1,97 @@
+"""Graph coloring — Jones–Plassmann–Luby independent sets (reference A9,
+[ref: include/gunrock/algorithms/color.hxx — UNVERIFIED]; SURVEY.md §2.3
+A9: "iterative join + max-hash filter").
+
+Each round, every uncolored vertex with a hash-priority strictly greater
+than all of its uncolored neighbors joins the round's independent set and
+takes the round number as its color.  Priorities are a seeded xxhash64 of
+the vertex id — deterministic across runs/partitionings, so the coloring
+is replay-stable (ties broken by vid, which the strict > on (hash, vid)
+pairs makes impossible anyway).
+
+Guarantees: adjacent vertices never share a color (each color class is an
+independent set by construction); every vertex is colored in ≤ Δ+1 rounds
+whp (expected O(log V) rounds).  The palette is not minimal — same as the
+reference's JPL.
+
+State ``(vid, color)`` with color NULL while uncolored; each superstep:
+
+    u = uncolored(state)                           (filter O2)
+    nbr_max = neighbor_reduce(max (hash,vid) over uncolored neighbors)
+    winners = u where own (hash,vid) > nbr_max     (or no uncolored nbr)
+
+Only uncolored vertices flow through the join; the frontier shrinks
+geometrically, so late rounds are nearly free (the reference's shrinking
+frontier, O9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+from linkgraph.superstep import IterationResult, iterate
+
+
+def _priority(col: str = "vid", seed: int = 42):
+    # strictly totally ordered per vertex: (hash, vid) packed by struct
+    return F.struct(
+        F.xxhash64(F.col(col), F.lit(seed)).alias("h"),
+        F.col(col).alias("v"),
+    )
+
+
+def jpl_coloring(
+    graph: Graph, seed: int = 42, max_iters: int = 500
+) -> IterationResult:
+    """Color all vertices: state ``(vid, color)``, colors in [0, rounds)."""
+    sym = graph.symmetrized_edges
+    init = graph.vertices.select(
+        "vid", F.lit(None).cast("int").alias("color")
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        unc = state.where(F.col("color").isNull()).select("vid")
+        # gather: max priority among each vertex's UNCOLORED neighbors
+        active_edges = sym.join(
+            unc.withColumnRenamed("vid", "src"), "src", "left_semi"
+        ).join(unc.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+        nbr_max = (
+            active_edges.select(
+                F.col("dst").alias("vid"), _priority("src", seed).alias("p")
+            )
+            .groupBy("vid")
+            .agg(F.max("p").alias("nbr_max"))
+        )
+        winners = (
+            unc.join(nbr_max, "vid", "left")
+            .where(
+                F.col("nbr_max").isNull()
+                | (_priority("vid", seed) > F.col("nbr_max"))
+            )
+            .select("vid", F.lit(i).cast("int").alias("new_color"))
+        )
+        return (
+            state.join(winners, "vid", "left")
+            .select(
+                "vid",
+                F.coalesce("color", "new_color").alias("color"),
+                (
+                    F.col("color").isNull() & F.col("new_color").isNull()
+                ).cast("long").alias("_uncolored"),
+            )
+        )
+
+    def stats_fn(old: DataFrame, new: DataFrame) -> DataFrame:
+        return new.agg(F.sum("_uncolored").alias("uncolored"))
+
+    result = iterate(
+        init,
+        step,
+        stats_fn=stats_fn,
+        converged=lambda s: (s.get("uncolored") or 0) == 0,
+        max_iters=max_iters,
+    )
+    result.state = result.state.select("vid", "color")
+    return result

@@ -48,8 +48,11 @@ def label_propagation(
 
     def step(state: DataFrame, i: int) -> DataFrame:
         # gather neighbor labels: edges(src,dst) ⋈ state on src → (dst, label)
+        # merge hint: |V|-sized co-partitioned side must not be broadcast
+        # (per-superstep broadcast build is serial — neighbor_reduce.py)
         gathered = sym.join(
-            state.select(F.col("vid").alias("src"), "label"), "src"
+            state.select(F.col("vid").alias("src"), "label").hint("merge"),
+            "src",
         ).select("dst", "label")
         counts = gathered.groupBy("dst", "label").agg(
             F.count(F.lit(1)).alias("cnt")
@@ -74,7 +77,7 @@ def label_propagation(
                 )
             )
         upd = F.coalesce("new_label", "label")
-        return state.join(best, "vid", "left").select(
+        return state.join(best.hint("merge"), "vid", "left").select(
             "vid",
             upd.alias("label"),
             (upd != F.col("label")).alias("_changed"),

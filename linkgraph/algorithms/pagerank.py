@@ -18,10 +18,14 @@ Superstep dataflow (SURVEY.md §3.2)::
 
 Physical properties at scale:
 
-- the gather join reuses the graph's persisted HashPartitioning(src, P):
-  only the |V|-sized contrib side shuffles each iteration, never |E| edges;
-- the reduce-by-dst is salted (two-phase) so hub pages with 10^8 in-links
-  don't serialize one reducer (BASELINE.json:6);
+- the gather join reuses the graph's persisted HashPartitioning(src, P)
+  AND the superstep runtime's co-partitioned state (hash(vid, P)), so it
+  is exchange-free — the one real shuffle per superstep is the
+  reduce-by-dst of map-side-combined partials;
+- hub-page skew (10^8 in-links) is absorbed by partial aggregation (each
+  hub receives ≤1 row per map partition); ``salted=True`` switches to the
+  explicit two-phase salted reduce (operators/neighbor_reduce.py), needed
+  only for non-decomposable aggregations;
 - strategy="spmv" replaces join+agg with the per-partition CSR
   gather-scatter pandas UDF (linkgraph/csr.py) — one Arrow pass per
   superstep emitting pre-combined (dst, partial) rows.
@@ -42,7 +46,7 @@ def pagerank(
     alpha: float = 0.85,
     tol: float = 1e-6,
     max_iters: int = 100,
-    salted: bool = True,
+    salted: bool = False,
     salt_buckets: int = 32,
     strategy: str = "join",
     checkpoint: CheckpointManager | None = None,
@@ -101,7 +105,7 @@ def pagerank(
         new_rank = F.lit((1.0 - alpha) / n) + alpha * (
             F.coalesce(F.col("msum"), F.lit(0.0)) + F.lit(dangling / n)
         )
-        return state.join(sums, "vid", "left").select(
+        return state.join(sums.hint("merge"), "vid", "left").select(
             "vid",
             new_rank.alias("rank"),
             "outdeg",

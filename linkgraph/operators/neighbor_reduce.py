@@ -69,7 +69,7 @@ def neighbor_reduce(
     value: Column,
     op: str = "sum",
     out: str = "agg",
-    salted: bool = True,
+    salted: bool = False,
     salt_buckets: int = 32,
 ) -> DataFrame:
     """Gather `state` along edges and reduce per destination vertex.
@@ -79,11 +79,32 @@ def neighbor_reduce(
     reduced per ``dst`` (the scatter+reduce).  This is one PageRank/CC
     superstep's dataflow core (SURVEY.md §2.3 A1/A2).
 
-    The join shuffles only the |V|-sized state side when ``edges`` is the
-    graph's persisted hash-partitioned DataFrame.
+    The join is exchange-free when ``edges`` is the graph's persisted
+    hash-partitioned DataFrame and ``state`` is the superstep runtime's
+    co-partitioned generation (superstep.py).
+
+    **Skew note (measured at 10^7 edges, SURVEY.md §4.3 revised).**  For
+    the decomposable ops here (sum/min/max/count) Spark's partial (map-
+    side) hash aggregation ALREADY bounds each hot destination at ≤1 row
+    per map partition entering the shuffle — a 10^8-in-link hub page emits
+    at most P partial rows, so the final reduce is never hot and
+    ``salted=True`` only adds a second full |V|-shuffle (two-phase agg ≡
+    what partial+final already does).  Salting remains available — and
+    necessary — for NON-decomposable aggregations (exact distinct,
+    collect_list, percentile) where no map-side combine exists; the
+    explicit :func:`salted_agg` is the engine's operator for those.
     """
+    # hint("merge"): the state side is |V|-sized and co-partitioned with
+    # the persisted edges (hash(vid,P) == hash(src,P)), so a sort-merge
+    # join here is EXCHANGE-FREE and (both sides pre-sorted) SORT-FREE.
+    # Without the hint Catalyst broadcasts any state under the threshold —
+    # a per-superstep serial driver collect + hash-relation build that
+    # measured 10× the cost of the streaming join at 10^7 edges and
+    # destroys N→4N scaling (broadcast build time doesn't parallelize).
     gathered = edges.join(
-        state.withColumnRenamed("vid", "src"), on="src", how="inner"
+        state.withColumnRenamed("vid", "src").hint("merge"),
+        on="src",
+        how="inner",
     )
     msgs = gathered.select(F.col("dst"), value.alias("_v"))
     if salted:

@@ -166,6 +166,101 @@ def _labelprop_unrolled_sql(iters: int = 3) -> str:
     return "\n".join(parts)
 
 
+def _ppr_unrolled_sql(
+    iters: int = 10, alpha: float = 0.85, seeds: tuple[int, ...] = (0, 1, 2)
+) -> str:
+    """Personalized PR unrolled (teleport uniform over seeds; the derived
+    graph has no dangling vertices, so no dangling term)."""
+    seed_list = ", ".join(str(s) for s in seeds)
+    t = f"(CASE WHEN vid IN ({seed_list}) THEN 1.0/{len(seeds)} ELSE 0.0 END)"
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM edges UNION ALL SELECT dst FROM edges) t),",
+        "deg AS (SELECT src AS vid, COUNT(*) AS outdeg FROM edges GROUP BY src),",
+        f"p0 AS (SELECT vid, {t} AS r FROM verts),",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"p{i - 1}"
+        parts.append(
+            f"""p{i} AS (
+  SELECT v.vid, {1 - alpha} * {t.replace('vid', 'v.vid')} + {alpha} * COALESCE(s.m, 0.0) AS r
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, SUM({prev}.r / deg.outdeg) AS m
+    FROM edges e JOIN {prev} ON {prev}.vid = e.src JOIN deg ON deg.vid = e.src
+    GROUP BY e.dst
+  ) s ON s.vid = v.vid
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT vid, ROUND(r, 6) AS rank6 FROM p{iters} ORDER BY vid")
+    return "\n".join(parts)
+
+
+def _hits_unrolled_sql(iters: int = 5) -> str:
+    """HITS unrolled: auth from old hubs, L2-normalize, hubs from new
+    auths, L2-normalize — the exact engine/oracle ordering."""
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM edges UNION ALL SELECT dst FROM edges) t),",
+        "h0 AS (SELECT vid, 1.0 AS h FROM verts),",
+    ]
+    for i in range(1, iters + 1):
+        hp = f"h{i - 1}"
+        parts.append(
+            f"""ar{i} AS (
+  SELECT v.vid, COALESCE(s.x, 0.0) AS a FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, SUM({hp}.h) AS x FROM edges e JOIN {hp} ON {hp}.vid = e.src GROUP BY e.dst
+  ) s ON s.vid = v.vid
+),
+an{i} AS (SELECT sqrt(SUM(a * a)) AS n FROM ar{i}),
+a{i} AS (SELECT vid, CASE WHEN n > 0 THEN a / n ELSE a END AS a FROM ar{i} CROSS JOIN an{i}),
+hr{i} AS (
+  SELECT v.vid, COALESCE(s.x, 0.0) AS h FROM verts v LEFT JOIN (
+    SELECT e.src AS vid, SUM(a{i}.a) AS x FROM edges e JOIN a{i} ON a{i}.vid = e.dst GROUP BY e.src
+  ) s ON s.vid = v.vid
+),
+hn{i} AS (SELECT sqrt(SUM(h * h)) AS n FROM hr{i}),
+h{i} AS (SELECT vid, CASE WHEN n > 0 THEN h / n ELSE h END AS h FROM hr{i} CROSS JOIN hn{i}),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT h{iters}.vid, ROUND(h{iters}.h, 6) AS hub6, ROUND(a{iters}.a, 6) AS auth6 "
+        f"FROM h{iters} JOIN a{iters} ON a{iters}.vid = h{iters}.vid ORDER BY h{iters}.vid"
+    )
+    return "\n".join(parts)
+
+
+def _kcore_peel_sql(k: int = 3, rounds: int = 8) -> str:
+    """Fixed-round peel (deterministic partial peel, twin of
+    k_core_peel_rounds — both sides run exactly ``rounds`` rounds)."""
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        SYM_SQL.strip() + ",",
+        f"a0 AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src HAVING COUNT(*) >= {k}),",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"a{i - 1}"
+        parts.append(
+            f"""a{i} AS (
+  SELECT e.src AS vid, COUNT(*) AS deg FROM sym e
+  JOIN {prev} x ON x.vid = e.src JOIN {prev} y ON y.vid = e.dst
+  GROUP BY e.src HAVING COUNT(*) >= {k}
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid, CAST(deg AS BIGINT) AS deg FROM a{rounds} ORDER BY vid"
+    )
+    return "\n".join(parts)
+
+
+SPGEMM_SQUARE_SQL = f"""
+WITH {EDGE_SQL.strip()}
+SELECT a.src AS row, b.dst AS col, CAST(COUNT(*) AS BIGINT) AS paths2
+FROM edges a JOIN edges b ON a.dst = b.src
+GROUP BY a.src, b.dst ORDER BY row, col
+"""
+
 CC_SQL = f"""
 WITH RECURSIVE {EDGE_SQL.strip()},
 {SYM_SQL.strip()},
@@ -452,6 +547,62 @@ def q_triangle_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ppr10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.ppr import personalized_pagerank
+
+    g = build_graph(spark, sf_dir)
+    res = personalized_pagerank(g, [0, 1, 2], alpha=0.85, tol=0.0, max_iters=10)
+    return res.state.select("vid", F.round("rank", 6).alias("rank6"))
+
+
+def q_hits5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.hits import hits
+
+    g = build_graph(spark, sf_dir)
+    res = hits(g, tol=0.0, max_iters=5)
+    return res.state.select(
+        "vid",
+        F.round("hub", 6).alias("hub6"),
+        F.round("auth", 6).alias("auth6"),
+    )
+
+
+def q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.kcore import k_core_peel_rounds
+
+    g = build_graph(spark, sf_dir)
+    return k_core_peel_rounds(g, k=3, rounds=8).select(
+        "vid", F.col("deg").cast("long").alias("deg")
+    )
+
+
+def q_spgemm_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.spgemm import square_counts
+
+    g = build_graph(spark, sf_dir)
+    return square_counts(g)
+
+
+def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (xxhash64 priorities have no DuckDB twin); proper-
+    coloring validity + determinism are pinned by tests/test_extra_algorithms."""
+    from linkgraph.algorithms.coloring import jpl_coloring
+
+    g = build_graph(spark, sf_dir)
+    return jpl_coloring(g).state.select("vid", "color")
+
+
+def q_bc_source0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (Brandes has no tractable SQL twin); exactness is
+    pinned vs the NumPy Brandes oracle in tests/test_extra_algorithms."""
+    from linkgraph.algorithms.bc import betweenness_centrality
+
+    g = build_graph(spark, sf_dir)
+    return betweenness_centrality(g, [0]).select(
+        "vid", F.round("bc", 6).alias("bc6")
+    )
+
+
 def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "documents")
     return spark.sql(f"WITH {DOCS2_SQL.strip()} SELECT doc_id, text FROM docs2")
@@ -640,6 +791,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_depths": q_bfs,
     "triangle_total": q_triangle_total,
     "triangle_per_vertex": q_triangle_per_vertex,
+    "ppr10": q_ppr10,
+    "hits5": q_hits5,
+    "kcore3_peel8": q_kcore3,
+    "spgemm_square": q_spgemm_square,
+    "jpl_coloring": q_coloring,
+    "bc_source0": q_bc_source0,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash,
     "ngram_jaccard": q_jaccard,
@@ -666,6 +823,12 @@ ORACLES: dict[str, str] = {
     "bfs_depths": BFS_SQL,
     "triangle_total": TRI_TOTAL_SQL,
     "triangle_per_vertex": TRI_PER_VERTEX_SQL,
+    "ppr10": _ppr_unrolled_sql(10, 0.85, (0, 1, 2)),
+    "hits5": _hits_unrolled_sql(5),
+    "kcore3_peel8": _kcore_peel_sql(3, 8),
+    "spgemm_square": SPGEMM_SQUARE_SQL,
+    # jpl_coloring / bc_source0: intentionally no oracle → rows-only
+    # (hash priorities / Brandes accumulation have no clean SQL twin)
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_signatures": MINHASH_SQL,
     "ngram_jaccard": JACCARD_SQL,

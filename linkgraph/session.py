@@ -45,6 +45,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
+        # Iterative engines churn checkpoint/cache blocks; reap weak refs
+        # promptly so executor storage holds ~2 generations, not dozens.
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

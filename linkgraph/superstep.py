@@ -8,11 +8,15 @@ Spark has no cross-job mutable state, so the runtime supplies what the
 enactor got for free (SURVEY.md §4.4):
 
 - **generation management + lineage truncation**: each superstep's output
-  state is eagerly ``localCheckpoint``-ed — this materializes it into
-  executor storage AND cuts the logical plan, so iteration ``k+1`` plans
-  against a leaf, not a k-deep join tree (a naive persist loop grows the
-  plan unboundedly and dies in the optimizer around iteration ~50).  The
-  previous generation is dropped (double-buffering); Spark's
+  state is materialized (persist + stats action) and then re-rooted as an
+  eager ``localCheckpoint`` leaf that KEEPS its hash-partitioning and
+  in-partition ordering (see :func:`iterate` — the checkpoint job runs
+  with AQE off because an adaptive plan checkpoints as
+  ``UnknownPartitioning``).  Iteration ``k+1`` therefore plans against a
+  single co-partitioned leaf node: joins against the persisted edges are
+  exchange-free and sort-free, and the logical plan never grows (a naive
+  persist chain triples per superstep and dies in driver-side planning).
+  The previous generation is dropped (double-buffering); Spark's
   ContextCleaner reclaims its storage.
 - **durable checkpoints**: every ``checkpoint_every`` iterations (and at
   convergence) the state is also written to Parquet with a manifest —
@@ -43,6 +47,7 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 
 StepFn = Callable[[DataFrame, int], DataFrame]
@@ -156,33 +161,132 @@ def iterate(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 5,
     resume: bool = True,
+    partition_key: str = "vid",
 ) -> IterationResult:
-    """Run ``step`` until ``converged(stats_fn(old, new))`` or ``max_iters``."""
+    """Run ``step`` until ``converged(stats_fn(old, new))`` or ``max_iters``.
+
+    Generation management (SURVEY.md §4.4, revised twice after profiling
+    at 10^7 edges and at 1-edge micro scale).  Requirements in tension:
+
+    a. constant-size logical plans — a state plan that references the
+       previous generation's plan grows ×3 per superstep (state appears in
+       the gather, the merge join, and the delta column), and DRIVER-side
+       analysis/optimization/cache-canonicalization over that tree is
+       exponential: measured ×2.5 wall growth per iteration under pure
+       ``persist`` chaining;
+    b. stable partitioning metadata — a plain ``localCheckpoint`` under
+       AQE yields ``ExistingRDD [UnknownPartitioning]``, re-introducing
+       three |V|-sized exchanges per superstep that co-partitioning with
+       the persisted edges makes free;
+    c. no mid-chain unpersist — a non-cascading uncache lazily invalidates
+       every dependent cache entry's buffers, silently degrading later
+       iterations into full recomputes.
+
+    The protocol in the loop body (persist → stats action → AQE-off
+    checkpoint leaf → unpersist the raw generation) satisfies all three:
+    every generation ends as a 1-node LogicalRDD that still advertises
+    hash(partition_key, P) + in-partition ordering, costs one |V| exchange
+    + sort per superstep, and holds no reference into the cache.
+    """
+    spark = state.sparkSession
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def checkpoint_leaf(df: DataFrame, relayout: bool) -> DataFrame:
+        """Materialize ``df`` as a CONSTANT-SIZE plan leaf that still
+        advertises its physical partitioning + ordering.
+
+        ``localCheckpoint`` under AQE yields ``ExistingRDD
+        [UnknownPartitioning]`` (the adaptive plan's partitioning isn't
+        known at checkpoint-build time), which re-introduces per-superstep
+        exchanges.  With AQE disabled for just this job, the LogicalRDD
+        leaf preserves the plan's layout — downstream supersteps then plan
+        exchange-free, sort-free merge joins against it, and the logical
+        plan never grows (each generation is 1 node, not the 3^k chain
+        that made driver-side planning the bottleneck).
+
+        ``relayout=True`` additionally forces hash(partition_key, P) +
+        in-partition ordering — used for the CALLER-provided initial state
+        whose layout is unknown.  Step outputs skip it: every built-in
+        step ends in a merge join / aggregation keyed on ``partition_key``,
+        so their physical layout is already the canonical one and the
+        extra exchange would move every row to the partition it is
+        already in."""
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            if relayout:
+                df = df.repartition(
+                    num_partitions, partition_key
+                ).sortWithinPartitions(partition_key)
+            # PySpark's MEMORY_AND_DISK is the SERIALIZED level: compact
+            # bytes instead of object graphs (the localCheckpoint default
+            # is deserialized, and |V|-row object generations churned the
+            # old-gen heap into multi-second GC spikes every ~10 steps)
+            return df.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
     start_iter = 0
     if checkpoint is not None and resume:
         found = checkpoint.latest()
         if found is not None:
             start_iter, state, _ = found
 
-    prev = state.localCheckpoint(eager=True)
+    # Per-iteration protocol (measured at 10^7 edges AND 1-edge micro):
+    #   1. checkpoint_leaf(step(prev)) — ONE job runs the superstep
+    #      pipeline end-to-end and materializes the result as a 1-node
+    #      checkpointed leaf that keeps the canonical hash(vid, P) + sorted
+    #      layout (AQE off for this job — see checkpoint_leaf);
+    #   2. stats action over the materialized leaf (the one driver↔cluster
+    #      scalar readback per superstep, SURVEY.md §4.9) — cheap, reads
+    #      checkpoint blocks;
+    #   3. free the PREVIOUS generation's checkpoint blocks explicitly.
+    # No persist/unpersist anywhere: a non-cascading uncache lazily
+    # invalidates dependent cache entries (full-recompute trap), and
+    # relying on ContextCleaner for checkpoint blocks lets dozens of |V|-
+    # sized block sets pile up (measured 10-50× iteration-wall spikes).
+    prev = checkpoint_leaf(state, relayout=True)
     history: list[dict] = []
     it = start_iter
     done = False
     while it < max_iters and not done:
         t0 = time.perf_counter()
-        new_state = step(prev, it).localCheckpoint(eager=True)
+        new_state = checkpoint_leaf(step(prev, it), relayout=False)
         row = stats_fn(prev, new_state).collect()[0].asDict()
         stats = {k: (None if v is None else float(v)) for k, v in row.items()}
-        wall_ms = (time.perf_counter() - t0) * 1000.0
         it += 1
         done = converged(stats)
         if checkpoint is not None and (
             it % checkpoint_every == 0 or done or it >= max_iters
         ):
             checkpoint.write(new_state, it, stats)
+        wall_ms = (time.perf_counter() - t0) * 1000.0
         rec = {"iter": it, "wall_ms": wall_ms, **stats}
         history.append(rec)
         if checkpoint is not None:
             checkpoint.append_metrics(rec)
-        prev = new_state  # old generation reclaimed by ContextCleaner
+        if it - start_iter > 1:
+            # (skip the caller-provided initial leaf: its blocks may back
+            # `state` handed in by the caller, e.g. a resumed checkpoint)
+            _free_checkpoint_blocks(prev)
+        prev = new_state
     return IterationResult(state=prev, iterations=it, converged=done, history=history)
+
+
+def _free_checkpoint_blocks(df: DataFrame) -> None:
+    """Unpersist the RDD behind a ``localCheckpoint``-ed DataFrame.
+
+    The blocks belong to the internal RDD captured by the plan's
+    ``LogicalRDD`` leaf — there is no public DataFrame API to release
+    them (``unpersist()`` only touches CacheManager entries), so reach
+    through the JVM plan.  Best-effort: any reflection failure leaves
+    cleanup to the ContextCleaner as before.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass

@@ -165,3 +165,134 @@ def bfs_oracle(edges, source: int, directed: bool = True) -> dict[int, int]:
 def sssp_oracle(edges, source: int) -> dict[int, float]:
     """Unit-weight shortest paths (== BFS depth on unit weights)."""
     return {k: float(v) for k, v in bfs_oracle(edges, source, directed=True).items()}
+
+
+def ppr_oracle(
+    edges,
+    seeds,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iters: int = 100,
+) -> dict[int, float]:
+    """Personalized PR: teleport + dangling mass uniform over seeds."""
+    e = _normalize(edges)
+    verts = _vertices(e)
+    n = len(verts)
+    idx = {int(v): i for i, v in enumerate(verts)}
+    src = np.array([idx[int(s)] for s, _ in e], dtype=np.int64)
+    dst = np.array([idx[int(d)] for _, d in e], dtype=np.int64)
+    outdeg = np.bincount(src, minlength=n)
+    t = np.zeros(n)
+    seed_idx = [idx[int(s)] for s in seeds]
+    t[seed_idx] = 1.0 / len(seed_idx)
+    p = t.copy()
+    for _ in range(max_iters):
+        contrib = np.where(outdeg > 0, p / np.maximum(outdeg, 1), 0.0)
+        sums = np.bincount(dst, weights=contrib[src], minlength=n)
+        dangling = p[outdeg == 0].sum()
+        p_new = (1.0 - alpha + alpha * dangling) * t + alpha * sums
+        delta = np.abs(p_new - p).max()
+        p = p_new
+        if delta < tol:
+            break
+    return {int(v): float(p[idx[int(v)]]) for v in verts}
+
+
+def hits_oracle(
+    edges, tol: float = 1e-6, max_iters: int = 50
+) -> dict[int, tuple[float, float]]:
+    """L2-normalized HITS (auth from old hubs, hubs from new auths)."""
+    e = _normalize(edges)
+    verts = _vertices(e)
+    n = len(verts)
+    idx = {int(v): i for i, v in enumerate(verts)}
+    src = np.array([idx[int(s)] for s, _ in e], dtype=np.int64)
+    dst = np.array([idx[int(d)] for _, d in e], dtype=np.int64)
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(max_iters):
+        a_new = np.bincount(dst, weights=h[src], minlength=n)
+        na = np.sqrt((a_new**2).sum())
+        if na > 0:
+            a_new = a_new / na
+        h_new = np.bincount(src, weights=a_new[dst], minlength=n)
+        nh = np.sqrt((h_new**2).sum())
+        if nh > 0:
+            h_new = h_new / nh
+        delta = max(np.abs(a_new - a).max(), np.abs(h_new - h).max())
+        a, h = a_new, h_new
+        if delta < tol:
+            break
+    return {int(v): (float(h[idx[int(v)]]), float(a[idx[int(v)]])) for v in verts}
+
+
+def kcore_oracle(edges, k: int) -> dict[int, int]:
+    """Vertices of the k-core with their within-core degree (peeling)."""
+    e = _normalize(edges)
+    adj: dict[int, set[int]] = defaultdict(set)
+    for s, d in e:
+        adj[int(s)].add(int(d))
+        adj[int(d)].add(int(s))
+    alive = {v for v in adj if len(adj[v]) >= 1}
+    changed = True
+    while changed:
+        changed = False
+        for v in sorted(alive):
+            deg = sum(1 for u in adj[v] if u in alive)
+            if deg < k:
+                alive.discard(v)
+                changed = True
+    return {v: sum(1 for u in adj[v] if u in alive) for v in sorted(alive)}
+
+
+def spgemm_square_oracle(edges) -> dict[tuple[int, int], int]:
+    """A² nonzeros of the directed unweighted adjacency (paths of len 2)."""
+    e = _normalize(edges)
+    out: dict[int, list[int]] = defaultdict(list)
+    for s, d in e:
+        out[int(s)].append(int(d))
+    c = Counter()
+    for i, mids in out.items():
+        for j in mids:
+            for k2 in out.get(j, ()):
+                c[(i, k2)] += 1
+    return dict(c)
+
+
+def bc_oracle(edges, sources, normalize_pairs: bool = True) -> dict[int, float]:
+    """Brandes dependency accumulation on the undirected graph."""
+    e = _normalize(edges)
+    adj: dict[int, set[int]] = defaultdict(set)
+    for s, d in e:
+        adj[int(s)].add(int(d))
+        adj[int(d)].add(int(s))
+    verts = sorted({int(v) for v in _vertices(e)})
+    bc = {v: 0.0 for v in verts}
+    for s in sources:
+        s = int(s)
+        sigma = {v: 0.0 for v in verts}
+        dist = {v: -1 for v in verts}
+        preds: dict[int, list[int]] = {v: [] for v in verts}
+        sigma[s] = 1.0
+        dist[s] = 0
+        order = []
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for w in sorted(adj[u]):
+                if dist[w] < 0:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+                    preds[w].append(u)
+        delta = {v: 0.0 for v in verts}
+        for w in reversed(order):
+            for u in preds[w]:
+                delta[u] += sigma[u] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    if normalize_pairs:
+        bc = {v: x * 0.5 for v, x in bc.items()}
+    return bc

@@ -1,0 +1,184 @@
+"""PPR / HITS / k-core / JPL coloring / SpGEMM / BC vs CPU oracles
+(SURVEY.md §2.3 A7–A14 coverage; oracle style per §5.2.1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from conftest import edges_df
+from linkgraph.algorithms.bc import betweenness_centrality
+from linkgraph.algorithms.coloring import jpl_coloring
+from linkgraph.algorithms.hits import hits
+from linkgraph.algorithms.kcore import k_core
+from linkgraph.algorithms.ppr import personalized_pagerank
+from linkgraph.algorithms.spgemm import square_counts
+from linkgraph.fixtures import MICRO_GRAPHS, chesapeake_edges
+from linkgraph.graph import Graph
+from oracles import (
+    bc_oracle,
+    hits_oracle,
+    kcore_oracle,
+    ppr_oracle,
+    spgemm_square_oracle,
+)
+
+
+# ---------------------------------------------------------------- PPR ----
+
+def _ppr_check(spark, edges, seeds, graph=None):
+    g = graph or Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+    res = personalized_pagerank(g, seeds, tol=1e-6)
+    got = {r.vid: r.rank for r in res.state.collect()}
+    want = ppr_oracle(edges, seeds, tol=1e-6)
+    assert set(got) == set(want)
+    gv = np.array([got[v] for v in sorted(want)])
+    wv = np.array([want[v] for v in sorted(want)])
+    np.testing.assert_allclose(gv, wv, atol=1e-6)
+    assert abs(gv.sum() - 1.0) < 1e-9  # Σp = 1 with seed-restart dangling
+
+
+def test_ppr_chesapeake(spark, chesapeake_graph):
+    _ppr_check(spark, chesapeake_edges(), seeds=[0, 5], graph=chesapeake_graph)
+
+
+def test_ppr_dangling(spark):
+    # dangling vertex 1: its mass must restart at the seed, not uniformly
+    _ppr_check(spark, MICRO_GRAPHS["dangling_pair"], seeds=[0])
+
+
+def test_ppr_concentrates_near_seed(spark):
+    edges = MICRO_GRAPHS["two_cliques"]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
+    res = personalized_pagerank(g, [0], tol=1e-8)
+    got = {r.vid: r.rank for r in res.state.collect()}
+    # all mass stays in the seed's clique {0..4}; other clique gets none
+    assert sum(got[v] for v in range(5)) > 0.999
+
+
+# --------------------------------------------------------------- HITS ----
+
+def _hits_check(spark, edges, graph=None):
+    g = graph or Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+    res = hits(g, tol=1e-6, max_iters=100)
+    got = {r.vid: (r.hub, r.auth) for r in res.state.collect()}
+    want = hits_oracle(edges, tol=1e-6, max_iters=100)
+    assert set(got) == set(want)
+    for v in want:
+        np.testing.assert_allclose(got[v], want[v], atol=1e-5)
+
+
+def test_hits_chesapeake(spark, chesapeake_graph):
+    _hits_check(spark, chesapeake_edges(), graph=chesapeake_graph)
+
+
+def test_hits_star(spark):
+    # star: hub mass on the spokes, authority mass on the center
+    edges = [(i, 0) for i in range(1, 6)]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
+    got = {r.vid: (r.hub, r.auth) for r in hits(g).state.collect()}
+    assert got[0][1] == pytest.approx(1.0, abs=1e-6)  # sole authority
+    for v in range(1, 6):
+        assert got[v][0] == pytest.approx(1 / np.sqrt(5), abs=1e-6)
+
+
+# ------------------------------------------------------------- k-core ----
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_kcore_chesapeake(spark, chesapeake_graph, k):
+    want = kcore_oracle(chesapeake_edges(), k)
+    res = k_core(chesapeake_graph, k)
+    got = {r.vid: r.deg for r in res.state.collect()}
+    assert got == want
+
+
+def test_kcore_cliques_plus_tail(spark):
+    # 4-clique + a tail: 3-core = exactly the clique
+    edges = [(i, j) for i in range(4) for j in range(4) if i < j]
+    edges += [(3, 4), (4, 5)]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
+    got = sorted(r.vid for r in k_core(g, 3).state.collect())
+    assert got == [0, 1, 2, 3]
+
+
+def test_kcore_chain_unravels(spark):
+    # chain: 2-core is empty — peeling must fully cascade (many rounds)
+    g = Graph.from_edges(edges_df(spark, MICRO_GRAPHS["chain"]), num_partitions=2)
+    assert k_core(g, 2).state.count() == 0
+
+
+# ----------------------------------------------------------- coloring ----
+
+def _assert_proper_coloring(spark, edges, graph=None):
+    g = graph or Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+    res = jpl_coloring(g)
+    colors = {r.vid: r.color for r in res.state.collect()}
+    assert all(c is not None for c in colors.values())
+    for s, d in edges:
+        if s != d:
+            assert colors[s] != colors[d], f"edge {s}-{d} monochromatic"
+    return colors
+
+
+def test_coloring_chesapeake(spark, chesapeake_graph):
+    _assert_proper_coloring(spark, chesapeake_edges(), graph=chesapeake_graph)
+
+
+def test_coloring_clique(spark):
+    # K5 needs 5 distinct colors
+    edges = [(i, j) for i in range(5) for j in range(5) if i < j]
+    colors = _assert_proper_coloring(spark, edges)
+    assert len(set(colors.values())) == 5
+
+
+def test_coloring_deterministic(spark):
+    edges = chesapeake_edges()
+    g1 = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
+    g2 = Graph.from_edges(edges_df(spark, edges), num_partitions=7)
+    c1 = {r.vid: r.color for r in jpl_coloring(g1).state.collect()}
+    c2 = {r.vid: r.color for r in jpl_coloring(g2).state.collect()}
+    assert c1 == c2  # hash priorities ⇒ partitioning-independent
+
+
+# ------------------------------------------------------------- SpGEMM ----
+
+def test_spgemm_square_chesapeake(spark, chesapeake_graph):
+    want = spgemm_square_oracle(chesapeake_edges())
+    got = {
+        (r.row, r.col): r.paths2
+        for r in square_counts(chesapeake_graph).collect()
+    }
+    assert got == want
+
+
+def test_spgemm_chain(spark):
+    g = Graph.from_edges(edges_df(spark, MICRO_GRAPHS["chain"]), num_partitions=2)
+    got = {(r.row, r.col): r.paths2 for r in square_counts(g).collect()}
+    assert got == {(i, i + 2): 1 for i in range(8)}
+
+
+# ----------------------------------------------------------------- BC ----
+
+def test_bc_single_source_chesapeake(spark, chesapeake_graph):
+    want = bc_oracle(chesapeake_edges(), sources=[0])
+    got = {
+        r.vid: r.bc
+        for r in betweenness_centrality(chesapeake_graph, [0]).collect()
+    }
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+def test_bc_path_graph(spark):
+    # path 0-1-2-3-4, all sources: interior vertices carry the load
+    edges = [(i, i + 1) for i in range(4)]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
+    got = {
+        r.vid: r.bc
+        for r in betweenness_centrality(g, range(5)).collect()
+    }
+    want = bc_oracle(edges, sources=range(5))
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    assert got[2] > got[1] > got[0]
