@@ -114,18 +114,22 @@ def _pagerank_unrolled_sql(iters: int = 10, alpha: float = 0.85) -> str:
     construction: every doc has outdeg ≥ 1 under EDGE_SQL)."""
     parts = [
         "WITH " + EDGE_SQL.strip() + ",",
-        "deg AS (SELECT src AS vid, COUNT(*) AS outdeg FROM edges GROUP BY src),",
-        "p0 AS (SELECT d.doc_id AS vid, 1.0 / nn.n AS r FROM documents d CROSS JOIN nn),",
+        # MATERIALIZED: DuckDB expands plain CTEs once PER REFERENCE; an
+        # unrolled power iteration references each level 2x, making the
+        # expansion (and parquet opens) exponential in iters without it.
+        "e2 AS MATERIALIZED (SELECT src, dst FROM edges),",
+        "deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS outdeg FROM e2 GROUP BY src),",
+        "p0 AS MATERIALIZED (SELECT d.doc_id AS vid, 1.0 / nn.n AS r FROM documents d CROSS JOIN nn),",
     ]
     for i in range(1, iters + 1):
         prev = f"p{i - 1}"
         parts.append(
-            f"""p{i} AS (
+            f"""p{i} AS MATERIALIZED (
   SELECT v.vid, {1 - alpha} / nn.n + {alpha} * COALESCE(s.m, 0.0) AS r
   FROM {prev} v CROSS JOIN nn
   LEFT JOIN (
     SELECT e.dst AS vid, SUM({prev}.r / deg.outdeg) AS m
-    FROM edges e JOIN {prev} ON {prev}.vid = e.src JOIN deg ON deg.vid = e.src
+    FROM e2 e JOIN {prev} ON {prev}.vid = e.src JOIN deg ON deg.vid = e.src
     GROUP BY e.dst
   ) s ON s.vid = v.vid
 ),"""
@@ -141,12 +145,13 @@ def _labelprop_unrolled_sql(iters: int = 3) -> str:
     parts = [
         "WITH " + EDGE_SQL.strip() + ",",
         SYM_SQL.strip() + ",",
-        "l0 AS (SELECT doc_id AS vid, doc_id AS lab FROM documents),",
+        "s2 AS MATERIALIZED (SELECT src, dst FROM sym),",
+        "l0 AS MATERIALIZED (SELECT doc_id AS vid, doc_id AS lab FROM documents),",
     ]
     for i in range(1, iters + 1):
         prev = f"l{i - 1}"
         parts.append(
-            f"""l{i} AS (
+            f"""l{i} AS MATERIALIZED (
   SELECT v.vid, COALESCE(b.lab, v.lab) AS lab
   FROM {prev} v LEFT JOIN (
     SELECT vid, lab FROM (
@@ -154,7 +159,7 @@ def _labelprop_unrolled_sql(iters: int = 3) -> str:
              ROW_NUMBER() OVER (PARTITION BY c.vid ORDER BY c.cnt DESC, c.lab ASC) AS rn
       FROM (
         SELECT e.dst AS vid, {prev}.lab AS lab, COUNT(*) AS cnt
-        FROM sym e JOIN {prev} ON {prev}.vid = e.src
+        FROM s2 e JOIN {prev} ON {prev}.vid = e.src
         GROUP BY e.dst, {prev}.lab
       ) c
     ) rr WHERE rn = 1
@@ -175,18 +180,19 @@ def _ppr_unrolled_sql(
     t = f"(CASE WHEN vid IN ({seed_list}) THEN 1.0/{len(seeds)} ELSE 0.0 END)"
     parts = [
         "WITH " + EDGE_SQL.strip() + ",",
-        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM edges UNION ALL SELECT dst FROM edges) t),",
-        "deg AS (SELECT src AS vid, COUNT(*) AS outdeg FROM edges GROUP BY src),",
-        f"p0 AS (SELECT vid, {t} AS r FROM verts),",
+        "e2 AS MATERIALIZED (SELECT src, dst FROM edges),",
+        "verts AS MATERIALIZED (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e2 UNION ALL SELECT dst FROM e2) t),",
+        "deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS outdeg FROM e2 GROUP BY src),",
+        f"p0 AS MATERIALIZED (SELECT vid, {t} AS r FROM verts),",
     ]
     for i in range(1, iters + 1):
         prev = f"p{i - 1}"
         parts.append(
-            f"""p{i} AS (
+            f"""p{i} AS MATERIALIZED (
   SELECT v.vid, {1 - alpha} * {t.replace('vid', 'v.vid')} + {alpha} * COALESCE(s.m, 0.0) AS r
   FROM verts v LEFT JOIN (
     SELECT e.dst AS vid, SUM({prev}.r / deg.outdeg) AS m
-    FROM edges e JOIN {prev} ON {prev}.vid = e.src JOIN deg ON deg.vid = e.src
+    FROM e2 e JOIN {prev} ON {prev}.vid = e.src JOIN deg ON deg.vid = e.src
     GROUP BY e.dst
   ) s ON s.vid = v.vid
 ),"""
@@ -201,26 +207,27 @@ def _hits_unrolled_sql(iters: int = 5) -> str:
     auths, L2-normalize — the exact engine/oracle ordering."""
     parts = [
         "WITH " + EDGE_SQL.strip() + ",",
-        "verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM edges UNION ALL SELECT dst FROM edges) t),",
-        "h0 AS (SELECT vid, 1.0 AS h FROM verts),",
+        "e2 AS MATERIALIZED (SELECT src, dst FROM edges),",
+        "verts AS MATERIALIZED (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e2 UNION ALL SELECT dst FROM e2) t),",
+        "h0 AS MATERIALIZED (SELECT vid, 1.0 AS h FROM verts),",
     ]
     for i in range(1, iters + 1):
         hp = f"h{i - 1}"
         parts.append(
-            f"""ar{i} AS (
+            f"""ar{i} AS MATERIALIZED (
   SELECT v.vid, COALESCE(s.x, 0.0) AS a FROM verts v LEFT JOIN (
-    SELECT e.dst AS vid, SUM({hp}.h) AS x FROM edges e JOIN {hp} ON {hp}.vid = e.src GROUP BY e.dst
+    SELECT e.dst AS vid, SUM({hp}.h) AS x FROM e2 e JOIN {hp} ON {hp}.vid = e.src GROUP BY e.dst
   ) s ON s.vid = v.vid
 ),
-an{i} AS (SELECT sqrt(SUM(a * a)) AS n FROM ar{i}),
-a{i} AS (SELECT vid, CASE WHEN n > 0 THEN a / n ELSE a END AS a FROM ar{i} CROSS JOIN an{i}),
-hr{i} AS (
+an{i} AS MATERIALIZED (SELECT sqrt(SUM(a * a)) AS n FROM ar{i}),
+a{i} AS MATERIALIZED (SELECT vid, CASE WHEN n > 0 THEN a / n ELSE a END AS a FROM ar{i} CROSS JOIN an{i}),
+hr{i} AS MATERIALIZED (
   SELECT v.vid, COALESCE(s.x, 0.0) AS h FROM verts v LEFT JOIN (
-    SELECT e.src AS vid, SUM(a{i}.a) AS x FROM edges e JOIN a{i} ON a{i}.vid = e.dst GROUP BY e.src
+    SELECT e.src AS vid, SUM(a{i}.a) AS x FROM e2 e JOIN a{i} ON a{i}.vid = e.dst GROUP BY e.src
   ) s ON s.vid = v.vid
 ),
-hn{i} AS (SELECT sqrt(SUM(h * h)) AS n FROM hr{i}),
-h{i} AS (SELECT vid, CASE WHEN n > 0 THEN h / n ELSE h END AS h FROM hr{i} CROSS JOIN hn{i}),"""
+hn{i} AS MATERIALIZED (SELECT sqrt(SUM(h * h)) AS n FROM hr{i}),
+h{i} AS MATERIALIZED (SELECT vid, CASE WHEN n > 0 THEN h / n ELSE h END AS h FROM hr{i} CROSS JOIN hn{i}),"""
         )
     parts[-1] = parts[-1].rstrip(",")
     parts.append(
@@ -236,13 +243,14 @@ def _kcore_peel_sql(k: int = 3, rounds: int = 8) -> str:
     parts = [
         "WITH " + EDGE_SQL.strip() + ",",
         SYM_SQL.strip() + ",",
-        f"a0 AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src HAVING COUNT(*) >= {k}),",
+        "s2 AS MATERIALIZED (SELECT src, dst FROM sym),",
+        f"a0 AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS deg FROM s2 GROUP BY src HAVING COUNT(*) >= {k}),",
     ]
     for i in range(1, rounds + 1):
         prev = f"a{i - 1}"
         parts.append(
-            f"""a{i} AS (
-  SELECT e.src AS vid, COUNT(*) AS deg FROM sym e
+            f"""a{i} AS MATERIALIZED (
+  SELECT e.src AS vid, COUNT(*) AS deg FROM s2 e
   JOIN {prev} x ON x.vid = e.src JOIN {prev} y ON y.vid = e.dst
   GROUP BY e.src HAVING COUNT(*) >= {k}
 ),"""
