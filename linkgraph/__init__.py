@@ -81,6 +81,7 @@ from linkgraph.algorithms.kcore import k_core
 from linkgraph.algorithms.coloring import jpl_coloring
 from linkgraph.algorithms.spgemm import spgemm, square_counts
 from linkgraph.algorithms.bc import betweenness_centrality
+from linkgraph.algorithms.mst import minimum_spanning_forest
 
 __all__ = [
     "Graph",
@@ -98,6 +99,7 @@ __all__ = [
     "spgemm",
     "square_counts",
     "betweenness_centrality",
+    "minimum_spanning_forest",
 ]
 
 __version__ = "0.1.0"

@@ -9,8 +9,9 @@ Usage::
 
     python -m linkgraph.cli pipeline --pages pages.parquet --out /tmp/out
 
-Subcommands: pagerank | cc | labelprop | triangles | pipeline (pages →
-edges → all four primitives).  Reads/writes Parquet; Iceberg tables work
+Subcommands: pagerank | cc | labelprop | triangles | ppr | hits | bfs |
+sssp | kcore | coloring | mst | bc | pipeline (pages → edges → all four
+mandated primitives).  Reads/writes Parquet; Iceberg tables work
 transparently when the catalog is configured on the session
 (``--table catalog.db.pages`` style paths via ``spark.read.table``).
 """
@@ -31,7 +32,17 @@ def _load(spark, path: str):
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="linkgraph")
-    ap.add_argument("command", choices=["pagerank", "cc", "labelprop", "triangles", "pipeline"])
+    ap.add_argument(
+        "command",
+        choices=[
+            "pagerank", "cc", "labelprop", "triangles", "pipeline",
+            "ppr", "hits", "bfs", "sssp", "kcore", "coloring", "mst", "bc",
+        ],
+    )
+    ap.add_argument("--source", type=int, default=0, help="bfs/sssp/bc source vid")
+    ap.add_argument("--seeds", default="0", help="ppr comma-separated seed vids")
+    ap.add_argument("--k", type=int, default=3, help="kcore k")
+    ap.add_argument("--weight-col", default=None, help="mst/sssp weight column")
     ap.add_argument("--edges", help="edges parquet/table (src,dst)")
     ap.add_argument("--pages", help="pages parquet/table (url,warc_ts,html,text,lang)")
     ap.add_argument("--out", required=True)
@@ -117,6 +128,56 @@ def main(argv: list[str] | None = None) -> int:
         res = label_propagation(g, max_iters=args.max_iters, checkpoint=ck,
                                 checkpoint_every=args.checkpoint_every)
         out_df, iters, conv = res.state, res.iterations, res.converged
+    elif args.command == "ppr":
+        from linkgraph.algorithms.ppr import personalized_pagerank
+
+        seeds = [int(x) for x in args.seeds.split(",") if x != ""]
+        res = personalized_pagerank(g, seeds, alpha=args.alpha, tol=args.tol,
+                                    max_iters=args.max_iters, checkpoint=ck,
+                                    checkpoint_every=args.checkpoint_every)
+        out_df, iters, conv = res.state, res.iterations, res.converged
+    elif args.command == "hits":
+        from linkgraph.algorithms.hits import hits
+
+        res = hits(g, tol=args.tol, max_iters=args.max_iters, checkpoint=ck,
+                   checkpoint_every=args.checkpoint_every)
+        out_df, iters, conv = res.state, res.iterations, res.converged
+    elif args.command == "bfs":
+        from linkgraph.algorithms.bfs import bfs
+
+        res = bfs(g, args.source, max_iters=args.max_iters)
+        out_df, iters, conv = res.state, res.iterations, res.converged
+    elif args.command == "sssp":
+        from linkgraph.algorithms.sssp import sssp
+
+        res = sssp(g, args.source, weight_col=args.weight_col,
+                   max_iters=args.max_iters)
+        out_df, iters, conv = res.state, res.iterations, res.converged
+    elif args.command == "kcore":
+        from linkgraph.algorithms.kcore import k_core
+
+        res = k_core(g, args.k, max_iters=args.max_iters)
+        out_df, iters, conv = res.state, res.iterations, res.converged
+    elif args.command == "coloring":
+        from linkgraph.algorithms.coloring import jpl_coloring
+
+        res = jpl_coloring(g, max_iters=args.max_iters)
+        out_df, iters, conv = res.state, res.iterations, res.converged
+    elif args.command == "mst":
+        from linkgraph.algorithms.mst import minimum_spanning_forest
+        from pyspark.sql import functions as F
+
+        e = _load(spark, args.edges)
+        if args.weight_col is None:
+            e = e.withColumn("weight", (F.col("src") * 1000000 + F.col("dst")).cast("double"))
+            wcol = "weight"
+        else:
+            wcol = args.weight_col
+        out_df, iters, conv = minimum_spanning_forest(e, weight_col=wcol), 1, True
+    elif args.command == "bc":
+        from linkgraph.algorithms.bc import betweenness_centrality
+
+        out_df, iters, conv = betweenness_centrality(g, [args.source]), 1, True
     else:  # triangles
         out_df, iters, conv = triangle_counts_per_vertex(g), 1, True
     out_df.write.mode("overwrite").parquet(args.out)

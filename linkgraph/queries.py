@@ -611,6 +611,23 @@ def q_bc_source0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (Kruskal/Borůvka has no tractable SQL twin); the
+    exact edge set vs a union-find oracle is pinned by tests/test_mst.py.
+    Weights ``src*10^6 + dst`` are distinct per edge ⇒ the MSF is unique,
+    so the row set is deterministic."""
+    from linkgraph.algorithms.mst import minimum_spanning_forest
+
+    g = build_graph(spark, sf_dir)
+    weighted = g.edges.select(
+        "src", "dst",
+        (F.col("src") * 1000000 + F.col("dst")).cast("double").alias("weight"),
+    )
+    return minimum_spanning_forest(weighted).select(
+        "src", "dst", F.round("weight", 2).alias("weight2")
+    )
+
+
 def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "documents")
     return spark.sql(f"WITH {DOCS2_SQL.strip()} SELECT doc_id, text FROM docs2")
@@ -805,6 +822,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spgemm_square": q_spgemm_square,
     "jpl_coloring": q_coloring,
     "bc_source0": q_bc_source0,
+    "mst": q_mst,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash,
     "ngram_jaccard": q_jaccard,

@@ -259,6 +259,38 @@ def spgemm_square_oracle(edges) -> dict[tuple[int, int], int]:
     return dict(c)
 
 
+def mst_oracle(weighted_edges) -> tuple[float, int]:
+    """Kruskal with union-find → (total_weight, n_edges) of the MSF.
+
+    Deterministic tie-break (weight, src, dst); with distinct weights the
+    MSF is unique so edge sets can be compared exactly.
+    """
+    seen = {}
+    for s, d, w in weighted_edges:
+        s, d = int(s), int(d)
+        if s == d:
+            continue
+        k = (min(s, d), max(s, d))
+        if k not in seen or w < seen[k]:
+            seen[k] = float(w)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    total, n = 0.0, 0
+    for (s, d), w in sorted(seen.items(), key=lambda kv: (kv[1], kv[0])):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+            total += w
+            n += 1
+    return total, n
+
+
 def bc_oracle(edges, sources, normalize_pairs: bool = True) -> dict[int, float]:
     """Brandes dependency accumulation on the undirected graph."""
     e = _normalize(edges)
