@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from linkgraph.superstep import _free_checkpoint_blocks, strip_origin_stats
+
 #: Merge graphs at or below this many edges are contracted on the driver
 #: (two longs per edge → ≤ ~64 MB collected at the default).  Above it —
 #: only ever the first round or two of a truly huge graph — contraction
@@ -58,25 +60,13 @@ DRIVER_CONTRACT_THRESHOLD = 2_000_000
 def _fresh_leaf(df: DataFrame) -> DataFrame:
     """Eagerly materialize ``df`` and return it as a stats-free plan leaf.
 
-    ``localCheckpoint(eager=True)`` does the materialization; the
-    re-wrap via ``SparkSession.internalCreateDataFrame`` (same
-    ``InternalRow`` RDD, same schema — no data movement or Python
-    round-trip) drops the checkpoint's ``originStats``, preventing the
-    exponential sizeInBytes compounding described in the module
-    docstring.  Best-effort: if the internal API is unavailable, the
-    plain checkpoint is returned (correct, but long loops re-expose the
-    planner hazard).
+    ``localCheckpoint(eager=True)`` does the materialization;
+    :func:`linkgraph.superstep.strip_origin_stats` then drops the
+    checkpoint's preserved ``originStats`` (same RDD, no data movement),
+    preventing the exponential sizeInBytes compounding described in the
+    module docstring.
     """
-    ck = df.localCheckpoint(eager=True)
-    try:
-        jdf = ck._jdf
-        jspark = df.sparkSession._jsparkSession
-        new_jdf = jspark.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False
-        )
-        return DataFrame(new_jdf, df.sparkSession)
-    except Exception:
-        return ck
+    return strip_origin_stats(df.localCheckpoint(eager=True))
 
 
 def _contract_driver(merge_edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
@@ -228,15 +218,20 @@ def minimum_spanning_forest(
         if n_sel == 0:
             break
         picked = sel.select("src", "dst", "weight")
-        chosen = picked if chosen is None else chosen.unionAll(picked)
-        chosen = _fresh_leaf(chosen)
+        prev_chosen = chosen
+        chosen = _fresh_leaf(picked if chosen is None else chosen.unionAll(picked))
+        if prev_chosen is not None:
+            _free_checkpoint_blocks(prev_chosen)
         mapping = _contract(
             sel.select(F.col("cs").alias("ca"), F.col("cd").alias("cb")), n_sel
         )
+        prev_comp = comp
         comp = _fresh_leaf(
             comp.join(mapping, "comp", "left")
             .select("vid", F.coalesce("new_comp", "comp").alias("comp"))
         )
+        _free_checkpoint_blocks(prev_comp)
+        _free_checkpoint_blocks(sel)
     if chosen is None:
         return spark.createDataFrame([], "src long, dst long, weight double")
     return chosen

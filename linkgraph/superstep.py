@@ -152,6 +152,44 @@ class CheckpointManager:
         return it, state, manifest.get("stats", {})
 
 
+def strip_origin_stats(df: DataFrame) -> DataFrame:
+    """Re-wrap a ``localCheckpoint``-ed DataFrame's ``LogicalRDD`` leaf
+    without its ``originStats`` (same RDD, same partitioning/ordering —
+    no data movement, no extra job).
+
+    Why (measured, PySpark 4.1): checkpoint leaves PRESERVE the origin
+    plan's estimated ``sizeInBytes``.  An iterative superstep whose step
+    references the previous state twice (e.g. PageRank's gather + merge
+    join) therefore *squares* the estimate every generation — the
+    BigInteger's digit count doubles per iteration, and past ~20
+    iterations Catalyst's size-only stats visitor (consulted by
+    broadcast and runtime-filter rules on every plan) grinds through
+    million-digit Toom-Cook multiplications on the driver: late
+    iterations stall with one core burning in ``BigInteger.multiply``.
+    Dropping originStats resets every generation to the default size
+    estimate (Long.MaxValue — deliberately conservative: these leaves
+    must never be auto-broadcast anyway; the runtime pins merge joins).
+    Best-effort: any reflection failure returns the input unchanged.
+    """
+    try:
+        jdf = df._jdf
+        plan = jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return df
+        spark = df.sparkSession
+        jvm = spark._jvm
+        none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
+        stripped = jvm.org.apache.spark.sql.execution.LogicalRDD(
+            plan.output(), plan.rdd(), plan.outputPartitioning(),
+            plan.outputOrdering(), plan.isStreaming(), plan.stream(),
+            spark._jsparkSession, none, none,
+        )
+        ds = getattr(getattr(jvm.org.apache.spark.sql.classic, "Dataset$"), "MODULE$")
+        return DataFrame(ds.ofRows(spark._jsparkSession, stripped), spark)
+    except Exception:
+        return df
+
+
 def iterate(
     state: DataFrame,
     step: StepFn,
@@ -222,8 +260,10 @@ def iterate(
             # bytes instead of object graphs (the localCheckpoint default
             # is deserialized, and |V|-row object generations churned the
             # old-gen heap into multi-second GC spikes every ~10 steps)
-            return df.localCheckpoint(
-                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            return strip_origin_stats(
+                df.localCheckpoint(
+                    eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+                )
             )
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
