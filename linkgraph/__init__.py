@@ -82,6 +82,7 @@ from linkgraph.algorithms.coloring import jpl_coloring
 from linkgraph.algorithms.spgemm import spgemm, square_counts
 from linkgraph.algorithms.bc import betweenness_centrality
 from linkgraph.algorithms.mst import minimum_spanning_forest
+from linkgraph.algorithms.geolocation import geolocate
 
 __all__ = [
     "Graph",
@@ -100,6 +101,7 @@ __all__ = [
     "square_counts",
     "betweenness_centrality",
     "minimum_spanning_forest",
+    "geolocate",
 ]
 
 __version__ = "0.1.0"

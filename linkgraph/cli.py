@@ -37,8 +37,12 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "pagerank", "cc", "labelprop", "triangles", "pipeline",
             "ppr", "hits", "bfs", "sssp", "kcore", "coloring", "mst", "bc",
+            "geo",
         ],
     )
+    ap.add_argument("--locations", default=None,
+                    help="geo: parquet/table (vid, lat, lon); default = "
+                         "deterministic seeds on every 10th vid")
     ap.add_argument("--source", type=int, default=0, help="bfs/sssp/bc source vid")
     ap.add_argument("--seeds", default="0", help="ppr comma-separated seed vids")
     ap.add_argument("--k", type=int, default=3, help="kcore k")
@@ -178,6 +182,22 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.algorithms.bc import betweenness_centrality
 
         out_df, iters, conv = betweenness_centrality(g, [args.source]), 1, True
+    elif args.command == "geo":
+        from pyspark.sql import functions as F
+
+        from linkgraph.algorithms.geolocation import geolocate
+
+        if args.locations:
+            locs = _load(spark, args.locations)
+        else:
+            locs = g.vertices.where(F.col("vid") % 10 == 0).select(
+                "vid",
+                ((F.col("vid") % 180) - 90).cast("double").alias("lat"),
+                ((F.col("vid") % 360) - 180).cast("double").alias("lon"),
+            )
+        res = geolocate(g, locs, max_iters=args.max_iters, checkpoint=ck,
+                        checkpoint_every=args.checkpoint_every)
+        out_df, iters, conv = res.state, res.iterations, res.converged
     else:  # triangles
         out_df, iters, conv = triangle_counts_per_vertex(g), 1, True
     out_df.write.mode("overwrite").parquet(args.out)

@@ -611,6 +611,25 @@ def q_bc_source0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geolocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (iterative spatial-median has no tractable SQL
+    twin); exact semantics pinned vs the NumPy oracle in
+    tests/test_geolocation.py.  Seeds are deterministic: every 10th vid,
+    coordinates a pure function of vid."""
+    from linkgraph.algorithms.geolocation import geolocate
+
+    g = build_graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("vid") % 10 == 0).select(
+        "vid",
+        ((F.col("vid") % 180) - 90).cast("double").alias("lat"),
+        ((F.col("vid") % 360) - 180).cast("double").alias("lon"),
+    )
+    res = geolocate(g, seeds, max_iters=20)
+    return res.state.where(F.col("lat").isNotNull()).select(
+        "vid", F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon")
+    )
+
+
 def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check (Kruskal/Borůvka has no tractable SQL twin); the
     exact edge set vs a union-find oracle is pinned by tests/test_mst.py.
@@ -823,6 +842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jpl_coloring": q_coloring,
     "bc_source0": q_bc_source0,
     "mst": q_mst,
+    "geolocation": q_geolocation,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash,
     "ngram_jaccard": q_jaccard,

@@ -291,6 +291,35 @@ def mst_oracle(weighted_edges) -> tuple[float, int]:
     return total, n
 
 
+def geolocation_oracle(edges, locations: dict[int, tuple[float, float]],
+                       max_iters: int = 50) -> dict[int, tuple[float, float]]:
+    """Synchronous spatial-median spread (deterministic twin of
+    algorithms/geolocation.py): each round every unlocated vertex with
+    ≥1 located undirected neighbor takes the component-wise median
+    (numpy linear interpolation == Spark ``percentile(0.5)``)."""
+    e = _normalize(edges)
+    adj: dict[int, set[int]] = {}
+    for s, d in e:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    loc = {int(v): (float(a), float(b)) for v, (a, b) in locations.items()}
+    for _ in range(max_iters):
+        new = {}
+        for v in adj:
+            if v in loc:
+                continue
+            pts = [loc[u] for u in adj[v] if u in loc]
+            if pts:
+                new[v] = (
+                    float(np.median([p[0] for p in pts])),
+                    float(np.median([p[1] for p in pts])),
+                )
+        if not new:
+            break
+        loc.update(new)
+    return loc
+
+
 def bc_oracle(edges, sources, normalize_pairs: bool = True) -> dict[int, float]:
     """Brandes dependency accumulation on the undirected graph."""
     e = _normalize(edges)
