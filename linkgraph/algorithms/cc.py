@@ -80,7 +80,7 @@ def connected_components(
     result = iterate(
         init,
         step,
-        stats_fn=changed_stats(),
+        stats_cols=changed_stats(),
         converged=lambda s: (s.get("changed") or 0) == 0,
         max_iters=max_iters,
         checkpoint=checkpoint,

@@ -83,13 +83,10 @@ def jpl_coloring(
             )
         )
 
-    def stats_fn(old: DataFrame, new: DataFrame) -> DataFrame:
-        return new.agg(F.sum("_uncolored").alias("uncolored"))
-
     result = iterate(
         init,
         step,
-        stats_fn=stats_fn,
+        stats_cols=[F.sum("_uncolored").alias("uncolored")],
         converged=lambda s: (s.get("uncolored") or 0) == 0,
         max_iters=max_iters,
     )

@@ -88,7 +88,7 @@ def geolocate(
     result = iterate(
         init,
         step,
-        stats_fn=changed_stats(),
+        stats_cols=changed_stats(),
         converged=lambda s: (s.get("changed") or 0) == 0,
         max_iters=max_iters,
         checkpoint=checkpoint,

@@ -92,12 +92,9 @@ def hits(
             ).alias("_delta"),
         )
 
-    def stats_fn(old: DataFrame, new: DataFrame) -> DataFrame:
-        return new.agg(F.max("_delta").alias("delta"))
-
     result = iterate(
         init, step,
-        stats_fn=stats_fn,
+        stats_cols=[F.max("_delta").alias("delta")],
         converged=lambda s: s.get("delta") is not None and s["delta"] < tol,
         max_iters=max_iters, checkpoint=checkpoint,
         checkpoint_every=checkpoint_every, resume=resume,

@@ -45,18 +45,22 @@ def k_core(graph: Graph, k: int, max_iters: int = 500) -> IterationResult:
         )
         return deg.where(F.col("deg") >= k)
 
-    def stats_fn(old: DataFrame, new: DataFrame) -> DataFrame:
-        # removed-count via one count over the new state vs old: fold both
-        # sizes into a single 1-row agg job (anti-join would be a 2nd job).
-        return new.agg(F.count(F.lit(1)).alias("alive")).crossJoin(
-            old.agg(F.count(F.lit(1)).alias("prev_alive"))
-        )
+    # Converged when no vertex was removed: alive count is observed during
+    # each superstep's materialization job (zero extra jobs); the previous
+    # generation's count is simply last iteration's observation, carried
+    # driver-side.
+    prev_alive: list[float | None] = [None]
+
+    def converged(s: dict) -> bool:
+        same = prev_alive[0] is not None and s.get("alive") == prev_alive[0]
+        prev_alive[0] = s.get("alive")
+        return same
 
     result = iterate(
         init,
         step,
-        stats_fn=stats_fn,
-        converged=lambda s: s.get("alive") == s.get("prev_alive"),
+        stats_cols=[F.count(F.lit(1)).alias("alive")],
+        converged=converged,
         max_iters=max_iters,
     )
     return result

@@ -86,7 +86,7 @@ def label_propagation(
     result = iterate(
         init,
         step,
-        stats_fn=changed_stats(),
+        stats_cols=changed_stats(),
         converged=lambda s: (s.get("changed") or 0) == 0,
         max_iters=max_iters,
         checkpoint=checkpoint,

@@ -112,14 +112,16 @@ def pagerank(
             F.abs(new_rank - F.col("rank")).alias("_delta"),
         )
 
-    def stats_fn(old: DataFrame, new: DataFrame) -> DataFrame:
-        return new.agg(
-            F.max("_delta").alias("delta"),
-            F.coalesce(
-                F.sum(F.when(F.col("outdeg").isNull(), F.col("rank"))),
-                F.lit(0.0),
-            ).alias("dangling"),
-        )
+    # Observed during the superstep job itself (superstep.py: stats_cols)
+    # — the delta readback and next iteration's dangling mass cost no
+    # extra job.
+    stats_cols = [
+        F.max("_delta").alias("delta"),
+        F.coalesce(
+            F.sum(F.when(F.col("outdeg").isNull(), F.col("rank"))),
+            F.lit(0.0),
+        ).alias("dangling"),
+    ]
 
     def converged(s: dict) -> bool:
         if s.get("dangling") is not None:
@@ -129,7 +131,7 @@ def pagerank(
     result = iterate(
         init,
         step,
-        stats_fn=stats_fn,
+        stats_cols=stats_cols,
         converged=converged,
         max_iters=max_iters,
         checkpoint=checkpoint,

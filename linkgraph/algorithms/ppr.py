@@ -82,14 +82,13 @@ def personalized_pagerank(
             F.abs(new_rank - F.col("rank")).alias("_delta"),
         )
 
-    def stats_fn(old: DataFrame, new: DataFrame) -> DataFrame:
-        return new.agg(
-            F.max("_delta").alias("delta"),
-            F.coalesce(
-                F.sum(F.when(F.col("outdeg").isNull(), F.col("rank"))),
-                F.lit(0.0),
-            ).alias("dangling"),
-        )
+    stats_cols = [
+        F.max("_delta").alias("delta"),
+        F.coalesce(
+            F.sum(F.when(F.col("outdeg").isNull(), F.col("rank"))),
+            F.lit(0.0),
+        ).alias("dangling"),
+    ]
 
     def converged(s: dict) -> bool:
         if s.get("dangling") is not None:
@@ -97,7 +96,7 @@ def personalized_pagerank(
         return s.get("delta") is not None and s["delta"] < tol
 
     result = iterate(
-        init, step, stats_fn=stats_fn, converged=converged,
+        init, step, stats_cols=stats_cols, converged=converged,
         max_iters=max_iters, checkpoint=checkpoint,
         checkpoint_every=checkpoint_every, resume=resume,
     )

@@ -873,8 +873,10 @@ ORACLES: dict[str, str] = {
     "hits5": _hits_unrolled_sql(5),
     "kcore3_peel8": _kcore_peel_sql(3, 8),
     "spgemm_square": SPGEMM_SQUARE_SQL,
-    # jpl_coloring / bc_source0: intentionally no oracle → rows-only
-    # (hash priorities / Brandes accumulation have no clean SQL twin)
+    # jpl_coloring / bc_source0 / mst / geolocation: intentionally no
+    # oracle → rows-only (hash priorities, Brandes accumulation, Borůvka
+    # contraction, and iterative spatial medians have no clean SQL twin;
+    # correctness is pinned by the pytest NumPy oracles instead)
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_signatures": MINHASH_SQL,
     "ngram_jaccard": JACCARD_SQL,

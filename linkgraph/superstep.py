@@ -23,10 +23,14 @@ enactor got for free (SURVEY.md §4.4):
   the durable resume point (BASELINE.json:6 "checkpoints frontier + rank
   tables ... so runs resume mid-convergence").  ``localCheckpoint`` alone
   is not crash-durable; Parquet epochs are.
-- **convergence**: ``stats_fn(old, new)`` returns a 1-row DataFrame of
-  numeric metrics (e.g. ``delta``, ``changed``); it runs as one small job
-  over the two materialized |V|-row states (reference: device→host scalar
-  readback per iteration, SURVEY.md §4.9).
+- **convergence**: ``stats_cols`` (aggregate Columns over the new state,
+  e.g. ``max(_delta)``) are attached to the superstep plan with
+  ``Dataset.observe`` and collected DURING the materialization job —
+  the reference's device→host scalar readback (SURVEY.md §4.9) costs
+  zero extra jobs (measured: the separate stats job was 0.6 s/superstep
+  at 8 cores, 1.9 s at 2, on a 3×10^7-edge graph).  The legacy
+  ``stats_fn(old, new) -> 1-row DataFrame`` path remains for metrics
+  that must join both generations.
 - **metrics**: one JSONL row per iteration (iter, wall_ms, stats),
   partition histogram in each epoch manifest — the per-partition lineage
   + metrics sidecar the graft mandates.
@@ -46,7 +50,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 
@@ -63,29 +67,21 @@ class IterationResult:
     history: list[dict] = field(default_factory=list)
 
 
-def delta_stats(col: str = "_delta", out: str = "delta") -> StatsFn:
+def delta_stats(col: str = "_delta", out: str = "delta") -> list[Column]:
     """L∞ convergence metric (PR, SURVEY.md §2.3 A1).
 
     The superstep computes per-vertex ``|rank' − rank|`` inline as a state
     column (the old state is already part of the superstep join, so this
-    costs nothing); the stats job is then a single aggregation over the
-    cached new state — no extra old⋈new join per iteration.
+    costs nothing); convergence is then ``max(_delta)`` observed during
+    the materialization job — no extra job, no old⋈new join.
     """
-
-    def fn(old: DataFrame, new: DataFrame) -> DataFrame:
-        return new.agg(F.max(F.col(col)).alias(out))
-
-    return fn
+    return [F.max(F.col(col)).alias(out)]
 
 
-def changed_stats(col: str = "_changed", out: str = "changed") -> StatsFn:
+def changed_stats(col: str = "_changed", out: str = "changed") -> list[Column]:
     """Count of vertices whose label changed (CC/LP convergence); same
     inline-column pattern as :func:`delta_stats`."""
-
-    def fn(old: DataFrame, new: DataFrame) -> DataFrame:
-        return new.agg(F.sum(F.col(col).cast("long")).alias(out))
-
-    return fn
+    return [F.sum(F.col(col).cast("long")).alias(out)]
 
 
 class CheckpointManager:
@@ -193,15 +189,22 @@ def strip_origin_stats(df: DataFrame) -> DataFrame:
 def iterate(
     state: DataFrame,
     step: StepFn,
-    stats_fn: StatsFn,
-    converged: ConvergedFn,
+    stats_cols: list[Column] | None = None,
+    converged: ConvergedFn = lambda s: False,
     max_iters: int = 100,
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 5,
     resume: bool = True,
     partition_key: str = "vid",
+    stats_fn: StatsFn | None = None,
 ) -> IterationResult:
-    """Run ``step`` until ``converged(stats_fn(old, new))`` or ``max_iters``.
+    """Run ``step`` until ``converged(stats)`` or ``max_iters``.
+
+    ``stats_cols`` (preferred): aggregate Columns over the step's output
+    state, attached via ``Dataset.observe`` and collected during the
+    materialization job itself — zero extra jobs per superstep.
+    ``stats_fn(old, new) -> 1-row DataFrame`` (legacy): runs as a second
+    small job; only needed when a metric must reference BOTH generations.
 
     Generation management (SURVEY.md §4.4, revised twice after profiling
     at 10^7 edges and at 1-edge micro scale).  Requirements in tension:
@@ -275,14 +278,15 @@ def iterate(
             start_iter, state, _ = found
 
     # Per-iteration protocol (measured at 10^7 edges AND 1-edge micro):
-    #   1. checkpoint_leaf(step(prev)) — ONE job runs the superstep
-    #      pipeline end-to-end and materializes the result as a 1-node
-    #      checkpointed leaf that keeps the canonical hash(vid, P) + sorted
-    #      layout (AQE off for this job — see checkpoint_leaf);
-    #   2. stats action over the materialized leaf (the one driver↔cluster
-    #      scalar readback per superstep, SURVEY.md §4.9) — cheap, reads
-    #      checkpoint blocks;
-    #   3. free the PREVIOUS generation's checkpoint blocks explicitly.
+    #   1. checkpoint_leaf(step(prev).observe(stats_cols)) — ONE job runs
+    #      the superstep pipeline end-to-end, materializes the result as a
+    #      1-node checkpointed leaf that keeps the canonical hash(vid, P) +
+    #      sorted layout (AQE off for this job — see checkpoint_leaf), and
+    #      collects the convergence metrics as observed metrics of that
+    #      same job (the one driver↔cluster scalar readback per superstep,
+    #      SURVEY.md §4.9 — an explicit stats job measured 0.6-1.9 s extra
+    #      per superstep);
+    #   2. free the PREVIOUS generation's checkpoint blocks explicitly.
     # No persist/unpersist anywhere: a non-cascading uncache lazily
     # invalidates dependent cache entries (full-recompute trap), and
     # relying on ContextCleaner for checkpoint blocks lets dozens of |V|-
@@ -293,8 +297,15 @@ def iterate(
     done = False
     while it < max_iters and not done:
         t0 = time.perf_counter()
-        new_state = checkpoint_leaf(step(prev, it), relayout=False)
-        row = stats_fn(prev, new_state).collect()[0].asDict()
+        out = step(prev, it)
+        obs = None
+        if stats_cols is not None:
+            obs = Observation(f"superstep_stats_i{it}")
+            out = out.observe(obs, *stats_cols)
+        new_state = checkpoint_leaf(out, relayout=False)
+        row = dict(obs.get) if obs is not None else {}
+        if stats_fn is not None:
+            row.update(stats_fn(prev, new_state).collect()[0].asDict())
         stats = {k: (None if v is None else float(v)) for k, v in row.items()}
         it += 1
         done = converged(stats)
