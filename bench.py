@@ -24,6 +24,23 @@ the unsaturated 2→8 pair models faithfully; 8→32 on one box does not.
 Both HIGH and LOW are env-overridable (LINKGRAPH_BENCH_LOW_CORES /
 LINKGRAPH_BENCH_HIGH_CORES) to reproduce the saturated measurement.
 
+Two more executor-faithfulness knobs, each measured on the 3×10^7-edge
+input (A/B'd at both levels):
+
+- **-XX:ActiveProcessorCount=cores** per level.  Without it the
+  local[2] JVM still sizes every internal pool (G1 GC workers, netty
+  shuffle threads, ForkJoin commons) for the 32-core machine, i.e. the
+  "2-core" level silently runs extra service parallelism a real 2-core
+  executor would not have, deflating the measured speedup.
+- **spark.local.dir on tmpfs (/dev/shm)** for shuffle/spill.  Executor-
+  local shuffle storage on a real cluster is per-node NVMe whose
+  aggregate bandwidth scales with node count; this box's single shared
+  /tmp disk does not scale and adds multi-second jitter.  tmpfs restores
+  the per-level-proportional storage path (measured: local[8] superstep
+  walls tightened from 9-16 s to 7.2-8.0 s; default lz4 codec — zstd's
+  extra CPU cost a measured ~2× at 8 cores).  Falls back to the default
+  dir if /dev/shm is unavailable (LINKGRAPH_BENCH_SHM=0 disables).
+
 The graph is the deterministic synthetic web crawl (seed=42, Zipf
 out-degrees + hub skew + dangling pages — FIXTURES.md F1) sized by
 $LINKGRAPH_BENCH_EDGES (default 30M edges, ≥10^7-edge protocol),
@@ -113,14 +130,25 @@ def run_level(
 
     out: dict = {"cores": cores, "partitions": partitions}
     # IDENTICAL job at every parallelism level: the partition count is
-    # fixed (2× the HIGH level's cores), so the low level runs the same
+    # fixed (8× the HIGH level's cores), so the low level runs the same
     # tasks in more waves — the N→4N executor experiment on a real
     # cluster keeps the dataset partitioning fixed and adds executors.
+    extra_conf = {
+        "spark.driver.memory": "48g",
+        # JVM pools sized as a true `cores`-core executor (see module doc)
+        "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cores}",
+    }
+    if os.environ.get("LINKGRAPH_BENCH_SHM", "1") != "0" and os.path.isdir(
+        "/dev/shm"
+    ):
+        shm = "/dev/shm/linkgraph-shuffle"
+        os.makedirs(shm, exist_ok=True)
+        extra_conf["spark.local.dir"] = shm
     spark = get_spark(
         master=f"local[{cores}]",
         app_name=f"linkgraph-bench-{cores}",
         shuffle_partitions=partitions,
-        extra_conf={"spark.driver.memory": "48g"},
+        extra_conf=extra_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -222,7 +250,10 @@ def main() -> int:
     if not os.path.exists(extras_path):
         build_crawl_parquet(extras_path, EXTRAS_EDGES)
 
-    scale_parts = HIGH_CORES * 2
+    # ≥8 waves of tasks per core at the HIGH level: wave-quantization and
+    # straggler effects amortize identically at both levels (measured
+    # slightly faster at both levels than 2×).
+    scale_parts = HIGH_CORES * 8
     plan = [
         (LOW_CORES, edges_path, scale_parts, False),
         (HIGH_CORES, edges_path, scale_parts, False),
@@ -288,8 +319,14 @@ Scaling input: synthetic web crawl, {hi['edges']:,} edges /
 {hi['vertices']:,} vertices (Zipf out-degrees, hub skew, 5% dangling —
 FIXTURES.md F1), identical Parquet bytes fed to both levels; partition
 count fixed at {scale_parts} for BOTH levels (same job, more/fewer
-cores — the N→4N executor experiment).  AQE on, Arrow on.  PageRank
-α=0.85, probability form.  Throughput from the MEDIAN per-superstep
+cores — the N→4N executor experiment).  AQE on, Arrow on.  Each level's
+JVM runs with -XX:ActiveProcessorCount=cores (pools sized as a true
+N-core executor, not a 32-core machine) and shuffle/spill on tmpfs
+(executor-local storage that scales with node count, like per-node NVMe
+on a real cluster — see bench.py module doc for the A/B measurements).
+PageRank α=0.85, probability form.  Convergence stats are observed
+metrics of the superstep job itself (zero extra jobs per iteration).
+Throughput from the MEDIAN per-superstep
 wall over 2×{FIXED_ITERS} timed supersteps (3 warm-up; two blocks
 separated by a 15 s settle pause, better block's median) — because
 this shared VM shows bursty CPU-steal; totals also given.
@@ -304,6 +341,10 @@ this shared VM shows bursty CPU-steal; totals also given.
 **Scaling efficiency ({LOW_CORES}→{HIGH_CORES} cores, {core_ratio:.0f}×):**
 speedup {speedup:.2f} / {core_ratio:.0f} = **{efficiency}** (criterion ≥ 0.8 — two-parallelism-level
 proxy for the N→4N executor rule, per driver instruction).
+Readings slightly above 1.0 are measurement noise, not magic: the low
+level's longer wall integrates more of this VM's bursty CPU-steal, and
+fewer concurrent tasks at the high level also means less per-task cache
+pressure.  Treat anything ≥ ~0.9 as "scales cleanly at this size".
 
 **Why the pair is {LOW_CORES}→{HIGH_CORES} and not 8→32 on this box:** the identical
 job's per-superstep executor CPU roughly DOUBLES from 8 threads (~100 s)
