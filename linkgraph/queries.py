@@ -362,7 +362,7 @@ GROUP BY sh.doc_id, seeds.seed ORDER BY sh.doc_id, seed
 JACCARD_SQL = f"""
 WITH {DOCS2_SQL.strip()},
 {_DUCK_SHINGLES.strip()},
-small AS (SELECT * FROM sh WHERE doc_id < 100),
+small AS (SELECT * FROM sh WHERE doc_id % 1000000 < 100),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM small GROUP BY doc_id),
 common AS (
   SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
@@ -671,7 +671,10 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.textops.dedup import jaccard_pairs
 
-    docs = _docs2(spark, sf_dir).where(F.col("doc_id") < 100)
+    # % 1000000 keeps the docs2 duplicate copies (doc_id + 1000000) in
+    # range, so the exact-duplicate pairs (k, k+1000000) surface with
+    # jaccard 1.0 — a non-empty, deterministic result to hash-compare.
+    docs = _docs2(spark, sf_dir).where((F.col("doc_id") % 1000000) < 100)
     return jaccard_pairs(docs, threshold=0.05, max_df=None).select(
         "a", "b", F.round("jaccard", 6).alias("jaccard6")
     )
