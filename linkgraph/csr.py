@@ -18,13 +18,17 @@ Two physical modes, chosen by |V| (both end in the same shuffle-reduce):
   ZERO join and ZERO shuffle of edges, computes ``contrib[src]`` by NumPy
   fancy-indexing (the gather), combines per destination inside the batch
   via ``np.unique`` + ``np.bincount`` (the scatter+map-side combine), and
-  emits compact ``(dst, partial)`` rows.  On a real cluster this is an
-  executor-side torrent broadcast of 8·|V| bytes — viable to ~10^8
-  vertices per the usual broadcast budget.
+  emits compact ``(dst, partial)`` rows.  The vector build is a SERIAL
+  driver collect + torrent broadcast per call, so this mode only wins
+  for small vertex sets (see ``BROADCAST_MAX_VERTICES``); each call
+  destroys the previous call's vector (callers must materialize one
+  result before requesting the next — the superstep runtime does).
 
-- **join** (|V| beyond broadcast): gather by equi-join on ``src`` (only
-  the |V|-sized contrib side shuffles — edges reuse their persisted
-  HashPartitioning), then the same Arrow batch scatter-combine.
+- **join** (the scale path, default beyond the threshold): gather by
+  equi-join on ``src``.  With the superstep runtime's co-partitioned
+  state this join is EXCHANGE-FREE (edges reuse their persisted
+  HashPartitioning; contrib is a narrow projection of the hash(vid, P)
+  checkpoint leaf), then the same Arrow batch scatter-combine.
 
 The map-side combine is the skew treatment here: a hub destination
 appears at most once **per Arrow batch** in the UDF output (≤ P·batches
@@ -44,9 +48,20 @@ from pyspark.sql import functions as F
 
 from linkgraph.graph import Graph
 
-# Above this vertex count the dense contrib vector is no longer a sane
-# broadcast (8 bytes/vertex ⇒ 10^8 vertices ≈ 800 MB); fall back to join.
-BROADCAST_MAX_VERTICES = 50_000_000
+# Broadcast mode pays a SERIAL per-call cost (driver collect of |V| rows
+# + torrent broadcast) that join mode does not: with the superstep
+# runtime's co-partitioned state, the join-mode gather is already
+# exchange-free, so broadcast only wins while the collect is trivially
+# cheap.  Measured at 10^7 vertices / 3×10^7 edges (local[8]): join mode
+# 11.1 s/call flat; broadcast mode degraded 13 → 61 s/call before stale-
+# broadcast cleanup, ~13 s after — hence the small threshold.
+BROADCAST_MAX_VERTICES = 2_000_000
+
+# Stale-broadcast registry: the superstep contract materializes each
+# call's result before the next call, so the previous vector can be
+# destroyed then (a PageRank run otherwise accumulates one 8·|V|-byte
+# broadcast per iteration — measured multi-GB leak + GC churn).
+_live_broadcasts: list = []
 
 def _make_combiner():
     """Map-side combine: sum values per distinct dst (vectorized).
@@ -87,11 +102,17 @@ def spmv_contrib_sums(
         )
 
     if mode == "broadcast":
+        while _live_broadcasts:
+            try:
+                _live_broadcasts.pop().destroy(blocking=False)
+            except Exception:
+                pass
         pdf = contrib.toPandas()
         size = int(graph.max_vid) + 1
         vec = np.zeros(size, dtype=np.float64)
         vec[pdf["vid"].to_numpy()] = pdf["contrib"].to_numpy()
         bc = graph.spark.sparkContext.broadcast(vec)
+        _live_broadcasts.append(bc)
 
         combine = _make_combiner()
 

@@ -60,6 +60,13 @@ class Graph:
 
         Reference analog: ``csr_t::from_coo`` + ``graph::build`` (sort +
         dedupe + offsets — SURVEY.md §2.2 I3/I4).
+
+        ``num_partitions`` defaults to — and for exchange-free supersteps
+        MUST equal — the session's ``spark.sql.shuffle.partitions``: the
+        superstep runtime's state leaves and every step-output exchange
+        use that count, so a graph partitioned differently forces
+        Catalyst to re-exchange one side of every superstep join
+        (tests/test_plans.py guards the matched case).
         """
         spark = edges.sparkSession
         if num_partitions is None:

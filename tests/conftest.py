@@ -54,3 +54,8 @@ def crawl_graph(spark):
     return Graph.from_edges(
         edges_df(spark, synthetic_crawl(500)), num_partitions=8
     )
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return "/root/testdata/sf0.001"

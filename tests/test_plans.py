@@ -1,0 +1,107 @@
+"""Physical-plan regression tests (SURVEY.md §4: the scale contract).
+
+These don't test values — they test that Catalyst plans the superstep the
+way the 100 TB design requires: one live shuffle per superstep, both
+|V|-sized join inputs streamed (never broadcast), persisted edges reused,
+parquet scans pruned.  A change that silently re-introduces a
+per-superstep exchange fails here at fixture scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from linkgraph.graph import Graph
+from linkgraph.operators.neighbor_reduce import neighbor_reduce
+from linkgraph.plans import assert_superstep_plan, formatted_plan, live_tree
+from linkgraph.superstep import strip_origin_stats
+
+
+@pytest.fixture(scope="module")
+def plan_graph(spark):
+    """Graph partitioned to EXACTLY spark.sql.shuffle.partitions.
+
+    The exchange-free-superstep contract (graph.py docstring) requires
+    the graph's partition count to match the session's shuffle
+    partitions — Graph.from_edges' default.  A mismatched count (e.g. a
+    4-partition graph on an 8-shuffle-partition session) makes Catalyst
+    re-exchange one side of every superstep join.
+    """
+    from linkgraph.fixtures import chesapeake_edges
+    from tests.conftest import edges_df
+
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return Graph.from_edges(
+        edges_df(spark, chesapeake_edges()), num_partitions=parts
+    )
+
+
+def _state_leaf(spark, g, parts):
+    n = g.num_vertices
+    init = (
+        g.vertices.select("vid", F.lit(1.0 / n).alias("rank"))
+        .join(g.out_degrees, "vid", "left")
+        .repartition(parts, "vid")
+        .sortWithinPartitions("vid")
+    )
+    return strip_origin_stats(
+        init.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def test_pagerank_superstep_single_live_shuffle(spark, plan_graph):
+    g = plan_graph
+    parts = g.num_partitions
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        state = _state_leaf(spark, g, parts)
+        contrib = state.where(F.col("outdeg").isNotNull()).select(
+            "vid", (F.col("rank") / F.col("outdeg")).alias("contrib")
+        )
+        sums = neighbor_reduce(
+            g.edges, contrib, F.col("contrib"), op="sum", out="msum"
+        )
+        superstep = state.join(sums.hint("merge"), "vid", "left").select(
+            "vid",
+            (F.lit(0.15 / g.num_vertices) + 0.85 * F.coalesce("msum", F.lit(0.0))).alias("rank"),
+            "outdeg",
+        )
+        live = assert_superstep_plan(superstep, max_exchanges=1)
+        # the one Exchange is the message reduce, wrapped by partial+final
+        # hash aggregation (map-side combine = the hub-skew bound)
+        assert len(re.findall(r"HashAggregate", live)) >= 2, live
+        # both joins stream: sort-merge against the persisted edges cache
+        assert "SortMergeJoin" in live, live
+        assert "InMemoryTableScan" in live, live
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_gather_join_is_exchange_free_on_edges(spark, plan_graph):
+    """The |E|-sized edges side must never re-shuffle for the gather."""
+    g = plan_graph
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        state = _state_leaf(spark, g, g.num_partitions)
+        contrib = state.select("vid", F.col("rank").alias("contrib"))
+        gathered = g.edges.join(
+            contrib.withColumnRenamed("vid", "src").hint("merge"), "src"
+        )
+        live = live_tree(formatted_plan(gathered))
+        assert len(re.findall(r"\bExchange\b", live)) == 0, live
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_parquet_scan_pushdown(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.where(F.col("lang") == "en").select("doc_id", "lang")
+    plan = formatted_plan(q)
+    assert "PushedFilters: [" in plan and "IsNotNull(lang)" in plan, plan
+    assert re.search(r"ReadSchema: struct<doc_id:\w+,lang:string>", plan), plan
