@@ -77,12 +77,18 @@ class Graph:
         )
         if drop_self_loops:
             e = e.where(F.col("src") != F.col("dst"))
+        # Order matters: repartition FIRST, then dropDuplicates, then the
+        # narrow sort.  HashPartitioning(src) satisfies the distinct's
+        # ClusteredDistribution([src, dst]) (src ⊆ keys — every copy of an
+        # edge shares its src), so Catalyst plans the dedupe as a hash
+        # aggregate over the already-partitioned data with NO second
+        # exchange, and the output keeps hash(src, P).  The old
+        # dropDuplicates-then-repartition order cost two full |E| shuffles
+        # — the dominant graph-build cost at 10^8 edges.
+        e = e.repartition(num_partitions, "src")
         if dedupe:
-            # dropDuplicates is a hash agg on (src, dst); its shuffle also
-            # serves as the partitioning shuffle when followed by the
-            # repartition on src (AQE coalesces, no extra full pass).
             e = e.dropDuplicates(["src", "dst"])
-        e = e.repartition(num_partitions, "src").sortWithinPartitions("src", "dst")
+        e = e.sortWithinPartitions("src", "dst")
         g = cls(e, num_partitions)
         if persist:
             g.edges = g.edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -172,14 +178,16 @@ class Graph:
         (SURVEY.md §2.2 I1).  Used by CC / LP / TC, which are defined on the
         undirected graph.
         """
+        # repartition → distinct → narrow sort: one 2|E| shuffle (see
+        # from_edges — hash(src, P) satisfies the distinct's distribution)
         e = (
             self.edges.unionAll(
                 self.edges.select(
                     F.col("dst").alias("src"), F.col("src").alias("dst")
                 )
             )
-            .dropDuplicates(["src", "dst"])
             .repartition(self.num_partitions, "src")
+            .dropDuplicates(["src", "dst"])
             .sortWithinPartitions("src", "dst")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -193,13 +201,15 @@ class Graph:
         Used by triangle counting (each undirected edge appears exactly
         once, oriented low→high id — SURVEY.md §2.3 A4).
         """
+        # repartition → distinct: one shuffle (see from_edges)
         e = (
             self.edges.select(
                 F.least("src", "dst").alias("src"),
                 F.greatest("src", "dst").alias("dst"),
             )
-            .dropDuplicates(["src", "dst"])
             .repartition(self.num_partitions, "src")
+            .dropDuplicates(["src", "dst"])
+            .sortWithinPartitions("src", "dst")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         self._persisted.append(e)
