@@ -76,6 +76,19 @@ docs2 AS (
 )
 """
 
+# synthesized near-duplicate embedding corpus: the driver's embeddings are
+# near-orthogonal random vectors (max natural pairwise cosine ≈ 0.513 at
+# sf0.01), so exact copies are planted to make the near-dup queries
+# non-vacuous; threshold 0.45 also keeps 14 natural pairs (none within
+# 1e-4 of the threshold — no float-boundary flakiness between engines)
+EMB2_SQL = """
+emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0
+)
+"""
+
 
 def _load(spark: SparkSession, sf_dir: str, *tables: str) -> None:
     for t in tables:
@@ -829,6 +842,100 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, queries, dim=dim, k=10)
 
 
+def _emb2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "embeddings")
+    return spark.sql(
+        f"WITH {EMB2_SQL.strip()} SELECT vec_id, embedding FROM emb2"
+    )
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — exact all-pairs baseline."""
+    from linkgraph.textops.ann import exact_near_duplicates
+
+    return exact_near_duplicates(_emb2(spark, sf_dir), threshold=0.45).select(
+        "a", "b", F.round("cosine", 5).alias("cosine5")
+    )
+
+
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (LSH candidate generation is approximate by
+    construction; its recall vs the exact baseline is pinned by
+    tests/test_ann.py).  This is the 100 TB scale path: candidates come
+    from hyperplane-LSH bucket equi-joins, never an all-pairs join."""
+    from linkgraph.textops.ann import embedding_near_duplicates
+
+    emb2 = _emb2(spark, sf_dir)
+    dim = len(emb2.select("embedding").first()[0])
+    return embedding_near_duplicates(emb2, dim=dim, threshold=0.45).select(
+        "a", "b", F.round("cosine", 5).alias("cosine5")
+    )
+
+
+def _media_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multimodal fixture: each document becomes an opaque
+    binary payload (its utf-8 text bytes) with typed metadata; kind
+    cycles image/audio/video by doc_id so every branch is exercised."""
+    _load(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return spark.table("documents").select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.concat(F.lit("application/x-"), kind).alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extraction plumbing over binary payloads (one
+    Arrow pass).  The decoded feature vector is the stubbed step (no
+    codec libs in-container) and is dropped here; the SQL-checkable
+    outputs — sizes and digests computed inside the same Arrow pass —
+    prove the batch plumbing end-to-end."""
+    from linkgraph.textops.multimodal import extract_media_features
+
+    return extract_media_features(_media_from_docs(spark, sf_dir), dim=8).select(
+        "media_id", "kind", "n_bytes", "digest"
+    )
+
+
+def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (which frames WOULD be decoded)."""
+    from linkgraph.textops.multimodal import frame_sample_plan
+
+    return frame_sample_plan(
+        _media_from_docs(spark, sf_dir), every_n=10, max_frames=8
+    ).select("media_id", F.col("frame_index").cast("long").alias("frame_index"))
+
+
+NEARDUP_SQL = f"""
+WITH {EMB2_SQL.strip()},
+n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM emb2)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       ROUND(list_cosine_similarity(x.v, y.v), 5) AS cosine5
+FROM n x JOIN n y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.v, y.v) >= 0.45
+ORDER BY a, b
+"""
+
+MEDIA_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents ORDER BY media_id
+"""
+
+MEDIA_FRAME_PLAN_SQL = """
+SELECT d.doc_id AS media_id, CAST(gs.generate_series AS BIGINT) AS frame_index
+FROM documents d CROSS JOIN generate_series(0, 70, 10) gs
+WHERE d.doc_id % 3 = 2
+ORDER BY media_id, frame_index
+"""
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edge_build": q_edge_build,
     "degrees": q_degrees,
@@ -861,6 +968,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "doc_fingerprint": q_fingerprint,
     "lsh_ann": q_lsh_ann,
+    "embed_neardup": q_embed_neardup,
+    "embed_neardup_lsh": q_embed_neardup_lsh,
+    "media_features": q_media_features,
+    "media_frame_plan": q_media_frame_plan,
 }
 
 ORACLES: dict[str, str] = {
@@ -892,6 +1003,10 @@ ORACLES: dict[str, str] = {
     "events_daily": EVENTS_DAILY_SQL,
     "events_json": EVENTS_JSON_SQL,
     "lineitem_pricing": LINEITEM_PRICING_SQL,
-    # simhash / doc_fingerprint / lsh_ann: intentionally no oracle →
-    # rows-only check (non-SQL-expressible bit/byte/hyperplane math)
+    # simhash / doc_fingerprint / lsh_ann / embed_neardup_lsh:
+    # intentionally no oracle → rows-only check (non-SQL-expressible
+    # bit/byte/hyperplane math; LSH candidate sets are approximate)
+    "embed_neardup": NEARDUP_SQL,
+    "media_features": MEDIA_FEATURES_SQL,
+    "media_frame_plan": MEDIA_FRAME_PLAN_SQL,
 }

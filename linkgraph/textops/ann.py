@@ -195,6 +195,40 @@ def lsh_cosine_topk(
     )
 
 
+def exact_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact corpus near-dup pairs ``(a, b, cosine)`` with cosine ≥ threshold.
+
+    All-pairs self-join (a < b) with the cosine expressed in built-in
+    higher-order functions — JVM-side, no Python.  This is the |N|²·d
+    exact BASELINE (correctness twin of a SQL oracle); the 100 TB scale
+    path is :func:`embedding_near_duplicates`, which generates candidates
+    through LSH buckets and only scores within-bucket pairs.
+    """
+    v = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    va = v.select(F.col("_id").alias("a"), F.col("_v").alias("_va"))
+    vb = v.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))
+    return (
+        va.join(vb, F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     dim: int,

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from linkgraph.textops.ann import (
     cosine_topk,
     embedding_near_duplicates,
+    exact_near_duplicates,
     lsh_cosine_topk,
 )
 
@@ -77,6 +78,34 @@ def test_embedding_near_duplicates(spark):
     # no false positives among random pairs at this threshold
     for a, b in pairs - want:
         assert a >= 40 or b >= 40 or abs(a - b) >= 0  # sanity only
+
+
+def test_exact_near_duplicates_matches_numpy(spark):
+    df, mat = _emb_df(spark, n=40, planted_pairs=4)
+    thr = 0.6
+    got = {
+        (r.a, r.b): r.cosine
+        for r in exact_near_duplicates(df, threshold=thr).collect()
+    }
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    want = {
+        (a, b): sims[a, b]
+        for a in range(len(mat))
+        for b in range(a + 1, len(mat))
+        if sims[a, b] >= thr
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+    # the exact baseline is a superset of any LSH candidate pass
+    lsh = {
+        (r.a, r.b)
+        for r in embedding_near_duplicates(
+            df, dim=DIM, threshold=thr, num_tables=8, bits_per_table=4
+        ).collect()
+    }
+    assert lsh <= set(got)
 
 
 def test_lsh_recall_vs_bruteforce(spark):
