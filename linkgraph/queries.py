@@ -842,6 +842,23 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, queries, dim=dim, k=10)
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (IVF cell assignment is approximate at
+    nprobe < n_cells; recall vs the exact baseline — and exact equality
+    at full probe — are pinned by tests/test_ann.py).  Scale path:
+    centroids train on a bounded driver-side sample, candidates come
+    from a cell-key equi-join, never corpus×corpus."""
+    from linkgraph.textops.ann import ivf_cosine_topk
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return ivf_cosine_topk(emb, queries, dim=dim, k=10, n_cells=16, nprobe=4)
+
+
 def _emb2(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "embeddings")
     return spark.sql(
@@ -968,6 +985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "doc_fingerprint": q_fingerprint,
     "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
     "embed_neardup": q_embed_neardup,
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "media_features": q_media_features,
@@ -1003,9 +1021,9 @@ ORACLES: dict[str, str] = {
     "events_daily": EVENTS_DAILY_SQL,
     "events_json": EVENTS_JSON_SQL,
     "lineitem_pricing": LINEITEM_PRICING_SQL,
-    # simhash / doc_fingerprint / lsh_ann / embed_neardup_lsh:
+    # simhash / doc_fingerprint / lsh_ann / ivf_ann / embed_neardup_lsh:
     # intentionally no oracle → rows-only check (non-SQL-expressible
-    # bit/byte/hyperplane math; LSH candidate sets are approximate)
+    # bit/byte/hyperplane math; LSH/IVF candidate sets are approximate)
     "embed_neardup": NEARDUP_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "media_frame_plan": MEDIA_FRAME_PLAN_SQL,

@@ -13,6 +13,13 @@
   hash-partitioned equi-join on the bucket key.
 - :func:`embedding_near_duplicates` — corpus near-dup pairs with
   cosine ≥ threshold via the same LSH bucketing (never all-pairs).
+- :func:`ivf_cosine_topk` — IVF (inverted-file) ANN: seeded k-means
+  centroids trained on a deterministic hash-sample collected to the
+  driver (bounded — the FAISS training discipline), broadcast back;
+  corpus assignment is one Arrow pass; queries probe their ``nprobe``
+  nearest cells, candidates come from a cell-key equi-join, exact
+  cosine re-ranks.  Complement to LSH: recall is tunable by nprobe
+  without re-hashing the corpus.
 """
 
 from __future__ import annotations
@@ -165,6 +172,152 @@ def lsh_cosine_topk(
     ).withColumnRenamed("vec_id", "query_id")
     cand = (
         query_b.join(corpus_b, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    cv = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    seed: int = 42,
+    train_size: int = 4096,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Seeded Lloyd k-means on a bounded, deterministic training sample.
+
+    The sample is hash-selected (``pmod(xxhash64(id), M) == 0``) so it is
+    stable under repartitioning and parallelism level, then collected to
+    the driver — at most ``train_size`` rows regardless of corpus size,
+    the same train-on-a-sample discipline FAISS uses for IVF.  Centroids
+    are L2-normalized (spherical k-means) because downstream scoring is
+    cosine.  Returns a ``(n_cells, dim)`` float64 array.
+    """
+    n = embeddings.count()
+    if n == 0:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
+    mod = max(1, n // train_size)
+    sample = (
+        embeddings.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
+        )
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(train_size)
+        .collect()
+    )
+    mat = np.array([r._v for r in sample], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    k = min(n_cells, len(mat))
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def ivf_assign_cells(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, cell)`` rows: each vector's ``nprobe`` nearest centroids
+    by cosine — one broadcast + one Arrow pass, linear in corpus size."""
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    p = nprobe
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        C = bc.value
+        top = min(p, len(C))
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                continue
+            mat = np.array(batch.column(1).to_pylist(), dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ C.T  # (n, k)
+            cells = np.argsort(-sims, axis=1)[:, :top]  # (n, top)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, top), type=pa.int64()),
+                    pa.array(cells.ravel().astype(np.int64), type=pa.int64()),
+                ],
+                names=["vec_id", "cell"],
+            )
+
+    return embeddings.select(
+        F.col(id_col).cast("long"), F.col(vec_col)
+    ).mapInArrow(run, schema="vec_id long, cell long")
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via IVF: same output shape as :func:`cosine_topk`.
+
+    Corpus vectors live in exactly one cell; queries probe ``nprobe``
+    cells, so candidate generation is one hash-partitioned equi-join on
+    the cell key (quadratic only within probed cells).  Recall rises
+    monotonically with nprobe and hits 1.0 at nprobe == n_cells (then it
+    IS the exact baseline, just pre-partitioned).
+    """
+    centroids = train_ivf_centroids(
+        embeddings, dim, n_cells=n_cells, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    corpus_cells = ivf_assign_cells(
+        embeddings, centroids, nprobe=1, id_col=id_col, vec_col=vec_col
+    )
+    query_cells = ivf_assign_cells(
+        queries, centroids, nprobe=nprobe, id_col=query_id_col, vec_col=vec_col
+    ).withColumnRenamed("vec_id", "query_id")
+    cand = (
+        query_cells.join(corpus_cells, "cell")
         .where(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])

@@ -122,3 +122,51 @@ def test_lsh_recall_vs_bruteforce(spark):
     }
     recall = len(bf & ap) / len(bf)
     assert recall >= 0.5, recall  # random data is LSH-hostile; bound is loose
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    from linkgraph.textops.ann import ivf_cosine_topk
+
+    df, _ = _emb_df(spark, n=60, planted_pairs=0)
+    queries = df.where("vec_id < 6").selectExpr("vec_id as query_id", "embedding")
+    bf = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in cosine_topk(df, queries, k=5).collect()
+    }
+    # nprobe == n_cells → every cell probed → IVF IS the exact baseline
+    full = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in ivf_cosine_topk(
+            df, queries, dim=DIM, k=5, n_cells=8, nprobe=8
+        ).collect()
+    }
+    assert full == bf
+
+
+def test_ivf_recall_on_clustered_corpus(spark):
+    from linkgraph.textops.ann import ivf_cosine_topk
+
+    # clustered data (IVF's home turf): 4 well-separated centers + noise
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, DIM)) * 6
+    vecs = np.concatenate(
+        [c + rng.standard_normal((30, DIM)) * 0.5 for c in centers]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.where("vec_id % 30 = 0").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    bf = {
+        (r.query_id, r.vec_id) for r in cosine_topk(df, queries, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in ivf_cosine_topk(
+            df, queries, dim=DIM, k=5, n_cells=8, nprobe=3
+        ).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.9, recall

@@ -45,3 +45,36 @@ def test_value_matrix(spark, tmp_path):
         )
     rows = {(r.src, r.dst, r.weight) for r in read_mtx(spark, p).collect()}
     assert rows == {(0, 1, 0.5), (1, 2, 1.5)}
+
+
+def test_read_smtx_roundtrip(spark, tmp_path):
+    """smtx (CSR-as-text, reference I2) expands to the same COO edge set."""
+    import numpy as np
+
+    from linkgraph.io.smtx import read_smtx_local
+
+    rng = np.random.default_rng(3)
+    nrows, ncols = 12, 12
+    dense = rng.random((nrows, ncols)) < 0.25
+    offsets = np.concatenate([[0], np.cumsum(dense.sum(axis=1))])
+    cols = np.concatenate([np.flatnonzero(row) for row in dense])
+    p = os.path.join(str(tmp_path), "g.smtx")
+    with open(p, "w") as f:
+        f.write(f"{nrows}, {ncols}, {int(offsets[-1])}\n")
+        f.write(" ".join(str(int(x)) for x in offsets) + "\n")
+        f.write(" ".join(str(int(x)) for x in cols) + "\n")
+    got = {(r.src, r.dst) for r in read_smtx_local(spark, p).collect()}
+    want = {(int(i), int(j)) for i, j in zip(*np.nonzero(dense))}
+    assert got == want
+
+
+def test_read_smtx_rejects_malformed(spark, tmp_path):
+    import pytest
+
+    from linkgraph.io.smtx import read_smtx_local
+
+    p = os.path.join(str(tmp_path), "bad.smtx")
+    with open(p, "w") as f:
+        f.write("2, 2, 3\n0 1 3\n0 1\n")  # cols line shorter than nnz
+    with pytest.raises(ValueError):
+        read_smtx_local(spark, p)
