@@ -1,0 +1,139 @@
+"""Incremental page ingestion via Structured Streaming.
+
+The reference is batch-iterative — upstream essentials has no streaming
+operator (SURVEY.md §2.5), and the graft's resumability rule is met by
+batch checkpoint epochs (linkgraph.superstep).  This module is the
+engine-side extension a continuously crawled corpus needs: new WARC page
+snapshots land as Parquet files under a directory; a stream turns each
+micro-batch into edge rows using the SAME deterministic extraction as
+the batch front end (linkgraph.extract — so the byte-identical-text
+invariant holds identically on both paths), with exactly-once file
+processing guaranteed by the stream checkpoint.
+
+Design for scale (and its honest limits):
+
+- **Extraction is stateless**, so ``mapInArrow`` + ``explode`` run
+  unchanged on the streaming DataFrame — one Arrow pass per micro-batch,
+  no per-row Python, identical code path to batch.
+- **Latest-snapshot-per-url is NOT resolved in the stream.**  The batch
+  front end uses a full window over all captures (extract.py); a stream
+  can only dedup within its watermark horizon.  The sink therefore
+  stores ``(src_url, dst_url, warc_ts)`` per capture — append-only, the
+  only write mode that scales — and :func:`compact_link_log` resolves
+  latest-wins semantics in batch when the graph is (re)built.  This is
+  the standard streaming-append + periodic-compaction pattern; doing the
+  dedup in-stream would require unbounded state.
+- **Late data**: windowed link-rate monitoring uses an event-time
+  watermark on ``warc_ts`` so state is bounded; captures later than the
+  allowed lateness are dropped from the monitoring aggregate (never from
+  the link log, which is append-only and complete).
+- ``trigger(availableNow=True)`` drains everything new and stops —
+  the incremental-batch operating mode (cron-style re-runs), each run
+  picking up exactly the files not yet in the checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from linkgraph.extract import extract_pages
+from linkgraph.types import PAGES_SCHEMA
+
+LINK_LOG_SCHEMA = "src_url string, dst_url string, warc_ts timestamp"
+
+
+def stream_pages(spark: SparkSession, pages_dir: str, **options) -> DataFrame:
+    """readStream over a directory of page-snapshot Parquet files.
+
+    Schema is pinned (PAGES_SCHEMA) — no inference on the hot path.
+    ``maxFilesPerTrigger`` etc. pass through via ``options``.
+    """
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.parquet(pages_dir)
+
+
+def stream_link_log(pages_stream: DataFrame) -> DataFrame:
+    """Streaming pages → append-only link log (src_url, dst_url, warc_ts).
+
+    Same extraction pass as the batch front end; per-capture rows (the
+    latest-snapshot resolution happens at compaction, see module doc).
+    Self-links are dropped; within-page duplicate hrefs are collapsed
+    per capture (a narrow, per-row ``array_distinct`` — no state).
+    """
+    extracted = extract_pages(pages_stream)
+    return (
+        extracted.select(
+            F.col("url").alias("src_url"),
+            "warc_ts",
+            F.explode(F.array_distinct("links")).alias("dst_url"),
+        )
+        .where(F.col("src_url") != F.col("dst_url"))
+        .select("src_url", "dst_url", "warc_ts")
+    )
+
+
+def run_ingest(
+    spark: SparkSession,
+    pages_dir: str,
+    link_log_dir: str,
+    checkpoint_dir: str,
+    **read_options,
+) -> None:
+    """Drain all unprocessed page files into the link log, then stop.
+
+    Exactly-once per source file via the stream checkpoint: re-running
+    with the same ``checkpoint_dir`` processes only files not yet seen;
+    a run with nothing new appends nothing.
+    """
+    q = (
+        stream_link_log(stream_pages(spark, pages_dir, **read_options))
+        .writeStream.format("parquet")
+        .option("path", link_log_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def compact_link_log(link_log: DataFrame) -> DataFrame:
+    """Batch latest-wins compaction: the edge set of each src's newest capture.
+
+    A page recrawled at T2 replaces its T1 out-links entirely (links
+    removed from the page disappear from the graph).  Implemented as the
+    same window discipline as the batch front end's snapshot dedup.
+    """
+    latest = link_log.groupBy("src_url").agg(F.max("warc_ts").alias("_latest"))
+    return (
+        link_log.join(latest, "src_url")
+        .where(F.col("warc_ts") == F.col("_latest"))
+        .select("src_url", "dst_url")
+        .dropDuplicates(["src_url", "dst_url"])
+    )
+
+
+def windowed_link_rates(
+    pages_stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed crawl monitoring: links extracted per window.
+
+    Watermark on ``warc_ts`` bounds aggregation state; captures arriving
+    later than ``watermark`` past the max seen event time are dropped
+    from this aggregate (the link log itself is append-only and keeps
+    them).  Returns ``(window, pages, links)``.
+    """
+    extracted = extract_pages(pages_stream)
+    return (
+        extracted.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window_duration).alias("window"))
+        .agg(
+            F.count("*").alias("pages"),
+            F.sum(F.size("links")).alias("links"),
+        )
+    )

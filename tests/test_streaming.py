@@ -1,0 +1,106 @@
+"""Structured Streaming ingest: exactly-once drain, batch parity, windows."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from linkgraph.extract import pages_to_edge_urls
+from linkgraph.fixtures import pages_corpus
+from linkgraph.streaming import (
+    compact_link_log,
+    run_ingest,
+    stream_pages,
+    windowed_link_rates,
+)
+from linkgraph.types import PAGES_SCHEMA
+
+LINK_LOG_SCHEMA = "src_url string, dst_url string, warc_ts timestamp"
+
+
+def _dirs(tmp_path):
+    d = {
+        k: os.path.join(str(tmp_path), k)
+        for k in ("pages", "log", "ckpt")
+    }
+    os.makedirs(d["pages"], exist_ok=True)
+    return d["pages"], d["log"], d["ckpt"]
+
+
+def _write_batch(spark, rows, pages_dir, name):
+    spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(pages_dir)
+    _ = name
+
+
+def test_incremental_ingest_exactly_once(spark, tmp_path):
+    pages_dir, log_dir, ckpt = _dirs(tmp_path)
+    rows, _ = pages_corpus(60)
+    half = len(rows) // 2
+
+    _write_batch(spark, rows[:half], pages_dir, "b1")
+    run_ingest(spark, pages_dir, log_dir, ckpt)
+    n1 = spark.read.schema(LINK_LOG_SCHEMA).parquet(log_dir).count()
+    assert n1 > 0
+
+    # nothing new → nothing appended (checkpoint remembers the files)
+    run_ingest(spark, pages_dir, log_dir, ckpt)
+    assert spark.read.schema(LINK_LOG_SCHEMA).parquet(log_dir).count() == n1
+
+    # second wave of snapshots → only the delta is appended
+    _write_batch(spark, rows[half:], pages_dir, "b2")
+    run_ingest(spark, pages_dir, log_dir, ckpt)
+    n2 = spark.read.schema(LINK_LOG_SCHEMA).parquet(log_dir).count()
+    assert n2 > n1
+
+
+def test_compacted_log_matches_batch_front_end(spark, tmp_path):
+    """Streaming ingest + batch compaction == the batch extraction chain."""
+    pages_dir, log_dir, ckpt = _dirs(tmp_path)
+    rows, _ = pages_corpus(60)  # includes duplicate later snapshots
+    half = len(rows) // 2
+    _write_batch(spark, rows[:half], pages_dir, "b1")
+    run_ingest(spark, pages_dir, log_dir, ckpt)
+    _write_batch(spark, rows[half:], pages_dir, "b2")
+    run_ingest(spark, pages_dir, log_dir, ckpt)
+
+    log = spark.read.schema(LINK_LOG_SCHEMA).parquet(log_dir)
+    streamed = {
+        (r.src_url, r.dst_url) for r in compact_link_log(log).collect()
+    }
+    batch_df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    batch = {
+        (r.src_url, r.dst_url)
+        for r in pages_to_edge_urls(batch_df).collect()
+    }
+    assert streamed == batch
+
+
+def test_windowed_link_rates(spark, tmp_path):
+    pages_dir, _log, _ckpt = _dirs(tmp_path)
+    rows, _ = pages_corpus(40)
+    _write_batch(spark, rows, pages_dir, "b1")
+    q = (
+        windowed_link_rates(
+            stream_pages(spark, pages_dir), window_duration="7 days"
+        )
+        .writeStream.format("memory")
+        .queryName("rates")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("rates").collect()
+    assert sum(r.pages for r in got) == len(rows)
+    # window totals must equal the batch extraction's link count
+    from linkgraph.extract import extract_pages
+
+    want_links = (
+        extract_pages(spark.createDataFrame(rows, PAGES_SCHEMA))
+        .select(F.sum(F.size("links")))
+        .first()[0]
+    )
+    assert sum(r.links for r in got) == want_links
