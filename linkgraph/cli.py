@@ -10,8 +10,10 @@ Usage::
     python -m linkgraph.cli pipeline --pages pages.parquet --out /tmp/out
 
 Subcommands: pagerank | cc | labelprop | triangles | ppr | hits | bfs |
-sssp | kcore | coloring | mst | bc | pipeline (pages → edges → all four
-mandated primitives).  Reads/writes Parquet; Iceberg tables work
+sssp | kcore | coloring | mst | bc | geo | pipeline (pages → edges → all
+four mandated primitives) | ingest (incremental streaming drain of new
+page snapshots into the append-only link log, exactly-once; --compact
+also writes latest-wins url pairs).  Reads/writes Parquet; Iceberg tables work
 transparently when the catalog is configured on the session
 (``--table catalog.db.pages`` style paths via ``spark.read.table``).
 """
@@ -37,9 +39,12 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "pagerank", "cc", "labelprop", "triangles", "pipeline",
             "ppr", "hits", "bfs", "sssp", "kcore", "coloring", "mst", "bc",
-            "geo",
+            "geo", "ingest",
         ],
     )
+    ap.add_argument("--compact", action="store_true",
+                    help="ingest: also write latest-wins compacted url "
+                         "pairs to <out>/pairs.parquet after the drain")
     ap.add_argument("--locations", default=None,
                     help="geo: parquet/table (vid, lat, lon); default = "
                          "deterministic seeds on every 10th vid")
@@ -76,6 +81,28 @@ def main(argv: list[str] | None = None) -> int:
         if args.checkpoint_dir
         else None
     )
+
+    if args.command == "ingest":
+        if not args.pages:
+            ap.error("ingest requires --pages (a directory of page-snapshot parquet)")
+        if not args.checkpoint_dir:
+            ap.error("ingest requires --checkpoint-dir (exactly-once stream state)")
+        from linkgraph.streaming import LINK_LOG_SCHEMA, compact_link_log, run_ingest
+
+        log_dir = f"{args.out}/link_log.parquet"
+        t0 = time.perf_counter()
+        run_ingest(spark, args.pages, log_dir, args.checkpoint_dir)
+        stats = {"wall_s": round(time.perf_counter() - t0, 2)}
+        log = spark.read.schema(LINK_LOG_SCHEMA).parquet(log_dir)
+        stats["link_log_rows"] = log.count()
+        if args.compact:
+            pairs = compact_link_log(log)
+            pairs.write.mode("overwrite").parquet(f"{args.out}/pairs.parquet")
+            stats["compacted_pairs"] = spark.read.parquet(
+                f"{args.out}/pairs.parquet"
+            ).count()
+        print(json.dumps(stats))
+        return 0
 
     if args.command == "pipeline":
         if not args.pages:

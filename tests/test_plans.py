@@ -105,3 +105,47 @@ def test_parquet_scan_pushdown(spark, sf_dir):
     plan = formatted_plan(q)
     assert "PushedFilters: [" in plan and "IsNotNull(lang)" in plan, plan
     assert re.search(r"ReadSchema: struct<doc_id:\w+,lang:string>", plan), plan
+
+
+def test_ann_scale_paths_have_no_allpairs_join(spark):
+    """LSH and IVF candidate generation must be equi-joins on bucket/cell
+    keys — never a cartesian/nested-loop pass over corpus×corpus (the
+    exact baselines use one deliberately; the scale paths must not)."""
+    import numpy as np
+
+    from linkgraph.textops.ann import ivf_cosine_topk, lsh_cosine_topk
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.where("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    for df in (
+        lsh_cosine_topk(emb, queries, dim=8, k=5),
+        ivf_cosine_topk(emb, queries, dim=8, k=5, n_cells=4, nprobe=2),
+    ):
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_neardup_lsh_plan_has_no_allpairs_join(spark):
+    import numpy as np
+
+    from linkgraph.textops.ann import embedding_near_duplicates
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = formatted_plan(
+        embedding_near_duplicates(emb, dim=8, threshold=0.8)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
