@@ -171,6 +171,37 @@ def main() -> int:
         plan3,
     ))
 
+    # -- 4. ANN scale path: LSH near-dup candidate generation ---------------
+    import numpy as np
+
+    from linkgraph.textops.ann import embedding_near_duplicates, ivf_cosine_topk
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    plan4 = formatted(embedding_near_duplicates(emb, dim=16, threshold=0.8))
+    assert "CartesianProduct" not in plan4, plan4
+    assert "BroadcastNestedLoopJoin" not in plan4, plan4
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan4), plan4
+    queries_df = emb.where("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
+    plan5 = formatted(ivf_cosine_topk(emb, queries_df, dim=16, k=5, n_cells=8, nprobe=2))
+    assert "CartesianProduct" not in plan5, plan5
+    assert "BroadcastNestedLoopJoin" not in plan5, plan5
+    sections.append((
+        "ANN scale paths (LSH near-dup + IVF top-k candidate generation)",
+        "Candidates come from hash-key equi-joins on (table, bucket) / "
+        "cell — never an all-pairs nested-loop pass.  At corpus scale the "
+        "join is a plain shuffle on the bucket key; the quadratic work is "
+        "confined to within-bucket pairs.  Asserted: no CartesianProduct, "
+        "no BroadcastNestedLoopJoin in either plan (the exact baselines "
+        "use a deliberate broadcast cross-join and are the correctness "
+        "twins, not the scale path).",
+        "LSH NEAR-DUP PLAN:\n" + plan4 + "\n\nIVF TOP-K PLAN:\n" + plan5,
+    ))
+
     out = ["# BENCH/PLANS.md — physical-plan evidence (asserted, not aspirational)\n"]
     out.append(
         "Generated by `python tools/explain_plans.py` on a 5,000-page "
