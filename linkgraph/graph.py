@@ -220,6 +220,50 @@ class Graph:
         g = Graph(self.symmetrized_edges, self.num_partitions)
         return g
 
+    # -- snapshot (reference: result/graph sink, SURVEY.md §2.2 I6) --------
+
+    def save_bucketed(self, table: str, path: str | None = None) -> None:
+        """Persist the canonical edges as a bucketed + sorted table.
+
+        ``bucketBy(P, src)`` writes the SAME distribution the superstep
+        gather join requires (``HashPartitioning(src, P)``), and the
+        edges are already partitioned that way, so each writer task emits
+        exactly its own bucket — no shuffle on write.  A later session
+        (:meth:`load_bucketed`) then rebuilds the Graph with **zero
+        re-shuffle of the edge table**: at 10^9+ edges this turns restart
+        cost from a full |E| exchange into a metadata read.
+        """
+        w = (
+            self.edges.write.mode("overwrite")
+            .bucketBy(self.num_partitions, "src")
+            .sortBy("src", "dst")
+        )
+        if path is not None:
+            w = w.option("path", path)
+        w.format("parquet").saveAsTable(table)
+
+    @classmethod
+    def load_bucketed(cls, spark: SparkSession, table: str, persist: bool = True) -> "Graph":
+        """Rebuild a Graph from a :meth:`save_bucketed` table — no shuffle.
+
+        The bucketed scan advertises ``HashPartitioning(src, P)`` (with
+        ``spark.sql.sources.bucketing.enabled``, on by default), so the
+        canonical layout comes back for free; edges were normalized
+        before saving, so no dedupe pass either.
+        """
+        desc = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        n_buckets = None
+        for r in desc:
+            if r.col_name.strip() == "Num Buckets":
+                n_buckets = int(r.data_type.strip())
+        if n_buckets is None:
+            raise ValueError(f"{table} is not a bucketed table")
+        g = cls(spark.table(table), n_buckets)
+        if persist:
+            g.edges = g.edges.persist(StorageLevel.MEMORY_AND_DISK)
+            g._persisted.append(g.edges)
+        return g
+
     # -- lifecycle ---------------------------------------------------------
 
     def unpersist(self) -> None:

@@ -40,3 +40,54 @@ def test_canonical_edges(spark):
     g = Graph.from_edges(edges_df(spark, [(2, 1), (1, 2), (3, 1)]), num_partitions=2)
     rows = {(r.src, r.dst) for r in g.canonical_edges.collect()}
     assert rows == {(1, 2), (1, 3)}
+
+
+def test_bucketed_snapshot_roundtrip_and_no_shuffle(spark, tmp_path):
+    """save_bucketed → load_bucketed restores the CSR layout with zero
+    re-shuffle: the bucketed scan joins the gather side exchange-free."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from linkgraph.fixtures import chesapeake_edges
+    from linkgraph.plans import formatted_plan, live_tree
+
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    g = Graph.from_edges(edges_df(spark, chesapeake_edges()), num_partitions=parts)
+    g.save_bucketed("snap_edges", path=str(tmp_path / "snap"))
+    try:
+        g2 = Graph.load_bucketed(spark, "snap_edges")
+        assert g2.num_partitions == parts
+        a = {(r.src, r.dst) for r in g.edges.collect()}
+        b = {(r.src, r.dst) for r in g2.edges.collect()}
+        assert a == b
+
+        # gather-shaped join against a co-partitioned state: the loaded
+        # edges side must not re-shuffle (same contract as from_edges)
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            state = (
+                g2.vertices.select("vid", F.lit(1.0).alias("rank"))
+                .repartition(parts, "vid")
+                .sortWithinPartitions("vid")
+                .localCheckpoint(eager=True)
+            )
+            gathered = g2.edges.join(
+                state.withColumnRenamed("vid", "src").hint("merge"), "src"
+            )
+            live = live_tree(formatted_plan(gathered))
+            n_ex = len(re.findall(r"\bExchange\b", live))
+            assert n_ex == 0, live
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+        # end-to-end parity through an algorithm
+        from linkgraph import pagerank
+
+        r1 = {r.vid: r.rank for r in pagerank(g, tol=1e-8).state.collect()}
+        r2 = {r.vid: r.rank for r in pagerank(g2, tol=1e-8).state.collect()}
+        assert set(r1) == set(r2)
+        assert all(abs(r1[v] - r2[v]) < 1e-12 for v in r1)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS snap_edges")
