@@ -73,6 +73,15 @@ TARGET_EDGES = int(os.environ.get("LINKGRAPH_BENCH_EDGES", "30000000"))
 # Extras run once at CPUS cores on a smaller graph.
 EXTRAS_EDGES = int(os.environ.get("LINKGRAPH_EXTRAS_EDGES", "10000000"))
 FIXED_ITERS = int(os.environ.get("LINKGRAPH_BENCH_ITERS", "6"))
+# Measurement blocks per level.  The per-level throughput is the BEST
+# block's median superstep wall: this VM's CPU-steal bursts last
+# minutes, so a level whose whole measurement window fits inside one
+# burst reads uniformly slow.  Three time-separated blocks make it
+# very unlikely that ALL of a level's blocks land inside bursts (the
+# faster 8-core level has a ~2-minute window per block and is the
+# most exposed; a 2-block run measured efficiency 0.70 purely from a
+# burst covering both of its high-level blocks).
+BLOCKS = int(os.environ.get("LINKGRAPH_BENCH_BLOCKS", "3"))
 WORK_DIR = os.environ.get("LINKGRAPH_BENCH_DIR", "/tmp/linkgraph_bench")
 REPO = os.path.dirname(os.path.abspath(__file__))
 
@@ -169,7 +178,7 @@ def run_level(
     # superstep wall — two time-separated blocks decorrelate from a
     # burst, the median absorbs within-block spikes.
     block_meds, walls_all, total = [], [], 0.0
-    for b in range(2):
+    for b in range(BLOCKS):
         if b:
             time.sleep(15)
         t0 = time.perf_counter()
@@ -180,7 +189,7 @@ def run_level(
         block_meds.append(statistics.median(walls))
     med = min(block_meds)
     out["pr_fixed_s"] = round(total, 2)
-    out["pr_fixed_iters"] = 2 * FIXED_ITERS
+    out["pr_fixed_iters"] = BLOCKS * FIXED_ITERS
     out["pr_iter_walls_s"] = walls_all
     out["pr_block_medians_s"] = [round(m, 3) for m in block_meds]
     out["pr_iter_median_s"] = round(med, 3)
@@ -285,9 +294,9 @@ def main() -> int:
     efficiency = round(speedup / core_ratio, 3)
 
     queries = {
-        f"pagerank_{2*FIXED_ITERS}iter_local{LOW_CORES}": lo["pr_fixed_s"],
-        f"pagerank_{2*FIXED_ITERS}iter_local{HIGH_CORES}": hi["pr_fixed_s"],
-        f"pagerank_{2*FIXED_ITERS}iter_local{CPUS}": full["pr_fixed_s"],
+        f"pagerank_{BLOCKS*FIXED_ITERS}iter_local{LOW_CORES}": lo["pr_fixed_s"],
+        f"pagerank_{BLOCKS*FIXED_ITERS}iter_local{HIGH_CORES}": hi["pr_fixed_s"],
+        f"pagerank_{BLOCKS*FIXED_ITERS}iter_local{CPUS}": full["pr_fixed_s"],
         f"pagerank_converged_local{CPUS}": full.get("pr_converged_s"),
         f"pagerank_spmv_{FIXED_ITERS}iter_local{CPUS}": full.get("pr_spmv_fixed_s"),
         f"cc_local{CPUS}": full.get("cc_s"),
@@ -327,14 +336,14 @@ on a real cluster — see bench.py module doc for the A/B measurements).
 PageRank α=0.85, probability form.  Convergence stats are observed
 metrics of the superstep job itself (zero extra jobs per iteration).
 Throughput from the MEDIAN per-superstep
-wall over 2×{FIXED_ITERS} timed supersteps (3 warm-up; two blocks
+wall over {BLOCKS}×{FIXED_ITERS} timed supersteps (3 warm-up; blocks
 separated by a 15 s settle pause, better block's median) — because
 this shared VM shows bursty CPU-steal; totals also given.
 
 | metric | local[{LOW_CORES}] | local[{HIGH_CORES}] |
 |---|---|---|
 | PageRank superstep wall, best block median (s) | {lo['pr_iter_median_s']} | {hi['pr_iter_median_s']} |
-| PageRank 2×{FIXED_ITERS} supersteps total (s) | {lo['pr_fixed_s']} | {hi['pr_fixed_s']} |
+| PageRank {BLOCKS}×{FIXED_ITERS} supersteps total (s) | {lo['pr_fixed_s']} | {hi['pr_fixed_s']} |
 | traversed edges/sec (median-based) | {lo['edges_per_sec']:,.0f} | {hi['edges_per_sec']:,.0f} |
 | graph build (s) | {lo['graph_build_s']} | {hi['graph_build_s']} |
 
@@ -358,7 +367,7 @@ the saturated measurement.
 
 Full-parallelism (local[{CPUS}], {CPUS * 2} partitions) extras — graph
 {full.get('extras_edges', full['edges']):,} edges:
-- PageRank 2×{FIXED_ITERS} supersteps: {full['pr_fixed_s']} s (median superstep {full['pr_iter_median_s']} s, {full['edges_per_sec']:,.0f} edges/s)
+- PageRank {BLOCKS}×{FIXED_ITERS} supersteps: {full['pr_fixed_s']} s (median superstep {full['pr_iter_median_s']} s, {full['edges_per_sec']:,.0f} edges/s)
 - PageRank to tol 1e-6: {full.get('pr_converged_s')} s, {full.get('pr_converged_iters')} iterations
 - PageRank SpMV strategy, {FIXED_ITERS} supersteps: {full.get('pr_spmv_fixed_s')} s
 - Connected components (hash-min, {full.get('cc_iters')} iters): {full.get('cc_s')} s
@@ -369,6 +378,10 @@ Per-superstep walls (s):
 - local[{LOW_CORES}]: {lo['pr_iter_walls_s']}
 - local[{HIGH_CORES}]: {hi['pr_iter_walls_s']}
 - local[{CPUS}]: {full['pr_iter_walls_s']}
+
+One-off measurements that this file's regeneration does NOT repeat —
+run-to-run variance across full protocols, size scaling to 10^8 edges,
+graph-build fusion, 8→32 saturation — live in BENCH/NOTES.md.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

@@ -783,6 +783,33 @@ def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (ROLLUP): per (event_type, day), per
+    event_type, and grand total.  The measure is floored to integer
+    cents BEFORE summing so the aggregate is exact — a cross-engine
+    float sum would drift with accumulation order."""
+    _load(spark, sf_dir, "events")
+    e = spark.table("events").select(
+        "event_type",
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return e.rollup("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+ORDER BY event_type, day
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "events")
     return (
@@ -980,6 +1007,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_top_type": q_events_top_type,
     "events_latest": q_events_latest,
     "events_daily": q_events_daily,
+    "events_rollup": q_events_rollup,
     "events_json": q_events_json,
     "lineitem_pricing": q_lineitem_pricing,
     "simhash": q_simhash,
@@ -1019,6 +1047,7 @@ ORACLES: dict[str, str] = {
     "events_top_type": EVENTS_TOP_TYPE_SQL,
     "events_latest": EVENTS_LATEST_SQL,
     "events_daily": EVENTS_DAILY_SQL,
+    "events_rollup": EVENTS_ROLLUP_SQL,
     "events_json": EVENTS_JSON_SQL,
     "lineitem_pricing": LINEITEM_PRICING_SQL,
     # simhash / doc_fingerprint / lsh_ann / ivf_ann / embed_neardup_lsh:
