@@ -171,12 +171,12 @@ def run_level(
     # state needs ~3 iterations) — untimed
     pagerank(g, tol=0.0, max_iters=3)
 
-    # Two measurement blocks separated by a settle pause, same JVM (the
-    # graph build is paid once).  This sandbox is a shared VM with
+    # BLOCKS measurement blocks separated by settle pauses, same JVM
+    # (the graph build is paid once).  This sandbox is a shared VM with
     # minutes-long CPU-steal bursts; a single window can be entirely
-    # inside one.  Per-level throughput = the better block's median
-    # superstep wall — two time-separated blocks decorrelate from a
-    # burst, the median absorbs within-block spikes.
+    # inside one.  Per-level throughput = the BEST block's median
+    # superstep wall — time-separated blocks decorrelate from a burst,
+    # the median absorbs within-block spikes.
     block_meds, walls_all, total = [], [], 0.0
     for b in range(BLOCKS):
         if b:
@@ -337,7 +337,7 @@ PageRank α=0.85, probability form.  Convergence stats are observed
 metrics of the superstep job itself (zero extra jobs per iteration).
 Throughput from the MEDIAN per-superstep
 wall over {BLOCKS}×{FIXED_ITERS} timed supersteps (3 warm-up; blocks
-separated by a 15 s settle pause, better block's median) — because
+separated by 15 s settle pauses, best block's median) — because
 this shared VM shows bursty CPU-steal; totals also given.
 
 | metric | local[{LOW_CORES}] | local[{HIGH_CORES}] |

@@ -93,14 +93,22 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.perf_counter()
         run_ingest(spark, args.pages, log_dir, args.checkpoint_dir)
         stats = {"wall_s": round(time.perf_counter() - t0, 2)}
-        log = spark.read.schema(LINK_LOG_SCHEMA).parquet(log_dir)
-        stats["link_log_rows"] = log.count()
-        if args.compact:
+        try:
+            log = spark.read.schema(LINK_LOG_SCHEMA).parquet(log_dir)
+            stats["link_log_rows"] = log.count()
+        except Exception:
+            # a drain that found no input files never creates the sink
+            # path — that is a valid empty ingest, not an error
+            log = None
+            stats["link_log_rows"] = 0
+        if args.compact and log is not None:
             pairs = compact_link_log(log)
             pairs.write.mode("overwrite").parquet(f"{args.out}/pairs.parquet")
             stats["compacted_pairs"] = spark.read.parquet(
                 f"{args.out}/pairs.parquet"
             ).count()
+        elif args.compact:
+            stats["compacted_pairs"] = 0
         print(json.dumps(stats))
         return 0
 

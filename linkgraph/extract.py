@@ -79,15 +79,26 @@ def extract_links(html: bytes) -> list[str]:
 EXTRACTED_SCHEMA = "url string, warc_ts timestamp, lang string, text string, links array<string>"
 
 
-def extract_pages(pages: DataFrame) -> DataFrame:
+def extract_pages(pages: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """One Arrow pass: pages → ``(url, warc_ts, lang, text, links)``.
 
     ``mapInArrow`` keeps the whole batch in Arrow buffers; the regex
     extraction runs per-row inside the batch loop but with zero
     serialization overhead per row (SURVEY.md §4.7).
+
+    ``passthrough`` names extra input columns to carry through unchanged
+    (appended after the extracted columns) — e.g. a capture-identity
+    hash computed upstream for streaming compaction.
     """
     # rebind as locals so cloudpickle ships the pure functions by value
     _extract_text, _extract_links = extract_text, extract_links
+    extra = tuple(passthrough)
+    schema = EXTRACTED_SCHEMA
+    if extra:
+        fields = {f.name: f for f in pages.schema.fields}
+        schema = EXTRACTED_SCHEMA + "".join(
+            f", {c} {fields[c].dataType.simpleString()}" for c in extra
+        )
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -102,11 +113,12 @@ def extract_pages(pages: DataFrame) -> DataFrame:
                     cols["lang"],
                     pa.array(texts, type=pa.string()),
                     pa.array(links, type=pa.list_(pa.string())),
-                ],
-                names=["url", "warc_ts", "lang", "text", "links"],
+                ]
+                + [cols[c] for c in extra],
+                names=["url", "warc_ts", "lang", "text", "links", *extra],
             )
 
-    return pages.mapInArrow(run, schema=EXTRACTED_SCHEMA)
+    return pages.mapInArrow(run, schema=schema)
 
 
 def latest_snapshot_per_url(pages: DataFrame) -> DataFrame:

@@ -258,7 +258,12 @@ class Graph:
                 n_buckets = int(r.data_type.strip())
         if n_buckets is None:
             raise ValueError(f"{table} is not a bucketed table")
-        g = cls(spark.table(table), n_buckets)
+        # The bucketed scan restores HashPartitioning(src, P) but NOT the
+        # sort half of the canonical layout (Spark ignores bucket-file
+        # sort order on scan by default); re-sort within partitions —
+        # narrow, one-time — so merge joins stay Sort-free per superstep.
+        e = spark.table(table).sortWithinPartitions("src", "dst")
+        g = cls(e, n_buckets)
         if persist:
             g.edges = g.edges.persist(StorageLevel.MEMORY_AND_DISK)
             g._persisted.append(g.edges)

@@ -40,7 +40,9 @@ from pyspark.sql import functions as F
 from linkgraph.extract import extract_pages
 from linkgraph.types import PAGES_SCHEMA
 
-LINK_LOG_SCHEMA = "src_url string, dst_url string, warc_ts timestamp"
+LINK_LOG_SCHEMA = (
+    "src_url string, dst_url string, warc_ts timestamp, capture bigint"
+)
 
 
 def stream_pages(spark: SparkSession, pages_dir: str, **options) -> DataFrame:
@@ -56,23 +58,38 @@ def stream_pages(spark: SparkSession, pages_dir: str, **options) -> DataFrame:
 
 
 def stream_link_log(pages_stream: DataFrame) -> DataFrame:
-    """Streaming pages → append-only link log (src_url, dst_url, warc_ts).
+    """Streaming pages → append-only link log
+    ``(src_url, dst_url, warc_ts, capture)``.
 
     Same extraction pass as the batch front end; per-capture rows (the
     latest-snapshot resolution happens at compaction, see module doc).
-    Self-links are dropped; within-page duplicate hrefs are collapsed
-    per capture (a narrow, per-row ``array_distinct`` — no state).
+    Two details make compaction able to reproduce the batch front end
+    EXACTLY:
+
+    - every capture emits at least one row — a page recrawled with no
+      out-links (or only self-links) produces a single ``dst_url IS
+      NULL`` marker row via ``explode_outer``, so the recrawl is visible
+      to latest-wins compaction and its old edges really disappear;
+    - ``capture = xxhash64(html)`` rides along (computed JVM-side before
+      extraction), the same discriminator the batch snapshot dedup uses
+      to break ``warc_ts`` ties deterministically.
+
+    Self-links are removed inside the link array (before the explode) so
+    they can't mask the marker row; within-page duplicate hrefs collapse
+    per capture (narrow ``array_distinct`` — no state).
     """
-    extracted = extract_pages(pages_stream)
-    return (
-        extracted.select(
-            F.col("url").alias("src_url"),
-            "warc_ts",
-            F.explode(F.array_distinct("links")).alias("dst_url"),
-        )
-        .where(F.col("src_url") != F.col("dst_url"))
-        .select("src_url", "dst_url", "warc_ts")
-    )
+    with_capture = pages_stream.withColumn("capture", F.xxhash64("html"))
+    extracted = extract_pages(with_capture, passthrough=("capture",))
+    return extracted.select(
+        F.col("url").alias("src_url"),
+        F.explode_outer(
+            F.array_distinct(
+                F.filter("links", lambda d: d != F.col("url"))
+            )
+        ).alias("dst_url"),
+        "warc_ts",
+        "capture",
+    ).select("src_url", "dst_url", "warc_ts", "capture")
 
 
 def run_ingest(
@@ -104,13 +121,27 @@ def compact_link_log(link_log: DataFrame) -> DataFrame:
     """Batch latest-wins compaction: the edge set of each src's newest capture.
 
     A page recrawled at T2 replaces its T1 out-links entirely (links
-    removed from the page disappear from the graph).  Implemented as the
-    same window discipline as the batch front end's snapshot dedup.
+    removed from the page disappear from the graph — the marker rows
+    written by :func:`stream_link_log` make link-less recrawls visible).
+    The winning capture per url is picked by the SAME total order as the
+    batch front end's snapshot dedup (``warc_ts`` desc, then
+    ``xxhash64(html)`` desc), so streaming-ingest + compaction is
+    replay-identical to running :func:`linkgraph.extract.pages_to_edge_urls`
+    over all captures at once.
     """
-    latest = link_log.groupBy("src_url").agg(F.max("warc_ts").alias("_latest"))
+    w = Window.partitionBy("src_url").orderBy(
+        F.desc("warc_ts"), F.desc("capture")
+    )
+    best = (
+        link_log.select("src_url", "warc_ts", "capture")
+        .dropDuplicates(["src_url", "warc_ts", "capture"])
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     return (
-        link_log.join(latest, "src_url")
-        .where(F.col("warc_ts") == F.col("_latest"))
+        link_log.join(best, ["src_url", "warc_ts", "capture"])
+        .where(F.col("dst_url").isNotNull())
         .select("src_url", "dst_url")
         .dropDuplicates(["src_url", "dst_url"])
     )

@@ -214,27 +214,34 @@ def train_ivf_centroids(
 ) -> np.ndarray:
     """Seeded Lloyd k-means on a bounded, deterministic training sample.
 
-    The sample is hash-selected (``pmod(xxhash64(id), M) == 0``) so it is
-    stable under repartitioning and parallelism level, then collected to
-    the driver — at most ``train_size`` rows regardless of corpus size,
-    the same train-on-a-sample discipline FAISS uses for IVF.  Centroids
-    are L2-normalized (spherical k-means) because downstream scoring is
-    cosine.  Returns a ``(n_cells, dim)`` float64 array.
+    The sample is hash-selected (``pmod(xxhash64(id), 997) == 0``, a
+    fixed ~0.1% thinning) so it is stable under repartitioning and
+    parallelism level, then top-``train_size``-by-id collected to the
+    driver — bounded rows regardless of corpus size, the same
+    train-on-a-sample discipline FAISS uses for IVF, in ONE corpus pass
+    (no count() pre-pass).  Small corpora where the thinned sample is
+    too sparse fall back to the un-thinned top-``train_size``.
+    Centroids are L2-normalized (spherical k-means) because downstream
+    scoring is cosine.  Returns a ``(n_cells, dim)`` float64 array.
     """
-    n = embeddings.count()
-    if n == 0:
-        raise ValueError("cannot train IVF centroids on an empty corpus")
-    mod = max(1, n // train_size)
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
     sample = (
-        embeddings.where(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
-        )
-        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        base.where(F.pmod(F.xxhash64(F.col("_id")), F.lit(997)) == 0)
         .orderBy("_id")
         .limit(train_size)
         .collect()
     )
+    if len(sample) < min(train_size, 16 * n_cells):
+        sample = base.orderBy("_id").limit(train_size).collect()
+    if not sample:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
     mat = np.array([r._v for r in sample], dtype=np.float64)
+    if mat.shape[1] != dim:
+        raise ValueError(
+            f"embedding width {mat.shape[1]} != declared dim {dim}"
+        )
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     k = min(n_cells, len(mat))
     rng = np.random.default_rng(seed)

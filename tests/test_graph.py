@@ -79,6 +79,11 @@ def test_bucketed_snapshot_roundtrip_and_no_shuffle(spark, tmp_path):
             live = live_tree(formatted_plan(gathered))
             n_ex = len(re.findall(r"\bExchange\b", live))
             assert n_ex == 0, live
+            # the reload must restore the sort half of the layout too:
+            # a Sort over the |E| edges side would re-pay per superstep
+            # what the snapshot saved (the state leaf is pre-sorted, so
+            # the live merge-join plan needs NO Sort at all)
+            assert not re.search(r"\bSort \(", live), live
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", prev)
 

@@ -9,14 +9,13 @@ from pyspark.sql import functions as F
 from linkgraph.extract import pages_to_edge_urls
 from linkgraph.fixtures import pages_corpus
 from linkgraph.streaming import (
+    LINK_LOG_SCHEMA,
     compact_link_log,
     run_ingest,
     stream_pages,
     windowed_link_rates,
 )
 from linkgraph.types import PAGES_SCHEMA
-
-LINK_LOG_SCHEMA = "src_url string, dst_url string, warc_ts timestamp"
 
 
 def _dirs(tmp_path):
@@ -104,3 +103,63 @@ def test_windowed_link_rates(spark, tmp_path):
         .first()[0]
     )
     assert sum(r.links for r in got) == want_links
+
+
+def _page_row(url, ts, html):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1) + dt.timedelta(days=ts)
+    return (url, t, html.encode(), "", "en")
+
+
+def test_linkless_recrawl_removes_edges(spark, tmp_path):
+    """A recrawl with no out-links must erase the page's old edges —
+    the explode_outer marker row makes it visible to compaction."""
+    pages_dir, log_dir, ckpt = _dirs(tmp_path)
+    rows = [
+        _page_row("https://a", 0, '<p><a href="https://b">x</a><a href="https://c">y</a></p>'),
+        _page_row("https://d", 0, '<p><a href="https://b">x</a></p>'),
+    ]
+    _write_batch(spark, rows, pages_dir, "b1")
+    run_ingest(spark, pages_dir, log_dir, ckpt)
+    # recrawl of a: only a self-link (must not mask the marker row)
+    _write_batch(
+        spark, [_page_row("https://a", 5, '<p><a href="https://a">me</a></p>')],
+        pages_dir, "b2",
+    )
+    run_ingest(spark, pages_dir, log_dir, ckpt)
+    log = spark.read.schema(LINK_LOG_SCHEMA).parquet(log_dir)
+    got = {(r.src_url, r.dst_url) for r in compact_link_log(log).collect()}
+    assert got == {("https://d", "https://b")}
+    # batch front end agrees
+    all_pages = rows + [_page_row("https://a", 5, '<p><a href="https://a">me</a></p>')]
+    batch = {
+        (r.src_url, r.dst_url)
+        for r in pages_to_edge_urls(
+            spark.createDataFrame(all_pages, PAGES_SCHEMA)
+        ).collect()
+    }
+    assert got == batch
+
+
+def test_warc_ts_tie_matches_batch(spark, tmp_path):
+    """Two captures with the same warc_ts but different html: compaction
+    must pick the same single capture as the batch snapshot dedup
+    (xxhash64(html) tie-break), not the union of both."""
+    pages_dir, log_dir, ckpt = _dirs(tmp_path)
+    rows = [
+        _page_row("https://t", 3, '<p><a href="https://x">1</a></p>'),
+        _page_row("https://t", 3, '<p><a href="https://y">2</a></p>'),
+    ]
+    _write_batch(spark, rows, pages_dir, "b1")
+    run_ingest(spark, pages_dir, log_dir, ckpt)
+    log = spark.read.schema(LINK_LOG_SCHEMA).parquet(log_dir)
+    got = {(r.src_url, r.dst_url) for r in compact_link_log(log).collect()}
+    assert len(got) == 1  # one capture wins, never the union
+    batch = {
+        (r.src_url, r.dst_url)
+        for r in pages_to_edge_urls(
+            spark.createDataFrame(rows, PAGES_SCHEMA)
+        ).collect()
+    }
+    assert got == batch
