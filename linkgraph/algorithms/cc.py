@@ -66,14 +66,30 @@ def connected_components(
         if pointer_jumping:
             # comp(v) ← comp(comp(v)): join the new labels against
             # themselves — a |V|-sized self-join, shrinks tall trees.
+            # merge hint: Catalyst would otherwise broadcast the |V|-sized
+            # parent side (per-superstep driver collect — the pathology
+            # neighbor_reduce.py documents as 10× iteration cost).
             parent = new.select(
                 F.col("vid").alias("comp"), F.col("comp").alias("gcomp")
             )
             jumped = F.least("comp", F.coalesce("gcomp", "comp"))
-            new = new.join(parent, "comp", "left").select(
-                "vid",
-                jumped.alias("comp"),
-                (F.col("_changed") | (jumped != F.col("comp"))).alias("_changed"),
+            new = (
+                new.join(parent.hint("merge"), "comp", "left")
+                .select(
+                    "vid",
+                    jumped.alias("comp"),
+                    (F.col("_changed") | (jumped != F.col("comp"))).alias(
+                        "_changed"
+                    ),
+                )
+                # the self-join re-clustered the state on comp; restore
+                # the canonical hash(vid, P) + sorted layout the superstep
+                # runtime's checkpoint-leaf contract requires (iterate()
+                # skips relayout for step outputs) — one extra |V|
+                # exchange per superstep, the price of the log(diameter)
+                # iteration count pointer jumping buys
+                .repartition(graph.num_partitions, "vid")
+                .sortWithinPartitions("vid")
             )
         return new
 

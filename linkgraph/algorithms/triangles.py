@@ -68,11 +68,11 @@ def triangle_counts_per_vertex(graph: Graph) -> DataFrame:
     Vertices in no triangle are included with count 0 (exact output,
     matching the reference's per-vertex result array).
     """
-    t = triangles(graph)
-    corners = (
-        t.select(F.col("a").alias("vid"))
-        .unionAll(t.select(F.col("b").alias("vid")))
-        .unionAll(t.select(F.col("c").alias("vid")))
+    # explode the three corners in ONE pass over the triangle rows — a
+    # three-branch union would re-execute the wedge + closure joins (the
+    # costliest plan in the engine) once per branch
+    corners = triangles(graph).select(
+        F.explode(F.array("a", "b", "c")).alias("vid")
     )
     counts = corners.groupBy("vid").agg(F.count(F.lit(1)).alias("triangles"))
     return graph.vertices.join(counts, "vid", "left").select(

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Callable
@@ -57,6 +58,15 @@ from pyspark.sql import functions as F
 StepFn = Callable[[DataFrame, int], DataFrame]
 StatsFn = Callable[[DataFrame, DataFrame], DataFrame]
 ConvergedFn = Callable[[dict], bool]
+
+# Serializes the AQE-off window around checkpoint-leaf builds.  The
+# spark.sql.adaptive.enabled toggle is a SESSION-global RuntimeConfig:
+# two iterate() calls on concurrent threads (operators/batch.run_batch)
+# would otherwise race the read-toggle-restore sequence — one thread's
+# checkpoint could run with AQE still on (an UnknownPartitioning leaf,
+# silently re-introducing per-superstep exchanges) and the session could
+# be left with AQE permanently off.
+_AQE_TOGGLE_LOCK = threading.Lock()
 
 
 @dataclass
@@ -98,6 +108,13 @@ class CheckpointManager:
     def write(self, state: DataFrame, iteration: int, stats: dict) -> None:
         d = self.epoch_dir(iteration)
         path = os.path.join(d, "state.parquet")
+        # Invalidate any prior manifest for this epoch BEFORE overwriting
+        # its data: a crash mid-overwrite must not leave a complete:true
+        # manifest pointing at partial/deleted parquet (latest() would
+        # silently resume from corrupt state).
+        mf = os.path.join(d, "_manifest.json")
+        if os.path.exists(mf):
+            os.remove(mf)
         state.write.mode("overwrite").parquet(path)
         # Per-partition lineage: row count per written partition.
         part_hist = [
@@ -252,30 +269,42 @@ def iterate(
         so their physical layout is already the canonical one and the
         extra exchange would move every row to the partition it is
         already in."""
-        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            if relayout:
-                df = df.repartition(
-                    num_partitions, partition_key
-                ).sortWithinPartitions(partition_key)
-            # PySpark's MEMORY_AND_DISK is the SERIALIZED level: compact
-            # bytes instead of object graphs (the localCheckpoint default
-            # is deserialized, and |V|-row object generations churned the
-            # old-gen heap into multi-second GC spikes every ~10 steps)
-            return strip_origin_stats(
-                df.localCheckpoint(
-                    eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        with _AQE_TOGGLE_LOCK:
+            prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                if relayout:
+                    df = df.repartition(
+                        num_partitions, partition_key
+                    ).sortWithinPartitions(partition_key)
+                # PySpark's MEMORY_AND_DISK is the SERIALIZED level: compact
+                # bytes instead of object graphs (the localCheckpoint default
+                # is deserialized, and |V|-row object generations churned the
+                # old-gen heap into multi-second GC spikes every ~10 steps)
+                return strip_origin_stats(
+                    df.localCheckpoint(
+                        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+                    )
                 )
-            )
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     start_iter = 0
     if checkpoint is not None and resume:
         found = checkpoint.latest()
         if found is not None:
-            start_iter, state, _ = found
+            start_iter, state, saved_stats = found
+            # A resumed run whose saved stats already satisfy the
+            # convergence predicate is a no-op: re-running a superstep
+            # would append a spurious epoch + metrics row and inflate
+            # the iteration count on every repeat invocation.
+            if converged(saved_stats):
+                return IterationResult(
+                    state=state,
+                    iterations=start_iter,
+                    converged=True,
+                    history=[],
+                )
 
     # Per-iteration protocol (measured at 10^7 edges AND 1-edge micro):
     #   1. checkpoint_leaf(step(prev).observe(stats_cols)) — ONE job runs
@@ -318,10 +347,12 @@ def iterate(
         history.append(rec)
         if checkpoint is not None:
             checkpoint.append_metrics(rec)
-        if it - start_iter > 1:
-            # (skip the caller-provided initial leaf: its blocks may back
-            # `state` handed in by the caller, e.g. a resumed checkpoint)
-            _free_checkpoint_blocks(prev)
+        # Free the replaced generation's checkpoint blocks — including the
+        # initial leaf: checkpoint_leaf(relayout=True) always checkpoints a
+        # FRESH repartitioned RDD, so its blocks can never back the
+        # caller's input DataFrame, and leaving them to the ContextCleaner
+        # lets |V|-sized block sets pile up (measured 10-50× wall spikes).
+        _free_checkpoint_blocks(prev)
         prev = new_state
     return IterationResult(state=prev, iterations=it, converged=done, history=history)
 

@@ -80,3 +80,30 @@ def test_resume_ignores_incomplete_epoch(spark, tmp_path):
     found = CheckpointManager(spark, ckdir).latest()
     assert found is not None
     assert found[0] == int(epochs[-2].split("=")[1])
+
+
+def test_resume_of_converged_run_is_noop(spark, tmp_path):
+    """Re-invoking a converged checkpointed run must not execute another
+    superstep, append an epoch, or inflate the iteration count."""
+    ckdir = str(tmp_path / "noop_ck")
+    g = Graph.from_edges(edges_df(spark, chesapeake_edges()), num_partitions=4)
+    first = pagerank(
+        g, tol=1e-6, checkpoint=CheckpointManager(spark, ckdir), checkpoint_every=5
+    )
+    assert first.converged
+    epochs_before = sorted(d for d in os.listdir(ckdir) if d.startswith("epoch="))
+    metrics_before = sum(1 for _ in open(os.path.join(ckdir, "metrics.jsonl")))
+
+    again = pagerank(
+        g, tol=1e-6, checkpoint=CheckpointManager(spark, ckdir), checkpoint_every=5
+    )
+    assert again.converged
+    assert again.iterations == first.iterations
+    assert again.history == []  # no supersteps ran
+    epochs_after = sorted(d for d in os.listdir(ckdir) if d.startswith("epoch="))
+    metrics_after = sum(1 for _ in open(os.path.join(ckdir, "metrics.jsonl")))
+    assert epochs_after == epochs_before
+    assert metrics_after == metrics_before
+    want = {r.vid: r.rank for r in first.state.collect()}
+    got = {r.vid: r.rank for r in again.state.collect()}
+    assert got == want
