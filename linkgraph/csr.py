@@ -61,7 +61,18 @@ BROADCAST_MAX_VERTICES = 2_000_000
 # call's result before the next call, so the previous vector can be
 # destroyed then (a PageRank run otherwise accumulates one 8·|V|-byte
 # broadcast per iteration — measured multi-GB leak + GC churn).
-_live_broadcasts: list = []
+# THREAD-LOCAL: concurrent algorithm instances (operators/batch.run_batch)
+# each manage their own previous broadcast — a shared registry would let
+# thread B destroy thread A's vector while A's tasks still read it.
+import threading
+
+_tl = threading.local()
+
+
+def _live_broadcasts() -> list:
+    if not hasattr(_tl, "bcs"):
+        _tl.bcs = []
+    return _tl.bcs
 
 def _make_combiner():
     """Map-side combine: sum values per distinct dst (vectorized).
@@ -95,24 +106,35 @@ def spmv_contrib_sums(
     ``contrib`` is ``(vid, contrib)`` for non-dangling vertices.
     """
     if mode == "auto":
+        # gate on max_vid, not num_vertices: the dense vector is sized
+        # max_vid+1, so a sparse/hashed id space (1M vertices, 10^18 max
+        # id) must never pick broadcast just because the COUNT is small
         mode = (
             "broadcast"
-            if graph.num_vertices <= BROADCAST_MAX_VERTICES
+            if graph.max_vid < BROADCAST_MAX_VERTICES
             else "join"
         )
 
     if mode == "broadcast":
-        while _live_broadcasts:
+        live = _live_broadcasts()
+        while live:
             try:
-                _live_broadcasts.pop().destroy(blocking=False)
+                live.pop().destroy(blocking=False)
             except Exception:
                 pass
         pdf = contrib.toPandas()
+        vids = pdf["vid"].to_numpy()
+        if len(vids) and vids.min() < 0:
+            raise ValueError(
+                "broadcast SpMV requires non-negative dense vertex ids "
+                "(negative ids would silently wrap NumPy indexing); "
+                "encode ids first or use mode='join'"
+            )
         size = int(graph.max_vid) + 1
         vec = np.zeros(size, dtype=np.float64)
-        vec[pdf["vid"].to_numpy()] = pdf["contrib"].to_numpy()
+        vec[vids] = pdf["contrib"].to_numpy()
         bc = graph.spark.sparkContext.broadcast(vec)
-        _live_broadcasts.append(bc)
+        live.append(bc)
 
         combine = _make_combiner()
 
@@ -123,14 +145,23 @@ def spmv_contrib_sums(
                 dst = batch.column("dst").to_numpy(zero_copy_only=False)
                 if len(src) == 0:
                     continue
+                if src.min() < 0:
+                    raise ValueError(
+                        "negative src vertex id in broadcast SpMV gather"
+                    )
                 yield combine(dst, v[src])
 
         partials = graph.edges.mapInArrow(
             gather_scatter, schema="dst long, partial double"
         )
     elif mode == "join":
+        # merge hint: pins the streaming sort-merge join — Catalyst/AQE
+        # would otherwise broadcast a sub-threshold |V|-sized contrib
+        # side, a SERIAL per-call driver collect (the same pathology
+        # neighbor_reduce.py documents as 10× per-superstep cost)
         gathered = graph.edges.join(
-            contrib.select(F.col("vid").alias("src"), "contrib"), "src"
+            contrib.select(F.col("vid").alias("src"), "contrib").hint("merge"),
+            "src",
         ).select("dst", "contrib")
 
         combine = _make_combiner()

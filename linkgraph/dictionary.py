@@ -41,6 +41,19 @@ def encode_urls(urls: DataFrame, num_partitions: int | None = None, col: str = "
         .repartitionByRange(num_partitions, "url")
         .sortWithinPartitions("url")
     )
+    # Pin the partitioning before the two passes: repartitionByRange picks
+    # its boundaries by reservoir SAMPLING (seeded per query execution),
+    # so re-evaluating the plan for pass 2 could shift a boundary and
+    # assign a url to a different partition than it was COUNTED in —
+    # duplicate vids + gaps, silent graph corruption at any scale where
+    # the sample is not exhaustive.  localCheckpoint materializes the
+    # partitions once; if its blocks are ever lost the job fails loudly
+    # instead of resampling differently.
+    from pyspark.storagelevel import StorageLevel
+
+    distinct = distinct.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     # pass 1: rows per partition (partition index = range order)
     sized = distinct.select(F.spark_partition_id().alias("pid"))
     counts = {

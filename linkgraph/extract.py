@@ -35,13 +35,16 @@ from pyspark.sql import functions as F
 
 _SCRIPT_RE = re.compile(rb"<(script|style)\b[^>]*>.*?</\1>", re.S | re.I)
 _COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
-_HREF_RE = re.compile(rb"""<a\b[^>]*?\bhref\s*=\s*["']([^"'<>]+)["']""", re.I)
+# backreference pins the closing quote to the opening one: an url
+# containing the OTHER quote character (e.g. .../o'brien) must not be
+# silently truncated at it — a truncated dst_url fails the dictionary
+# join and the edge vanishes from the graph
+_HREF_RE = re.compile(rb"""<a\b[^>]*?\bhref\s*=\s*(["'])([^<>]*?)\1""", re.I)
 _TAG_RE = re.compile(rb"<[^>]+>")
 _BLOCK_TAG_RE = re.compile(
     rb"</?(p|div|br|li|ul|ol|h[1-6]|tr|table|title|head|body|html)\b[^>]*>", re.I
 )
 _WS_RE = re.compile(rb"[ \t\r\f\v]+")
-_NL_RE = re.compile(rb"\n{2,}")
 
 
 def extract_text(html: bytes) -> str:
@@ -59,8 +62,9 @@ def extract_text(html: bytes) -> str:
     b = _TAG_RE.sub(b" ", b)
     b = _WS_RE.sub(b" ", b)
     lines = [ln.strip() for ln in b.split(b"\n")]
+    # joining only NON-EMPTY stripped lines already guarantees single
+    # newlines between segments — no blank-line collapse pass needed
     b = b"\n".join(ln for ln in lines if ln)
-    b = _NL_RE.sub(b"\n", b)
     return b.decode("utf-8", errors="replace").strip()
 
 
@@ -69,7 +73,7 @@ def extract_links(html: bytes) -> list[str]:
     if html is None:
         return []
     return [
-        m.group(1).decode("utf-8", errors="replace")
+        m.group(2).decode("utf-8", errors="replace")
         for m in _HREF_RE.finditer(html)
     ]
 

@@ -39,8 +39,11 @@ def advance(
     filtered by ``emit``.  ``frontier=None`` means the full-graph advance
     (``advance_io_type_t::graph`` in the reference): scan every edge.
 
-    ``broadcast_frontier=True`` forces the broadcast fast path; ``None``
-    lets Catalyst/AQE decide from size statistics.
+    ``broadcast_frontier=True`` forces the broadcast fast path;
+    ``False`` pins the shuffled merge join (for frontiers whose size
+    statistics under-estimate badly — a mistaken auto-broadcast collects
+    the frontier to the driver); ``None`` lets Catalyst/AQE decide from
+    size statistics.
     """
     cols = ["src", "dst"] + (payload or [])
     if frontier is None:
@@ -49,6 +52,8 @@ def advance(
         f = frontier.select(F.col("vid"))
         if broadcast_frontier:
             f = F.broadcast(f)
+        elif broadcast_frontier is False:
+            f = f.hint("merge")
         out = f.join(edges, on=f["vid"] == edges["src"], how="inner")
     out = out.select(*[F.col(c) for c in cols])
     if emit is not None:

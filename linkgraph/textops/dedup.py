@@ -41,18 +41,27 @@ def _norm_tokens(col):
 def word_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc: ``(doc_id, shingle)``."""
-    toks = df.select(id_col, F.posexplode(_norm_tokens(F.col(text_col))).alias("pos", "tok"))
-    out = toks
-    for i in range(1, n):
-        nxt = toks.select(
-            id_col,
-            (F.col("pos") - i).alias("pos"),
-            F.col("tok").alias(f"tok{i}"),
-        )
-        out = out.join(nxt, [id_col, "pos"])
-    shingle = F.concat_ws(" ", "tok", *[f"tok{i}" for i in range(1, n)])
-    return out.select(id_col, shingle.alias("shingle")).dropDuplicates([id_col, "shingle"])
+    """Distinct word n-gram shingles per doc: ``(doc_id, shingle)``.
+
+    Shingles come from a single NARROW array expression (slice windows of
+    the token array, joined by spaces) — zero shuffles, zero self-joins.
+    The previous explode + (n−1) positional self-joins shuffled the full
+    token set n−1 times just to align adjacent positions; on the dedup
+    hot path at corpus scale those exchanges dominated everything else.
+    Docs with fewer than n tokens produce no shingles (sequence start >
+    stop yields an empty window list), matching the join formulation.
+    """
+    toks = _norm_tokens(F.col(text_col))
+    windows = F.expr(
+        f"transform(sequence(1, size({'_toks'}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(_toks, i, {n})))"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(id_col, F.explode(windows).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+    )
 
 
 def exact_duplicates(
@@ -247,6 +256,16 @@ def simhash_near_duplicates(
     block, so a per-block equality self-join finds all candidates —
     verified exactly with bit_count(xor).
     """
+    if not 0 <= max_hamming < 64:
+        raise ValueError(f"max_hamming must be in [0, 64), got {max_hamming}")
+    if 64 % num_bands:
+        raise ValueError(f"num_bands must divide 64, got {num_bands}")
+    if max_hamming >= num_bands:
+        # pigeonhole guarantee requires r < bands: with r >= bands, a pair
+        # with one differing bit per block agrees on NO block and would be
+        # silently missed — auto-widen to the smallest divisor of 64 that
+        # restores the bound instead of returning false negatives
+        num_bands = next(b for b in (2, 4, 8, 16, 32, 64) if b > max_hamming)
     fp = simhash64(df, text_col, id_col)
     width = 64 // num_bands
     block = lambda b: F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(

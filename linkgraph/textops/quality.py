@@ -36,8 +36,9 @@ def token_counts(
     same ``length``-difference formulation so the two engines agree on
     edge cases (consecutive whitespace, leading/trailing).
     """
-    n_tokens = F.regexp_count(F.col(text_col), F.lit(r"\S+"))
-    n_chars = F.length(F.col(text_col))
+    t = F.coalesce(F.col(text_col), F.lit(""))  # NULL text == empty text
+    n_tokens = F.regexp_count(t, F.lit(r"\S+"))
+    n_chars = F.length(t)
     return df.select(
         F.col(id_col),
         n_tokens.cast("long").alias("n_tokens"),
@@ -58,7 +59,7 @@ def quality_scores(
     for web-corpus curation.  ``quality`` ∈ [0,1]: product of clamped
     feature terms (monotone, deterministic).
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))  # NULL text == empty text
     n_chars = F.length(t)
     nz = F.greatest(n_chars, F.lit(1)).cast("double")
     trimmed = F.trim(t)
