@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.graph import Graph
 from linkgraph.operators.neighbor_reduce import neighbor_reduce
+from linkgraph.superstep import plain_checkpoint
 
 
 def _brandes_single_source(graph: Graph, source: int) -> DataFrame:
@@ -40,9 +41,15 @@ def _brandes_single_source(graph: Graph, source: int) -> DataFrame:
     spark = graph.spark
 
     # ---- forward: (vid, depth, sigma) --------------------------------
-    settled = spark.createDataFrame(
-        [(int(source), 0, 1.0)], "vid long, depth int, sigma double"
-    ).localCheckpoint(eager=True)
+    # plain_checkpoint per round: the anti-join + union shape both grows
+    # the plan and squares the preserved sizeInBytes estimate per level
+    # (driver-stall pathology past ~20-25 levels — superstep.py), and
+    # superseded generations' blocks are freed instead of piling up.
+    settled = plain_checkpoint(
+        spark.createDataFrame(
+            [(int(source), 0, 1.0)], "vid long, depth int, sigma double"
+        )
+    )
     frontier = settled
     depth = 0
     while True:
@@ -54,20 +61,25 @@ def _brandes_single_source(graph: Graph, source: int) -> DataFrame:
             out="sigma",
             salted=False,
         )
-        nxt = (
-            sums.join(settled.select("vid"), "vid", "left_anti")
-            .select("vid", F.lit(depth + 1).alias("depth"), "sigma")
-            .localCheckpoint(eager=True)
+        # At depth 0 the frontier IS the settled leaf — only free a
+        # frontier that is a separate (previous-level) leaf.
+        nxt = plain_checkpoint(
+            sums.join(settled.select("vid"), "vid", "left_anti").select(
+                "vid", F.lit(depth + 1).alias("depth"), "sigma"
+            ),
+            replaces=frontier if frontier is not settled else None,
         )
         if nxt.isEmpty():
             break
-        settled = settled.unionAll(nxt).localCheckpoint(eager=True)
+        settled = plain_checkpoint(settled.unionAll(nxt), replaces=settled)
         frontier = nxt
         depth += 1
 
     # ---- backward: accumulate δ by descending depth ------------------
     # state: settled (vid, depth, sigma) + running delta
-    state = settled.withColumn("dep", F.lit(0.0)).localCheckpoint(eager=True)
+    state = plain_checkpoint(
+        settled.withColumn("dep", F.lit(0.0)), replaces=settled
+    )
     for d in range(depth - 1, -1, -1):
         upper = state.where(F.col("depth") == d + 1).select(
             F.col("vid").alias("dst"),
@@ -83,9 +95,8 @@ def _brandes_single_source(graph: Graph, source: int) -> DataFrame:
             # σ(v)/σ(w)·(1+δ(w)) summed over w; σ(v) factored in post-join
             .agg(F.sum((1.0 + F.col("_dw")) / F.col("_sw")).alias("_part"))
         )
-        state = (
-            state.join(contrib, "vid", "left")
-            .select(
+        state = plain_checkpoint(
+            state.join(contrib, "vid", "left").select(
                 "vid",
                 "depth",
                 "sigma",
@@ -95,10 +106,16 @@ def _brandes_single_source(graph: Graph, source: int) -> DataFrame:
                 )
                 .otherwise(F.col("dep"))
                 .alias("dep"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            replaces=state,
         )
-    return state.where(F.col("vid") != source).select("vid", "dep")
+    # Materialize the 2-column result and free the 4-column state leaf —
+    # the returned leaf is what betweenness_centrality accumulates (and
+    # frees) across sources.
+    return plain_checkpoint(
+        state.where(F.col("vid") != source).select("vid", "dep"),
+        replaces=state,
+    )
 
 
 def betweenness_centrality(
@@ -113,15 +130,20 @@ def betweenness_centrality(
     matching the usual undirected-BC convention.  Vertices in no shortest
     path get bc = 0.
     """
+    from linkgraph.superstep import _free_checkpoint_blocks
+
     total: DataFrame | None = None
     for s in sources:
         dep = _brandes_single_source(graph, int(s))
-        total = dep if total is None else (
-            total.unionAll(dep)
-            .groupBy("vid")
-            .agg(F.sum("dep").alias("dep"))
-            .localCheckpoint(eager=True)
-        )
+        if total is None:
+            total = dep
+        else:
+            new_total = plain_checkpoint(
+                total.unionAll(dep).groupBy("vid").agg(F.sum("dep").alias("dep")),
+                replaces=total,
+            )
+            _free_checkpoint_blocks(dep)
+            total = new_total
     if total is None:
         raise ValueError("betweenness_centrality requires ≥1 source")
     scale = 0.5 if normalize_pairs else 1.0

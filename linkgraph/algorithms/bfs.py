@@ -19,8 +19,7 @@ from pyspark.sql import functions as F
 from linkgraph.graph import Graph
 from linkgraph.operators.advance import advance
 from linkgraph.operators.uniquify import uniquify
-from linkgraph.superstep import IterationResult
-from pyspark.storagelevel import StorageLevel
+from linkgraph.superstep import IterationResult, plain_checkpoint
 
 
 def bfs(
@@ -29,34 +28,46 @@ def bfs(
     directed: bool = True,
     max_iters: int = 10_000,
 ) -> IterationResult:
-    """Depth of every reachable vertex from ``source``: ``(vid, depth)``."""
+    """Depth of every reachable vertex from ``source``: ``(vid, depth)``.
+
+    ``converged`` is True only when the frontier emptied; a loop cut off
+    by ``max_iters`` returns ``converged=False`` (deeper vertices are
+    missing from the state).
+    """
     spark = graph.spark
     edges = graph.edges if directed else graph.symmetrized_edges
-    # Eager localCheckpoint per superstep: the new state's plan contains
+    # Eager checkpoint leaf per superstep: the new state's plan contains
     # the old state three times (union + anti-join + frontier filter), so
-    # without lineage truncation the plan grows 3^k (superstep.py rationale).
-    state = spark.createDataFrame(
-        [(int(source), 0)], "vid long, depth int"
-    ).localCheckpoint(eager=True)
+    # without lineage truncation the plan grows 3^k — and the anti-join
+    # would also square the preserved sizeInBytes estimate per level
+    # (plain_checkpoint strips it and frees the replaced generation).
+    state = plain_checkpoint(
+        spark.createDataFrame([(int(source), 0)], "vid long, depth int")
+    )
     frontier = state.select("vid")
     history = []
     depth = 0
     size = 1
+    done = False
     while depth < max_iters:
         nxt = uniquify(
             advance(frontier, edges).select(F.col("dst").alias("vid"))
         ).join(state, "vid", "left_anti")
         depth += 1
-        new_state = state.unionAll(
-            nxt.select("vid", F.lit(depth).cast("int").alias("depth"))
-        ).localCheckpoint(eager=True)
+        new_state = plain_checkpoint(
+            state.unionAll(
+                nxt.select("vid", F.lit(depth).cast("int").alias("depth"))
+            ),
+            replaces=state,
+        )
         new_size = new_state.count()
         grew = new_size - size
         history.append({"iter": depth, "new_vertices": grew})
-        if grew == 0:
-            break
         state, size = new_state, new_size
+        if grew == 0:
+            done = True
+            break
         frontier = state.where(F.col("depth") == depth).select("vid")
     return IterationResult(
-        state=state, iterations=depth, converged=True, history=history
+        state=state, iterations=depth, converged=done, history=history
     )

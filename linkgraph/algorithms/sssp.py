@@ -11,10 +11,9 @@ touch a shrinking edge subset (the advance fast path).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from linkgraph.graph import Graph
-from linkgraph.superstep import IterationResult
+from linkgraph.superstep import IterationResult, plain_checkpoint
 
 
 def sssp(
@@ -23,21 +22,32 @@ def sssp(
     weight_col: str | None = None,
     max_iters: int = 10_000,
 ) -> IterationResult:
-    """Shortest distance to every reachable vertex: ``(vid, dist)``."""
+    """Shortest distance to every reachable vertex: ``(vid, dist)``.
+
+    ``converged`` is True only when a round relaxed nothing; a loop cut
+    off by ``max_iters`` returns ``converged=False`` (distances may still
+    be improvable).
+    """
     spark = graph.spark
     edges = graph.edges
     if weight_col is None:
         edges = edges.withColumn("_w", F.lit(1.0))
     else:
         edges = edges.withColumn("_w", F.col(weight_col).cast("double"))
-    # Eager localCheckpoint per superstep (lineage truncation — the state
-    # appears twice in each iteration's plan; see superstep.py rationale).
-    state = spark.createDataFrame(
-        [(int(source), 0.0)], "vid long, dist double"
-    ).localCheckpoint(eager=True)
-    improved = state
+    # Eager checkpoint leaf per superstep: the state appears twice in each
+    # iteration's plan (gather + full_outer merge), so without lineage
+    # truncation the plan grows per round AND the merge join would square
+    # the preserved sizeInBytes estimate per iteration — past ~25 rounds
+    # the driver stalls in million-digit BigInteger multiplies
+    # (plain_checkpoint strips it and frees the replaced generation).
+    leaf = plain_checkpoint(
+        spark.createDataFrame([(int(source), 0.0)], "vid long, dist double")
+    )
+    state = leaf
+    improved = leaf
     history = []
     it = 0
+    done = False
     while it < max_iters:
         it += 1
         relaxed = (
@@ -47,9 +57,8 @@ def sssp(
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.min(F.col("dist") + F.col("_w")).alias("cand"))
         )
-        merged = (
-            state.join(relaxed, "vid", "full_outer")
-            .select(
+        leaf = plain_checkpoint(
+            state.join(relaxed, "vid", "full_outer").select(
                 "vid",
                 F.least(
                     F.coalesce("dist", F.lit(float("inf"))),
@@ -59,15 +68,14 @@ def sssp(
                     F.col("dist").isNull()
                     | (F.col("cand") < F.col("dist"))
                 ).alias("_improved"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            replaces=leaf,
         )
-        n_improved = merged.where("_improved").count()
+        n_improved = leaf.where("_improved").count()
         history.append({"iter": it, "improved": n_improved})
-        new_state = merged.select("vid", "dist")
+        state = leaf.select("vid", "dist")
         if n_improved == 0:
-            state = new_state
+            done = True
             break
-        improved = merged.where("_improved").select("vid", "dist")
-        state = new_state
-    return IterationResult(state=state, iterations=it, converged=True, history=history)
+        improved = leaf.where("_improved").select("vid", "dist")
+    return IterationResult(state=state, iterations=it, converged=done, history=history)

@@ -76,6 +76,12 @@ def main(argv: list[str] | None = None) -> int:
     from linkgraph.superstep import CheckpointManager
 
     spark = SparkSession.builder.appName(f"linkgraph-{args.command}").getOrCreate()
+    if args.partitions is not None:
+        # Graph.from_edges contract: the graph's partition count MUST
+        # equal spark.sql.shuffle.partitions, or every superstep join
+        # re-exchanges one |E|-sized side (graph.py docstring; guarded by
+        # tests/test_plans.py).  Align the session before building.
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.partitions))
     ck = (
         CheckpointManager(spark, args.checkpoint_dir)
         if args.checkpoint_dir

@@ -32,25 +32,22 @@ def read_mtx(spark: SparkSession, path: str) -> DataFrame:
     # banner must be read driver-side (it decides symmetrize/value layout)
     first = spark.read.text(path).limit(1).collect()[0][0]
     symmetric, has_values = _header_flags(first)
-    # The size header "M N NNZ" is the first non-comment line; for pattern
-    # matrices it has 3 tokens vs 2 for data lines, so a token-count filter
-    # removes it exactly.  For value matrices (3-token data lines) it is
-    # removed by raw-line equality with the header read driver-side (a data
-    # line byte-identical to the header is pathological).
-    header = (
-        spark.read.text(path)
-        .where(~F.col("value").startswith("%"))
-        .limit(1)
-        .collect()[0][0]
-    )
+    # The size header "M N NNZ" is the first non-comment line.  Drop it
+    # POSITIONALLY, not by content: for value matrices a legitimate data
+    # line can be byte-identical to the header (e.g. entry (4,4) value 6
+    # in a 4x4/6-nnz matrix writes "4 4 6" twice) and a content filter
+    # would silently delete both.  monotonically_increasing_id orders by
+    # (partition, in-partition position) and spark.read.text splits one
+    # file by ascending offset, so the minimum id among non-comment lines
+    # is exactly the size header.
     lines = spark.read.text(path).where(
         ~F.col("value").startswith("%") & (F.length(F.trim("value")) > 0)
-    )
+    ).withColumn("_mid", F.monotonically_increasing_id())
+    header_mid = lines.agg(F.min("_mid")).collect()[0][0]
+    lines = lines.where(F.col("_mid") != header_mid)
     parts = F.split(F.trim("value"), r"\s+")
     n_data_tokens = 3 if has_values else 2
     lines = lines.where(F.size(parts) == n_data_tokens)
-    if has_values:
-        lines = lines.where(F.col("value") != F.lit(header))
     edges = lines.select(
         (parts.getItem(0).cast("long") - 1).alias("src"),
         (parts.getItem(1).cast("long") - 1).alias("dst"),

@@ -106,10 +106,21 @@ _GRAPH_CACHE: dict[str, object] = {}
 
 def build_graph(spark: SparkSession, sf_dir: str, num_partitions: int | None = None):
     """Graph over the derived edges; cached per sf_dir so the many graph
-    queries in one harness run share one persisted edge DataFrame."""
+    queries in one harness run share one persisted edge DataFrame.
+
+    Keyed by the context's applicationId (unique per SparkContext), not
+    ``id(spark)`` — a stopped-and-recreated session frequently reuses the
+    freed object's address, which would alias a Graph whose persisted
+    DataFrames belong to the dead context.  Entries from other
+    applications are evicted on sight (their storage died with their
+    context; dropping the references lets Python free the dead wrappers).
+    """
     from linkgraph.graph import Graph
 
-    key = f"{id(spark)}:{sf_dir}:{num_partitions}"
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _GRAPH_CACHE if not k.startswith(f"{app_id}:")]:
+        del _GRAPH_CACHE[k]
+    key = f"{app_id}:{sf_dir}:{num_partitions}"
     if key not in _GRAPH_CACHE:
         _GRAPH_CACHE[key] = Graph.from_edges(
             build_edges_df(spark, sf_dir), num_partitions=num_partitions
@@ -411,14 +422,17 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+def _lang_markers() -> dict[str, list[str]]:
+    # Single source of truth: the engine's lexicon — a copy here would
+    # drift (it did: zh was missing from the oracle until a review pass).
+    from linkgraph.textops.quality import LANG_MARKERS
+
+    return LANG_MARKERS
+
+
 _MARKER_VALUES = ", ".join(
     f"('{lang}', '{w}')"
-    for lang, ws in {
-        "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
-        "es": ["el", "la", "de", "que", "los", "las", "una", "por", "con", "para"],
-        "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
-        "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour", "qui", "pas"],
-    }.items()
+    for lang, ws in _lang_markers().items()
     for w in ws
 )
 
@@ -428,9 +442,18 @@ toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
   FROM documents
 ),
+-- twin of the engine's per-character CJK stream (zh markers are single
+-- characters that whitespace tokenization can't isolate)
+cjk AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[一-鿿]')) AS word
+  FROM documents
+),
+allw AS (
+  SELECT doc_id, word FROM toks UNION ALL SELECT doc_id, word FROM cjk
+),
 hits AS (
   SELECT doc_id, lang, COUNT(*) AS hits
-  FROM toks JOIN markers USING (word) GROUP BY doc_id, lang
+  FROM allw JOIN markers USING (word) GROUP BY doc_id, lang
 ),
 best AS (
   SELECT doc_id, lang, hits,

@@ -59,14 +59,54 @@ StepFn = Callable[[DataFrame, int], DataFrame]
 StatsFn = Callable[[DataFrame, DataFrame], DataFrame]
 ConvergedFn = Callable[[dict], bool]
 
-# Serializes the AQE-off window around checkpoint-leaf builds.  The
+# Guards the AQE-off window around checkpoint-leaf builds.  The
 # spark.sql.adaptive.enabled toggle is a SESSION-global RuntimeConfig:
 # two iterate() calls on concurrent threads (operators/batch.run_batch)
 # would otherwise race the read-toggle-restore sequence — one thread's
 # checkpoint could run with AQE still on (an UnknownPartitioning leaf,
 # silently re-introducing per-superstep exchanges) and the session could
 # be left with AQE permanently off.
-_AQE_TOGGLE_LOCK = threading.Lock()
+#
+# Refcounted first-in/last-out rather than a plain lock held across the
+# materialization job: essentially ALL of a superstep's work happens
+# inside the eager localCheckpoint, so holding one lock across it would
+# serialize concurrent run_batch instances (~1× instead of ~4×
+# throughput).  Every holder wants the same state (AQE off), so only the
+# conf read/toggle/restore needs mutual exclusion — the enclosed jobs
+# overlap freely while the count is > 0.
+_AQE_GATE = threading.Lock()
+_AQE_HOLDERS: dict[str, list] = {}  # session key -> [holders, saved value]
+
+
+class _aqe_disabled:
+    """Context manager: AQE disabled for ``spark`` while ≥1 holder is
+    inside (first-in saves + disables, last-out restores)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        # id() alone can alias a recreated session at the same address;
+        # pairing it with the context's applicationId (new per context)
+        # makes stale aliasing harmless for these short-lived entries.
+        self.key = f"{spark.sparkContext.applicationId}/{id(spark)}"
+
+    def __enter__(self) -> "_aqe_disabled":
+        with _AQE_GATE:
+            st = _AQE_HOLDERS.get(self.key)
+            if st is None:
+                saved = self.spark.conf.get("spark.sql.adaptive.enabled")
+                self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+                _AQE_HOLDERS[self.key] = [1, saved]
+            else:
+                st[0] += 1
+        return self
+
+    def __exit__(self, *exc) -> None:
+        with _AQE_GATE:
+            st = _AQE_HOLDERS[self.key]
+            st[0] -= 1
+            if st[0] == 0:
+                del _AQE_HOLDERS[self.key]
+                self.spark.conf.set("spark.sql.adaptive.enabled", st[1])
 
 
 @dataclass
@@ -203,6 +243,40 @@ def strip_origin_stats(df: DataFrame) -> DataFrame:
         return df
 
 
+def plain_checkpoint(
+    df: DataFrame, replaces: DataFrame | None = None
+) -> DataFrame:
+    """Constant-stats checkpoint leaf for HAND-ROLLED iteration loops
+    (bfs/sssp/bc and similar algorithms that don't run under
+    :func:`iterate` because their loop shape doesn't fit the one-state
+    protocol).
+
+    Gives such loops the two properties the :func:`iterate` runtime
+    provides (and whose absence was measured as driver stalls / storage
+    pileup — see :func:`strip_origin_stats` and the per-iteration
+    protocol comment):
+
+    - ``strip_origin_stats``: a loop whose step references the previous
+      leaf twice (any self-join/union+anti-join shape) otherwise squares
+      the preserved ``sizeInBytes`` estimate per round — past ~20-25
+      rounds the driver stalls in million-digit BigInteger multiplies;
+    - ``replaces``: explicitly frees the superseded generation's
+      checkpoint blocks (safe only AFTER the new leaf is materialized,
+      which the eager checkpoint here guarantees) instead of letting
+      |V|-sized block sets pile up for the ContextCleaner.
+
+    Unlike ``iterate``'s ``checkpoint_leaf`` this does NOT toggle AQE or
+    preserve partitioning metadata — hand-rolled loops don't rely on a
+    canonical layout; callers that do should use :func:`iterate`.
+    """
+    new = strip_origin_stats(
+        df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    if replaces is not None:
+        _free_checkpoint_blocks(replaces)
+    return new
+
+
 def iterate(
     state: DataFrame,
     step: StepFn,
@@ -269,25 +343,20 @@ def iterate(
         so their physical layout is already the canonical one and the
         extra exchange would move every row to the partition it is
         already in."""
-        with _AQE_TOGGLE_LOCK:
-            prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-            try:
-                if relayout:
-                    df = df.repartition(
-                        num_partitions, partition_key
-                    ).sortWithinPartitions(partition_key)
-                # PySpark's MEMORY_AND_DISK is the SERIALIZED level: compact
-                # bytes instead of object graphs (the localCheckpoint default
-                # is deserialized, and |V|-row object generations churned the
-                # old-gen heap into multi-second GC spikes every ~10 steps)
-                return strip_origin_stats(
-                    df.localCheckpoint(
-                        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-                    )
+        with _aqe_disabled(spark):
+            if relayout:
+                df = df.repartition(
+                    num_partitions, partition_key
+                ).sortWithinPartitions(partition_key)
+            # PySpark's MEMORY_AND_DISK is the SERIALIZED level: compact
+            # bytes instead of object graphs (the localCheckpoint default
+            # is deserialized, and |V|-row object generations churned the
+            # old-gen heap into multi-second GC spikes every ~10 steps)
+            return strip_origin_stats(
+                df.localCheckpoint(
+                    eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
                 )
-            finally:
-                spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            )
 
     start_iter = 0
     if checkpoint is not None and resume:

@@ -47,6 +47,19 @@ def test_value_matrix(spark, tmp_path):
     assert rows == {(0, 1, 0.5), (1, 2, 1.5)}
 
 
+def test_value_matrix_data_line_equal_to_header(spark, tmp_path):
+    """A data line byte-identical to the size header must survive (the
+    header is dropped positionally, not by content)."""
+    p = os.path.join(str(tmp_path), "collide.mtx")
+    with open(p, "w") as f:
+        f.write(
+            "%%MatrixMarket matrix coordinate real general\n"
+            "4 4 3\n1 2 0.5\n4 4 3\n2 3 1.5\n"
+        )
+    rows = {(r.src, r.dst, r.weight) for r in read_mtx(spark, p).collect()}
+    assert rows == {(0, 1, 0.5), (3, 3, 3.0), (1, 2, 1.5)}
+
+
 def test_read_smtx_roundtrip(spark, tmp_path):
     """smtx (CSR-as-text, reference I2) expands to the same COO edge set."""
     import numpy as np

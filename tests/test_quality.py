@@ -53,6 +53,41 @@ def test_language_id_marker_texts(spark):
     assert got == {0: "en", 1: "es", 2: "de", 3: "fr", 4: "zh", 5: "und"}
 
 
+def test_language_id_oracle_parity_incl_cjk(spark):
+    """Engine vs DuckDB LANGID_SQL twin on a corpus WITH CJK text — the
+    fixture corpus has none, which once masked a missing-zh oracle."""
+    import duckdb
+    import pandas as pd
+
+    from linkgraph.queries import LANGID_SQL
+
+    rows = [
+        (0, "the cat and the dog is in the house"),
+        (1, "我 有 一 本 书 是 好 的"),      # whitespace-tokenized zh
+        (2, "这是中文的句子不用空格的"),        # unsegmented zh (chars only)
+        (3, "mixed the 的 und der"),          # cross-language collision
+        (4, None),
+        (5, ""),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.pred_lang, r.lang_hits)
+        for r in language_id(sdf).collect()
+    }
+    assert got[1][0] == "zh" and got[2][0] == "zh"
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text"], dtype=object),
+    )
+    want = {
+        int(doc_id): (lang, int(hits))
+        for doc_id, lang, hits in con.execute(LANGID_SQL).fetchall()
+    }
+    assert got == want
+
+
 def test_doc_fingerprint_matches_python_twin(spark):
     texts = [(0, "hello world"), (1, ""), (2, "hello world"), (3, "HELLO")]
     df = spark.createDataFrame(texts, "doc_id long, text string")

@@ -27,5 +27,18 @@ def test_sssp_unit_weights(spark):
     edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
     g = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
     res = sssp(g, 0)
+    assert res.converged
     got = {r.vid: r.dist for r in res.state.collect()}
     assert got == sssp_oracle(edges, 0)
+
+
+def test_max_iters_cutoff_reports_not_converged(spark):
+    chain = [(i, i + 1) for i in range(6)]
+    g = Graph.from_edges(edges_df(spark, chain), num_partitions=2)
+    b = bfs(g, 0, max_iters=2)
+    assert not b.converged
+    assert {r.vid for r in b.state.collect()} == {0, 1, 2}
+    s = sssp(g, 0, max_iters=2)
+    assert not s.converged
+    full = bfs(g, 0)
+    assert full.converged
