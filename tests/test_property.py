@@ -1,0 +1,129 @@
+"""Property-based differential tests: random digraphs vs the CPU oracles.
+
+The adversarial micro-graphs in FIXTURES.md pin known edge cases; this
+module lets hypothesis hunt for UNKNOWN ones — partition-dependent
+nondeterminism, tie-break divergence, dangling/self-loop handling — by
+generating arbitrary small digraphs (duplicates and self-loops included,
+which Graph.from_edges must normalize away identically to the oracles'
+``_normalize``) and checking all four mandated primitives against their
+sequential twins on each.  One generated graph exercises PR + CC + TC +
+LP together so the Spark-side cost per example stays ~constant.
+
+Kept deliberately small (max_examples=6, ≤14 vertices): each example is
+several Spark jobs; the goal is shrunk counterexamples, not volume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from conftest import edges_df
+from linkgraph import (
+    Graph,
+    connected_components,
+    label_propagation,
+    pagerank,
+)
+from linkgraph.algorithms.triangles import triangle_count, triangle_counts_per_vertex
+from oracles import cc_oracle, labelprop_oracle, pagerank_oracle, triangle_oracle
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 13), st.integers(0, 13)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=edge_lists)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    print_blob=True,
+)
+def test_primitives_match_oracles_on_random_digraphs(spark, edges):
+    # Graph.from_edges drops self-loops + dupes; a list that normalizes
+    # to nothing is the empty graph (covered by test_pagerank's empty case)
+    norm = {(s, d) for s, d in edges if s != d}
+    if not norm:
+        return
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+
+    # PageRank: allclose 1e-6 at convergence (probability form)
+    res = pagerank(g, tol=1e-9, max_iters=200)
+    want, _ = pagerank_oracle(edges, tol=1e-9, max_iters=200)
+    got = {r.vid: r.rank for r in res.state.collect()}
+    assert set(got) == set(want)
+    assert np.allclose(
+        [got[v] for v in sorted(got)],
+        [want[v] for v in sorted(want)],
+        atol=1e-6,
+    )
+
+    # Connected components: exact
+    cc = connected_components(g)
+    assert {r.vid: r.comp for r in cc.state.collect()} == cc_oracle(edges)
+
+    # Triangle count: exact, total and per-vertex
+    want_total, want_per_vertex = triangle_oracle(edges)
+    assert triangle_count(g) == want_total
+    got_tc = {r.vid: r.triangles for r in triangle_counts_per_vertex(g).collect()}
+    assert got_tc == want_per_vertex
+
+    # Label propagation: exact under synchronous min-tie-break semantics
+    lp = label_propagation(g, max_iters=8)
+    want_lp, _ = labelprop_oracle(edges, max_iters=8)
+    assert {r.vid: r.label for r in lp.state.collect()} == want_lp
+
+
+@given(edges=edge_lists)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    print_blob=True,
+)
+def test_traversal_and_structure_match_oracles(spark, edges):
+    """BFS / SSSP / k-core vs sequential oracles + coloring validity.
+
+    Same shape as the four-primitive test above, over the frontier-style
+    algorithms whose failure modes differ (anti-join frontier subtraction,
+    full_outer relaxation merge, iterative peeling, random-priority MIS):
+    hypothesis hunts for source-unreachable islands, relaxation ties and
+    peel-order dependence that the fixed fixtures can't.
+    """
+    from linkgraph.algorithms.bfs import bfs
+    from linkgraph.algorithms.coloring import jpl_coloring
+    from linkgraph.algorithms.kcore import k_core
+    from linkgraph.algorithms.sssp import sssp
+    from oracles import bfs_oracle, kcore_oracle, sssp_oracle
+
+    norm = {(s, d) for s, d in edges if s != d}
+    if not norm:
+        return
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+    source = min(min(s, d) for s, d in norm)
+
+    # BFS depths: exact over reachable vertices
+    res = bfs(g, source)
+    assert {r.vid: r.depth for r in res.state.collect()} == bfs_oracle(
+        edges, source
+    )
+
+    # SSSP with unit weights: exercises the full_outer relaxation merge
+    res = sssp(g, source)
+    assert {r.vid: r.dist for r in res.state.collect()} == sssp_oracle(
+        edges, source
+    )
+
+    # 2-core + within-core degrees: exact (peel order must not matter)
+    res = k_core(g, k=2)
+    got = {r.vid: r.deg for r in res.state.collect()}
+    assert got == kcore_oracle(edges, k=2)
+
+    # JPL coloring: proper on the symmetrized graph (no same-color edge)
+    colors = {r.vid: r.color for r in jpl_coloring(g).state.collect()}
+    for s, d in norm:
+        assert colors[s] != colors[d], (s, d)
