@@ -3,10 +3,14 @@
 
 Usage::
 
-    spark-submit --py-files linkgraph.zip -m linkgraph.cli \\
+    # cluster: ship the package (tools/build_pyfiles_zip.py) + a two-line
+    # launcher app.py = "from linkgraph.cli import main; main()"
+    # (spark-submit takes a script file, not -m):
+    spark-submit --master spark://... --py-files dist/linkgraph.zip app.py \\
         pagerank --edges s3://bucket/edges.parquet --out /tmp/ranks \\
         --checkpoint-dir /tmp/ck --tol 1e-6
 
+    # local:
     python -m linkgraph.cli pipeline --pages pages.parquet --out /tmp/out
 
 Subcommands: pagerank | cc | labelprop | triangles | ppr | hits | bfs |

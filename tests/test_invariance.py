@@ -76,3 +76,47 @@ def test_cross_master_invariance(tmp_path):
     df8 = pd.read_parquet(outs[8]).set_index("vid").sort_index()
     assert list(df2.index) == list(df8.index)
     np.testing.assert_allclose(df2["rank"], df8["rank"], atol=1e-9)
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files_zip(tmp_path):
+    """Ship the package as a zip via real spark-submit --py-files.
+
+    Runs from a scratch cwd with the repo absent from PYTHONPATH, so
+    every ``linkgraph.*`` import on driver and executors must resolve
+    from the archive — proving the package is --py-files-complete (pure
+    Python, no ``__file__``-relative data), per the north rule's
+    "launched via spark-submit --py-files" clause.
+    """
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        from build_pyfiles_zip import build_zip
+    finally:
+        sys.path.pop(0)
+    from oracles import cc_oracle
+
+    edges = synthetic_crawl(200)
+    import pandas as pd
+
+    edges_path = str(tmp_path / "edges.parquet")
+    pd.DataFrame({"src": edges[:, 0], "dst": edges[:, 1]}).to_parquet(edges_path)
+    zip_path = str(build_zip(tmp_path / "linkgraph.zip"))
+    app = tmp_path / "app.py"
+    app.write_text("import sys\nfrom linkgraph.cli import main\nsys.exit(main())\n")
+
+    out = str(tmp_path / "cc")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    r = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", zip_path, str(app),
+         "cc", "--edges", edges_path, "--out", out],
+        capture_output=True, text=True, env=env, timeout=480, cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+
+    got = pd.read_parquet(out).set_index("vid")["comp"].to_dict()
+    assert got == cc_oracle([tuple(e) for e in edges])
