@@ -286,6 +286,39 @@ def _kcore_peel_sql(k: int = 3, rounds: int = 8) -> str:
     return "\n".join(parts)
 
 
+def _sssp_unrolled_sql(rounds: int = 7) -> str:
+    """Unrolled Bellman-Ford from source 0 (twin of ``q_sssp7``).
+
+    After round i the engine's frontier-restricted relax holds exactly
+    the min distance over paths of ≤ i edges (standard Bellman-Ford
+    invariant — a vertex that didn't improve in round j already sent its
+    final distance in some earlier round), so both sides run the same
+    fixed number of rounds.  Weights are derived from (src, dst) by pure
+    integer arithmetic, evaluable identically in Spark SQL and DuckDB.
+    """
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        "w AS MATERIALIZED (SELECT src, dst, "
+        "CAST(1 + (src * 7 + dst * 13) % 10 AS DOUBLE) AS w FROM edges),",
+        "d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS vid, "
+        "CAST(0 AS DOUBLE) AS dist),",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"d{i - 1}"
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT vid, MIN(dist) AS dist FROM (
+    SELECT vid, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS vid, p.dist + e.w AS dist FROM w e JOIN {prev} p ON p.vid = e.src
+  ) u GROUP BY vid
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT vid, ROUND(dist, 6) AS dist6 FROM d{rounds} ORDER BY vid")
+    return "\n".join(parts)
+
+
 SPGEMM_SQUARE_SQL = f"""
 WITH {EDGE_SQL.strip()}
 SELECT a.src AS row, b.dst AS col, CAST(COUNT(*) AS BIGINT) AS paths2
@@ -573,6 +606,25 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = build_graph(spark, sf_dir)
     return bfs(g, 0).state.select("vid", F.col("depth").cast("long").alias("depth"))
+
+
+def q_sssp7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP from vertex 0, 7 relaxation rounds (reference A6).
+
+    Weight = 1 + (src*7 + dst*13) % 10, attached as a narrow projection
+    over the shared cached graph (keeps hash(src) partitioning, so the
+    gather join stays exchange-free).
+    """
+    from linkgraph.algorithms.sssp import sssp
+    from linkgraph.graph import Graph
+
+    g = build_graph(spark, sf_dir)
+    weighted = g.edges.withColumn(
+        "w", (F.lit(1) + (F.col("src") * 7 + F.col("dst") * 13) % 10).cast("double")
+    )
+    gw = Graph(weighted, g.num_partitions)
+    res = sssp(gw, 0, weight_col="w", max_iters=7)
+    return res.state.select("vid", F.round("dist", 6).alias("dist6"))
 
 
 def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1010,6 +1062,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "connected_components": q_cc,
     "labelprop3": q_labelprop3,
     "bfs_depths": q_bfs,
+    "sssp7": q_sssp7,
     "triangle_total": q_triangle_total,
     "triangle_per_vertex": q_triangle_per_vertex,
     "ppr10": q_ppr10,
@@ -1050,6 +1103,7 @@ ORACLES: dict[str, str] = {
     "connected_components": CC_SQL,
     "labelprop3": _labelprop_unrolled_sql(3),
     "bfs_depths": BFS_SQL,
+    "sssp7": _sssp_unrolled_sql(7),
     "triangle_total": TRI_TOTAL_SQL,
     "triangle_per_vertex": TRI_PER_VERTEX_SQL,
     "ppr10": _ppr_unrolled_sql(10, 0.85, (0, 1, 2)),

@@ -1,0 +1,80 @@
+"""Full driver-gate sweep: every ``queries()`` entry runs, and every
+``oracle_sql()`` twin value-hash-matches DuckDB at sf0.001.
+
+This is a local replica of the driver's CORRECTNESS gate
+(SURVEY.md §5.2.6, tools/compare_oracles.py) so a catalog regression is
+caught by ``pytest`` before the round ends, not by the driver after it.
+Marked slow: it executes all 38 catalog entries.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from linkgraph.queries import ORACLES, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def _signature(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return (
+        [cols[i] for i in order],
+        sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows),
+    )
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata missing")
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_catalog_entry(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    if name not in ORACLES:
+        # rows-only entries: schema is stable and the run succeeds; value
+        # correctness is pinned by the named pytest oracle (SURVEY.md §2.6).
+        assert len(scols) > 0
+        return
+
+    cur = duck.execute(ORACLES[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    s_sig = _signature(scols, [tuple(r) for r in srows])
+    o_sig = _signature(ocols, orows)
+    assert s_sig[0] == o_sig[0], f"{name}: column mismatch {s_sig[0]} vs {o_sig[0]}"
+    assert len(s_sig[1]) == len(o_sig[1]), (
+        f"{name}: row count {len(s_sig[1])} vs {len(o_sig[1])}"
+    )
+    assert s_sig[1] == o_sig[1], f"{name}: value mismatch"
