@@ -286,6 +286,51 @@ def _kcore_peel_sql(k: int = 3, rounds: int = 8) -> str:
     return "\n".join(parts)
 
 
+def _geolocation_unrolled_sql(rounds: int = 20) -> str:
+    """Unrolled spatial-median spread (twin of ``q_geolocation``).
+
+    The engine's update is ``coalesce(old, median-of-located-neighbors)``
+    — located vertices never change, so past the fixpoint every further
+    round is a no-op and a fixed ``rounds``-round unroll equals the
+    engine's converge-or-max_iters run (both capped at the same count).
+    Medians are DuckDB ``quantile_cont(·, 0.5)`` = Spark ``percentile``
+    (linear interpolation at (n-1)·p); inputs are integer-valued doubles
+    so every interpolated value is an exact dyadic double on both sides.
+    """
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        SYM_SQL.strip() + ",",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM "
+        "(SELECT src FROM sym UNION ALL SELECT dst FROM sym) v),",
+        "g0 AS MATERIALIZED (SELECT vid, "
+        "CASE WHEN vid % 10 = 0 THEN CAST((vid % 180) - 90 AS DOUBLE) END AS lat, "
+        "CASE WHEN vid % 10 = 0 THEN CAST((vid % 360) - 180 AS DOUBLE) END AS lon "
+        "FROM verts),",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"g{i - 1}"
+        parts.append(
+            f"""g{i} AS MATERIALIZED (
+  SELECT s.vid,
+         COALESCE(s.lat, e.elat) AS lat,
+         COALESCE(s.lon, e.elon) AS lon
+  FROM {prev} s LEFT JOIN (
+    SELECT m.dst AS vid,
+           quantile_cont(p.lat, 0.5) AS elat,
+           quantile_cont(p.lon, 0.5) AS elon
+    FROM sym m JOIN {prev} p ON p.vid = m.src AND p.lat IS NOT NULL
+    GROUP BY m.dst
+  ) e ON e.vid = s.vid
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid, ROUND(lat, 6) AS lat, ROUND(lon, 6) AS lon "
+        f"FROM g{rounds} WHERE lat IS NOT NULL ORDER BY vid"
+    )
+    return "\n".join(parts)
+
+
 def _sssp_unrolled_sql(rounds: int = 7) -> str:
     """Unrolled Bellman-Ford from source 0 (twin of ``q_sssp7``).
 
@@ -700,10 +745,10 @@ def q_bc_source0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_geolocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (iterative spatial-median has no tractable SQL
-    twin); exact semantics pinned vs the NumPy oracle in
-    tests/test_geolocation.py.  Seeds are deterministic: every 10th vid,
-    coordinates a pure function of vid."""
+    """Spatial-median spread, DuckDB-oracled by a 20-round unroll
+    (_geolocation_unrolled_sql); semantics also pinned vs the NumPy
+    oracle in tests/test_geolocation.py.  Seeds are deterministic:
+    every 10th vid, coordinates a pure function of vid."""
     from linkgraph.algorithms.geolocation import geolocate
 
     g = build_graph(spark, sf_dir)
@@ -1109,6 +1154,7 @@ ORACLES: dict[str, str] = {
     "ppr10": _ppr_unrolled_sql(10, 0.85, (0, 1, 2)),
     "hits5": _hits_unrolled_sql(5),
     "kcore3_peel8": _kcore_peel_sql(3, 8),
+    "geolocation": _geolocation_unrolled_sql(20),
     "spgemm_square": SPGEMM_SQUARE_SQL,
     # jpl_coloring / bc_source0 / mst / geolocation: intentionally no
     # oracle → rows-only (hash priorities, Brandes accumulation, Borůvka
