@@ -331,6 +331,65 @@ def _geolocation_unrolled_sql(rounds: int = 20) -> str:
     return "\n".join(parts)
 
 
+FINGERPRINT_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(list_reduce(
+         list_prepend(CAST(0 AS HUGEINT),
+           list_transform(range(1, length(text) + 1),
+                          i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+         (a, b) -> (a * 131 + b) % 2305843009213693951
+       ) AS BIGINT) AS fingerprint
+FROM documents
+"""
+# ^ twin of textops.quality.doc_fingerprint: fold over the text's bytes
+#   (code point == byte — the driver corpus is ASCII, asserted in
+#   tests/test_catalog.py's sweep by value equality), B=131, P=2^61-1 in
+#   HUGEINT so the fold never overflows.  list_prepend(0) seeds the
+#   reduce with the engine's h=0 initial accumulator, which also makes
+#   the empty-text fold return 0 like the engine.
+
+
+def _simhash_sql() -> str:
+    """Twin of textops.dedup.simhash64 over docs2.
+
+    Token hash = first 8 md5 bytes big-endian == CAST('0x'||first 16 hex
+    chars AS UBIGINT); RE2 ``\\s+`` token split matches Python
+    ``str.split()`` on this ASCII corpus (no \\v/\\f/unicode spaces in
+    the driver data); the final CASE reinterprets the unsigned 64-bit
+    fingerprint as the engine's signed int64.
+    """
+    return (
+        "WITH "
+        + DOCS2_SQL.strip()
+        + r""",
+toks AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS tok
+  FROM docs2
+),
+th AS (SELECT doc_id,
+              CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+       FROM toks),
+bits AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+  GROUP BY doc_id, i
+),
+fps AS (
+  SELECT doc_id,
+         SUM(CASE WHEN vote > 0 THEN CAST(CAST(1 AS UBIGINT) << i AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END) AS ufp
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN COALESCE(f.ufp, 0) >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN COALESCE(f.ufp, 0) - CAST('18446744073709551616' AS HUGEINT)
+                 ELSE COALESCE(f.ufp, 0) END AS BIGINT) AS simhash
+FROM docs2 d LEFT JOIN fps f USING (doc_id)"""
+    )
+
+
 def _sssp_unrolled_sql(rounds: int = 7) -> str:
     """Unrolled Bellman-Ford from source 0 (twin of ``q_sssp7``).
 
@@ -961,14 +1020,17 @@ def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (bit manipulation has no clean SQL twin)."""
+    """DuckDB-oracled via _simhash_sql (md5-prefix token hashes + bit
+    votes are engine-neutral); bit semantics also pinned in
+    tests/test_dedup.py."""
     from linkgraph.textops.dedup import simhash64
 
     return simhash64(_docs2(spark, sf_dir))
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (byte-loop rolling hash has no SQL twin)."""
+    """DuckDB-oracled via FINGERPRINT_SQL (list_reduce fold twin of the
+    rolling hash); byte semantics also pinned in tests/test_quality.py."""
     from linkgraph.textops.quality import doc_fingerprint
 
     _load(spark, sf_dir, "documents")
@@ -1155,6 +1217,8 @@ ORACLES: dict[str, str] = {
     "hits5": _hits_unrolled_sql(5),
     "kcore3_peel8": _kcore_peel_sql(3, 8),
     "geolocation": _geolocation_unrolled_sql(20),
+    "simhash": _simhash_sql(),
+    "doc_fingerprint": FINGERPRINT_SQL,
     "spgemm_square": SPGEMM_SQUARE_SQL,
     # jpl_coloring / bc_source0 / mst / geolocation: intentionally no
     # oracle → rows-only (hash priorities, Brandes accumulation, Borůvka
