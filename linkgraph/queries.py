@@ -331,6 +331,63 @@ def _geolocation_unrolled_sql(rounds: int = 20) -> str:
     return "\n".join(parts)
 
 
+def _brandes_unrolled_sql(levels: int = 8) -> str:
+    """Unrolled single-source Brandes from vertex 0 (twin of
+    ``q_bc_source0``).
+
+    Forward: ``levels`` level-synchronous BFS rounds accumulating σ
+    (exact — σ is integer-valued in doubles); rounds past the source's
+    eccentricity are empty no-ops, so any ``levels`` ≥ ecc(0) is exact
+    (measured ecc(0) = 4 at sf0.001/0.01/0.1; 8 = 2× margin).  Backward:
+    dependency accumulation δ(v) = σ(v)·Σ_w (1+δ(w))/σ(w) by descending
+    depth, the same factored form the engine aggregates; empty levels
+    are again no-ops.  bc = δ/2 (undirected pair normalization),
+    rounded to 6 decimals on both sides.
+    """
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        SYM_SQL.strip() + ",",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM "
+        "(SELECT src FROM sym UNION ALL SELECT dst FROM sym) z),",
+        "s0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS vid, "
+        "0 AS depth, CAST(1 AS DOUBLE) AS sigma),",
+    ]
+    for i in range(1, levels + 1):
+        parts.append(
+            f"""f{i} AS MATERIALIZED (
+  SELECT e.dst AS vid, {i} AS depth, SUM(f.sigma) AS sigma
+  FROM sym e JOIN s{i - 1} f ON f.vid = e.src AND f.depth = {i - 1}
+  WHERE e.dst NOT IN (SELECT vid FROM s{i - 1})
+  GROUP BY e.dst
+),
+s{i} AS MATERIALIZED (SELECT * FROM s{i - 1} UNION ALL SELECT * FROM f{i}),"""
+        )
+    parts.append(
+        f"b{levels} AS MATERIALIZED (SELECT vid, depth, sigma, "
+        f"CAST(0 AS DOUBLE) AS dep FROM s{levels}),"
+    )
+    for d in range(levels - 1, -1, -1):
+        parts.append(
+            f"""b{d} AS MATERIALIZED (
+  SELECT st.vid, st.depth, st.sigma,
+         CASE WHEN st.depth = {d} AND c.part IS NOT NULL
+              THEN st.sigma * c.part ELSE st.dep END AS dep
+  FROM b{d + 1} st LEFT JOIN (
+    SELECT e.src AS vid, SUM((1 + u.dep) / u.sigma) AS part
+    FROM sym e JOIN b{d + 1} u ON u.vid = e.dst AND u.depth = {d + 1}
+    GROUP BY e.src
+  ) c ON c.vid = st.vid
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        "SELECT v.vid, ROUND(0.5 * CASE WHEN v.vid = 0 THEN 0 "
+        "ELSE COALESCE(b.dep, 0) END, 6) AS bc6 "
+        "FROM verts v LEFT JOIN b0 b ON b.vid = v.vid ORDER BY v.vid"
+    )
+    return "\n".join(parts)
+
+
 FINGERPRINT_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(list_reduce(
@@ -793,8 +850,9 @@ def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bc_source0(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (Brandes has no tractable SQL twin); exactness is
-    pinned vs the NumPy Brandes oracle in tests/test_extra_algorithms."""
+    """Single-source Brandes BC, DuckDB-oracled by an 8-level unroll
+    (_brandes_unrolled_sql); exactness also pinned vs the NumPy Brandes
+    oracle in tests/test_extra_algorithms."""
     from linkgraph.algorithms.bc import betweenness_centrality
 
     g = build_graph(spark, sf_dir)
@@ -1219,6 +1277,7 @@ ORACLES: dict[str, str] = {
     "geolocation": _geolocation_unrolled_sql(20),
     "simhash": _simhash_sql(),
     "doc_fingerprint": FINGERPRINT_SQL,
+    "bc_source0": _brandes_unrolled_sql(8),
     "spgemm_square": SPGEMM_SQUARE_SQL,
     # jpl_coloring / bc_source0 / mst / geolocation: intentionally no
     # oracle → rows-only (hash priorities, Brandes accumulation, Borůvka
