@@ -7,11 +7,10 @@ PageRank to 1e-6 → top-20 ranked urls.
 
 ``queries()`` / ``oracle_sql()`` — the operator catalog from SURVEY.md §2
 with DuckDB twins; see linkgraph/queries.py.  Entries without an oracle
-(lsh_ann, ivf_ann, embed_neardup_lsh, jpl_coloring, mst) are
-intentionally rows-only: seeded-hyperplane/k-means internals, xxhash64
-priorities, and union-find contraction have no clean SQL twin; their
-correctness is pinned by pytest oracles instead (tests/test_ann.py,
-test_extra_algorithms.py, test_mst.py).
+(lsh_ann, ivf_ann, embed_neardup_lsh, mst) are intentionally
+rows-only: seeded-hyperplane/k-means internals and union-find
+contraction have no clean SQL twin; their correctness is pinned by
+pytest oracles instead (tests/test_ann.py, test_mst.py).
 """
 
 from __future__ import annotations

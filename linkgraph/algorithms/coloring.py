@@ -34,8 +34,19 @@ from linkgraph.graph import Graph
 from linkgraph.superstep import IterationResult, iterate
 
 
-def _priority(col: str = "vid", seed: int = 42):
-    # strictly totally ordered per vertex: (hash, vid) packed by struct
+KNUTH_K = 2654435761  # odd ⇒ v·K mod 2^32 is a bijection (injective priority)
+
+
+def _priority(col: str = "vid", seed: int = 42, scheme: str = "xxhash64"):
+    if scheme == "knuth32":
+        # Knuth multiplicative hash, engine-portable pure arithmetic
+        # (evaluable identically in Spark SQL and DuckDB — this is the
+        # catalog entry's DuckDB-oracle path).  Injective, so no
+        # tie-break column is needed.  Requires vid < 2^31 (the product
+        # must fit a signed 64-bit int under ANSI arithmetic).
+        return (F.col(col) * F.lit(KNUTH_K)) % F.lit(1 << 32)
+    # default: seeded xxhash64, strictly totally ordered per vertex via
+    # the (hash, vid) struct (the reference's random GPU priorities)
     return F.struct(
         F.xxhash64(F.col(col), F.lit(seed)).alias("h"),
         F.col(col).alias("v"),
@@ -43,9 +54,16 @@ def _priority(col: str = "vid", seed: int = 42):
 
 
 def jpl_coloring(
-    graph: Graph, seed: int = 42, max_iters: int = 500
+    graph: Graph,
+    seed: int = 42,
+    max_iters: int = 500,
+    priority: str = "xxhash64",
 ) -> IterationResult:
-    """Color all vertices: state ``(vid, color)``, colors in [0, rounds)."""
+    """Color all vertices: state ``(vid, color)``, colors in [0, rounds).
+
+    ``priority`` picks the hash ordering: ``"xxhash64"`` (default, seeded)
+    or ``"knuth32"`` (pure arithmetic — identical in any SQL engine,
+    used by the DuckDB-oracled catalog entry; needs vid < 2^31)."""
     sym = graph.symmetrized_edges
     init = graph.vertices.select(
         "vid", F.lit(None).cast("int").alias("color")
@@ -59,7 +77,8 @@ def jpl_coloring(
         ).join(unc.withColumnRenamed("vid", "dst"), "dst", "left_semi")
         nbr_max = (
             active_edges.select(
-                F.col("dst").alias("vid"), _priority("src", seed).alias("p")
+                F.col("dst").alias("vid"),
+                _priority("src", seed, priority).alias("p"),
             )
             .groupBy("vid")
             .agg(F.max("p").alias("nbr_max"))
@@ -68,7 +87,7 @@ def jpl_coloring(
             unc.join(nbr_max, "vid", "left")
             .where(
                 F.col("nbr_max").isNull()
-                | (_priority("vid", seed) > F.col("nbr_max"))
+                | (_priority("vid", seed, priority) > F.col("nbr_max"))
             )
             .select("vid", F.lit(i).cast("int").alias("new_color"))
         )

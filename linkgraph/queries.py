@@ -331,6 +331,50 @@ def _geolocation_unrolled_sql(rounds: int = 20) -> str:
     return "\n".join(parts)
 
 
+def _jpl_unrolled_sql(rounds: int = 48) -> str:
+    """Unrolled Jones–Plassmann–Luby coloring (twin of ``q_coloring``).
+
+    Priority = (vid·2654435761) mod 2^32 — an odd multiplier, so the
+    map is a bijection mod 2^32 and the ordering is injective with no
+    tie-break; evaluable identically in Spark SQL and DuckDB.  Each
+    round colors the uncolored vertices whose priority strictly exceeds
+    every uncolored neighbor's; rounds past the fixpoint are empty
+    no-ops, so any ``rounds`` ≥ the actual round count is exact
+    (measured 24-25 at sf0.001/0.01/0.1; 48 ≈ 2× margin — the count
+    grows slowly, +1 from 500 to 5000 vertices).
+    """
+    pri = "(%s * 2654435761) %% 4294967296"
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        SYM_SQL.strip() + ",",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM "
+        "(SELECT src FROM sym UNION ALL SELECT dst FROM sym) z),",
+        "u0 AS MATERIALIZED (SELECT vid FROM verts),",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT u.vid FROM u{i} u
+  LEFT JOIN (
+    SELECT e.dst AS vid, MAX({pri % 'e.src'}) AS nm
+    FROM sym e
+    WHERE e.src IN (SELECT vid FROM u{i}) AND e.dst IN (SELECT vid FROM u{i})
+    GROUP BY e.dst
+  ) n ON n.vid = u.vid
+  WHERE n.nm IS NULL OR {pri % 'u.vid'} > n.nm
+),
+u{i + 1} AS MATERIALIZED (
+  SELECT vid FROM u{i} WHERE vid NOT IN (SELECT vid FROM w{i})
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    union = "\nUNION ALL\n".join(
+        f"SELECT vid, CAST({i} AS INT) AS color FROM w{i}" for i in range(rounds)
+    )
+    parts.append(f"SELECT vid, color FROM ({union}) c ORDER BY vid")
+    return "\n".join(parts)
+
+
 def _brandes_unrolled_sql(levels: int = 8) -> str:
     """Unrolled single-source Brandes from vertex 0 (twin of
     ``q_bc_source0``).
@@ -841,12 +885,15 @@ def q_spgemm_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (xxhash64 priorities have no DuckDB twin); proper-
-    coloring validity + determinism are pinned by tests/test_extra_algorithms."""
+    """JPL coloring with the arithmetic knuth32 priority, DuckDB-oracled
+    by a 48-round unroll (_jpl_unrolled_sql; measured 24-25 rounds to a
+    full coloring at sf0.001-0.1, and post-fixpoint rounds are no-ops).
+    Proper-coloring validity + determinism of the default xxhash64 path
+    are pinned by tests/test_extra_algorithms."""
     from linkgraph.algorithms.coloring import jpl_coloring
 
     g = build_graph(spark, sf_dir)
-    return jpl_coloring(g).state.select("vid", "color")
+    return jpl_coloring(g, priority="knuth32").state.select("vid", "color")
 
 
 def q_bc_source0(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1278,6 +1325,7 @@ ORACLES: dict[str, str] = {
     "simhash": _simhash_sql(),
     "doc_fingerprint": FINGERPRINT_SQL,
     "bc_source0": _brandes_unrolled_sql(8),
+    "jpl_coloring": _jpl_unrolled_sql(48),
     "spgemm_square": SPGEMM_SQUARE_SQL,
     # jpl_coloring / bc_source0 / mst / geolocation: intentionally no
     # oracle → rows-only (hash priorities, Brandes accumulation, Borůvka

@@ -131,6 +131,31 @@ def test_coloring_clique(spark):
     assert len(set(colors.values())) == 5
 
 
+def test_coloring_knuth32_priority(spark, chesapeake_graph):
+    # the catalog's SQL-oracleable priority: still a proper coloring,
+    # and a Python twin of the arithmetic priority predicts it exactly
+    res = jpl_coloring(chesapeake_graph, priority="knuth32")
+    colors = {r.vid: r.color for r in res.state.collect()}
+    edges = chesapeake_edges()
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    assert all(c is not None for c in colors.values())
+    for s, d in edges:
+        if s != d:
+            assert colors[s] != colors[d]
+    pri = {v: (v * 2654435761) % (1 << 32) for v in adj}
+    unc, expect, rnd = set(adj), {}, 0
+    while unc:
+        win = [v for v in unc if all(pri[v] > pri[u] for u in adj[v] if u in unc)]
+        for v in win:
+            expect[v] = rnd
+        unc -= set(win)
+        rnd += 1
+    assert colors == expect
+
+
 def test_coloring_deterministic(spark):
     edges = chesapeake_edges()
     g1 = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
