@@ -7,10 +7,10 @@ PageRank to 1e-6 → top-20 ranked urls.
 
 ``queries()`` / ``oracle_sql()`` — the operator catalog from SURVEY.md §2
 with DuckDB twins; see linkgraph/queries.py.  Entries without an oracle
-(lsh_ann, ivf_ann, embed_neardup_lsh, mst) are intentionally
-rows-only: seeded-hyperplane/k-means internals and union-find
-contraction have no clean SQL twin; their correctness is pinned by
-pytest oracles instead (tests/test_ann.py, test_mst.py).
+(lsh_ann, ivf_ann, embed_neardup_lsh) are intentionally rows-only:
+their hyperplanes/centroids come from seeded NumPy RNG inside the
+engine, which no SQL engine can replay; their recall/subset relations
+vs the exact baselines are pinned by tests/test_ann.py instead.
 """
 
 from __future__ import annotations

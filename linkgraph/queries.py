@@ -331,6 +331,87 @@ def _geolocation_unrolled_sql(rounds: int = 20) -> str:
     return "\n".join(parts)
 
 
+def _boruvka_unrolled_sql(rounds: int = 16, jumps: int = 12) -> str:
+    """Unrolled Borůvka MSF (twin of ``q_mst``).
+
+    Weights ``min over the directed pair of src·10^6+dst`` are distinct
+    per canonical edge ⇒ the MSF is unique, so ANY correct MST algorithm
+    yields the engine's exact row set.  Per round: each component picks
+    its lightest cross edge (distinct weights make the min-weight join
+    unambiguous), then the chosen merge graph is contracted by hash-min
+    label propagation with pointer-jumping shortcuts (``jumps``
+    hook+shortcut pairs — far beyond the merge graphs' measured
+    diameters; labels only ever decrease toward the component min, so
+    extra jumps are no-ops).  Components at least halve per round, so
+    ``rounds`` ≥ log2(|V|) is exact and later rounds are empty no-ops
+    (16 covers 65k components; measured 4s in DuckDB at sf0.1).
+    """
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        """w AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst,
+         MIN(CAST(src * 1000000 + dst AS DOUBLE)) AS w
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+),""",
+        "c0 AS MATERIALIZED (SELECT vid, vid AS comp FROM "
+        "(SELECT DISTINCT src AS vid FROM "
+        "(SELECT src FROM w UNION ALL SELECT dst FROM w) z) v),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""x{r} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w, cs.comp AS cs, cd.comp AS cd
+  FROM w e JOIN c{r} cs ON cs.vid = e.src JOIN c{r} cd ON cd.vid = e.dst
+  WHERE cs.comp <> cd.comp
+),
+sel{r} AS MATERIALIZED (
+  SELECT comp, MIN(w) AS mw FROM (
+    SELECT cs AS comp, w FROM x{r} UNION ALL SELECT cd AS comp, w FROM x{r}
+  ) u GROUP BY comp
+),
+ch{r} AS MATERIALIZED (
+  SELECT DISTINCT x.src, x.dst, x.w, x.cs, x.cd
+  FROM x{r} x JOIN sel{r} s ON x.w = s.mw AND s.comp IN (x.cs, x.cd)
+),
+ma{r} AS MATERIALIZED (
+  SELECT cs AS a, cd AS b FROM ch{r} UNION SELECT cd, cs FROM ch{r}
+),
+l{r}_0 AS MATERIALIZED (
+  SELECT c.comp AS c, LEAST(c.comp, COALESCE(MIN(m.b), c.comp)) AS l
+  FROM (SELECT DISTINCT comp FROM c{r}) c LEFT JOIN ma{r} m ON m.a = c.comp
+  GROUP BY c.comp
+),"""
+        )
+        for j in range(jumps):
+            parts.append(
+                f"""l{r}_{j}h AS MATERIALIZED (
+  SELECT t.c, LEAST(t.l, COALESCE(MIN(t2.l), t.l)) AS l
+  FROM l{r}_{j} t
+  LEFT JOIN ma{r} m ON m.a = t.c
+  LEFT JOIN l{r}_{j} t2 ON t2.c = m.b
+  GROUP BY t.c, t.l
+),
+l{r}_{j + 1} AS MATERIALIZED (
+  SELECT t.c, LEAST(t.l, t2.l) AS l
+  FROM l{r}_{j}h t JOIN l{r}_{j}h t2 ON t2.c = t.l
+),"""
+            )
+        parts.append(
+            f"""c{r + 1} AS MATERIALIZED (
+  SELECT c.vid, lbl.l AS comp FROM c{r} c JOIN l{r}_{jumps} lbl ON lbl.c = c.comp
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    union = "\nUNION ALL\n".join(
+        f"SELECT src, dst, w FROM ch{r}" for r in range(rounds)
+    )
+    parts.append(
+        f"SELECT DISTINCT src, dst, ROUND(w, 2) AS weight2 "
+        f"FROM ({union}) allch ORDER BY src, dst"
+    )
+    return "\n".join(parts)
+
+
 def _jpl_unrolled_sql(rounds: int = 48) -> str:
     """Unrolled Jones–Plassmann–Luby coloring (twin of ``q_coloring``).
 
@@ -928,10 +1009,11 @@ def q_geolocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (Kruskal/Borůvka has no tractable SQL twin); the
-    exact edge set vs a union-find oracle is pinned by tests/test_mst.py.
-    Weights ``src*10^6 + dst`` are distinct per edge ⇒ the MSF is unique,
-    so the row set is deterministic."""
+    """Minimum spanning forest, DuckDB-oracled by an unrolled Borůvka
+    (_boruvka_unrolled_sql); the exact edge set vs a union-find oracle
+    is also pinned by tests/test_mst.py.  Weights ``src*10^6 + dst`` are
+    distinct per edge ⇒ the MSF is unique, so the row set is
+    deterministic regardless of algorithm."""
     from linkgraph.algorithms.mst import minimum_spanning_forest
 
     g = build_graph(spark, sf_dir)
@@ -1326,6 +1408,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": FINGERPRINT_SQL,
     "bc_source0": _brandes_unrolled_sql(8),
     "jpl_coloring": _jpl_unrolled_sql(48),
+    "mst": _boruvka_unrolled_sql(16, 12),
     "spgemm_square": SPGEMM_SQUARE_SQL,
     # jpl_coloring / bc_source0 / mst / geolocation: intentionally no
     # oracle → rows-only (hash priorities, Brandes accumulation, Borůvka
