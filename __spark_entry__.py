@@ -27,50 +27,18 @@ def entry(spark: SparkSession) -> DataFrame:
     from linkgraph.dictionary import edges_from_url_pairs, encode_urls
     from linkgraph.extract import pages_to_edge_urls
     from linkgraph.graph import Graph
-    from linkgraph.queries import EDGE_SQL
+    from linkgraph.queries import synthesize_pages
 
     sf_dir = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.createOrReplaceTempView("documents")
 
-    # Deterministic pages: html wraps each doc's text plus one <a href>
-    # per derived edge (the arithmetic rule EDGE_SQL, so the extracted
-    # graph is independently re-derivable).
-    links = spark.sql(
-        f"WITH {EDGE_SQL.strip()} SELECT src, dst FROM edges"
-    ).groupBy("src").agg(F.collect_list("dst").alias("dsts"))
-    url = F.concat(F.lit("https://docs.example/d/"), F.col("doc_id"))
-    pages = (
-        docs.join(links, docs["doc_id"] == links["src"], "left")
-        .select(
-            url.alias("url"),
-            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
-            F.encode(
-                F.concat(
-                    F.lit("<html><head><title>D"),
-                    F.col("doc_id"),
-                    F.lit("</title></head><body><p>"),
-                    F.col("text"),
-                    F.lit("</p><p>"),
-                    F.concat_ws(
-                        " ",
-                        F.transform(
-                            F.coalesce("dsts", F.array()),
-                            lambda d: F.concat(
-                                F.lit('<a href="https://docs.example/d/'),
-                                d,
-                                F.lit('">ref</a>'),
-                            ),
-                        ),
-                    ),
-                    F.lit("</p></body></html>"),
-                ),
-                "utf-8",
-            ).alias("html"),
-            F.col("text"),
-            F.col("lang"),
-        )
-    )
+    # Deterministic pages (linkgraph.queries.synthesize_pages): html
+    # wraps each doc's text plus one <a href> per derived edge (the
+    # arithmetic rule EDGE_SQL, so the extracted graph is independently
+    # re-derivable — the same seam the `extract_edges` catalog entry
+    # hash-checks against DuckDB).
+    pages = synthesize_pages(spark)
     pairs = pages_to_edge_urls(pages)
     urls = pairs.selectExpr("src_url as url").unionAll(
         pairs.selectExpr("dst_url as url")

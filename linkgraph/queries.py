@@ -101,6 +101,67 @@ def build_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"WITH {EDGE_SQL.strip()} SELECT src, dst FROM edges")
 
 
+PAGE_URL_PREFIX = "https://docs.example/d/"
+
+
+def synthesize_pages(spark: SparkSession) -> DataFrame:
+    """Deterministic web pages over the registered ``documents`` view:
+    html wraps each doc's text plus one ``<a href>`` per EDGE_SQL edge,
+    so the extracted link graph is independently re-derivable by the
+    arithmetic rule (this is the front end's SQL-oracle seam; also the
+    flagship ``entry()`` input)."""
+    links = (
+        spark.sql(f"WITH {EDGE_SQL.strip()} SELECT src, dst FROM edges")
+        .groupBy("src")
+        .agg(F.collect_list("dst").alias("dsts"))
+    )
+    docs = spark.table("documents")
+    url = F.concat(F.lit(PAGE_URL_PREFIX), F.col("doc_id"))
+    return docs.join(links, docs["doc_id"] == links["src"], "left").select(
+        url.alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>D"),
+                F.col("doc_id"),
+                F.lit("</title></head><body><p>"),
+                F.col("text"),
+                F.lit("</p><p>"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.coalesce("dsts", F.array()),
+                        lambda d: F.concat(
+                            F.lit(f'<a href="{PAGE_URL_PREFIX}'),
+                            d,
+                            F.lit('">ref</a>'),
+                        ),
+                    ),
+                ),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def q_extract_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-extraction front end (I5) under the driver's value-hash gate:
+    synthesize the deterministic pages, run the REAL Arrow extraction
+    pass (html → hrefs), and parse doc ids back out of the extracted
+    urls.  Oracle = the arithmetic edge rule itself (EDGE_SQL), so a
+    regression anywhere in html→text/links→explode→normalize shows up
+    as a hash mismatch."""
+    from linkgraph.extract import pages_to_edge_urls
+
+    _load(spark, sf_dir, "documents")
+    pairs = pages_to_edge_urls(synthesize_pages(spark))
+    did = lambda c: F.regexp_extract(F.col(c), r"/d/(\d+)$", 1).cast("long")  # noqa: E731
+    return pairs.select(did("src_url").alias("src"), did("dst_url").alias("dst"))
+
+
 _GRAPH_CACHE: dict[str, object] = {}
 
 
@@ -1350,6 +1411,7 @@ ORDER BY media_id, frame_index
 """
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "extract_edges": q_extract_edges,
     "edge_build": q_edge_build,
     "degrees": q_degrees,
     "pagerank10": q_pagerank10,
@@ -1391,6 +1453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "extract_edges": f"WITH {EDGE_SQL.strip()} SELECT src, dst FROM edges",
     "edge_build": f"WITH {EDGE_SQL.strip()} SELECT CAST(COUNT(*) AS BIGINT) AS num_edges, CAST(COUNT(DISTINCT src) AS BIGINT) AS num_sources FROM edges",
     "degrees": DEGREES_SQL,
     "pagerank10": _pagerank_unrolled_sql(10, 0.85),
@@ -1410,10 +1473,6 @@ ORACLES: dict[str, str] = {
     "jpl_coloring": _jpl_unrolled_sql(48),
     "mst": _boruvka_unrolled_sql(16, 12),
     "spgemm_square": SPGEMM_SQUARE_SQL,
-    # jpl_coloring / bc_source0 / mst / geolocation: intentionally no
-    # oracle → rows-only (hash priorities, Brandes accumulation, Borůvka
-    # contraction, and iterative spatial medians have no clean SQL twin;
-    # correctness is pinned by the pytest NumPy oracles instead)
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_signatures": MINHASH_SQL,
     "ngram_jaccard": JACCARD_SQL,
@@ -1427,9 +1486,10 @@ ORACLES: dict[str, str] = {
     "events_rollup": EVENTS_ROLLUP_SQL,
     "events_json": EVENTS_JSON_SQL,
     "lineitem_pricing": LINEITEM_PRICING_SQL,
-    # simhash / doc_fingerprint / lsh_ann / ivf_ann / embed_neardup_lsh:
-    # intentionally no oracle → rows-only check (non-SQL-expressible
-    # bit/byte/hyperplane math; LSH/IVF candidate sets are approximate)
+    # lsh_ann / ivf_ann / embed_neardup_lsh: intentionally no oracle →
+    # rows-only check (their hyperplanes/centroids come from seeded
+    # NumPy RNG inside the engine, which no SQL engine can replay;
+    # recall/subset relations vs exact baselines pinned in tests/test_ann.py)
     "embed_neardup": NEARDUP_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "media_frame_plan": MEDIA_FRAME_PLAN_SQL,

@@ -4,7 +4,7 @@
 This is a local replica of the driver's CORRECTNESS gate
 (SURVEY.md §5.2.6, tools/compare_oracles.py) so a catalog regression is
 caught by ``pytest`` before the round ends, not by the driver after it.
-Marked slow: it executes all 38 catalog entries.
+Marked slow: it executes every catalog entry.
 """
 
 from __future__ import annotations
