@@ -127,3 +127,91 @@ def test_traversal_and_structure_match_oracles(spark, edges):
     colors = {r.vid: r.color for r in jpl_coloring(g).state.collect()}
     for s, d in norm:
         assert colors[s] != colors[d], (s, d)
+
+
+@given(edges=edge_lists)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    print_blob=True,
+)
+def test_contraction_and_spatial_match_oracles(spark, edges):
+    """MST / geolocation / single-source BC / knuth32 coloring.
+
+    The remaining oracle-able algorithm families: union-find contraction
+    (Borůvka merge order must not matter), iterative spatial medians
+    (even/odd neighbor counts hit the interpolated-median path), Brandes'
+    two-phase accumulation (σ ratios on multi-path graphs), and the
+    arithmetic-priority coloring round indices (exact vs the sequential
+    twin, not just validity)."""
+    from linkgraph.algorithms.bc import betweenness_centrality
+    from linkgraph.algorithms.coloring import jpl_coloring
+    from linkgraph.algorithms.geolocation import geolocate
+    from linkgraph.algorithms.mst import minimum_spanning_forest
+    from oracles import bc_oracle, geolocation_oracle, mst_oracle
+
+    norm = {(s, d) for s, d in edges if s != d}
+    if not norm:
+        return
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+    verts = sorted({v for e in norm for v in e})
+
+    # MST: distinct weights (s*100+d over canonical pairs) ⇒ unique MSF
+    wedges = [
+        (s, d, float(min(s, d) * 100 + max(s, d)))
+        for s, d in sorted({(min(s, d), max(s, d)) for s, d in norm})
+    ]
+    wdf = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    got_msf = {(r.src, r.dst): r.weight for r in minimum_spanning_forest(wdf).collect()}
+    total, n_edges = mst_oracle(wedges)
+    assert len(got_msf) == n_edges
+    assert abs(sum(got_msf.values()) - total) < 1e-9
+
+    # Geolocation: every 3rd vertex seeded with integer coords
+    locs = {v: (float(v % 19 - 9), float(v % 37 - 18)) for v in verts[::3]}
+    ldf = spark.createDataFrame(
+        [(v, a, b) for v, (a, b) in locs.items()],
+        "vid long, lat double, lon double",
+    )
+    got_geo = {
+        r.vid: (r.lat, r.lon)
+        for r in geolocate(g, ldf).state.collect()
+        if r.lat is not None
+    }
+    want_geo = geolocation_oracle(edges, locs)
+    assert set(got_geo) == set(want_geo)
+    for v in want_geo:
+        assert np.allclose(got_geo[v], want_geo[v], atol=1e-9), v
+
+    # Single-source BC from the smallest vertex: allclose vs Brandes twin
+    source = verts[0]
+    got_bc = {
+        r.vid: r.bc for r in betweenness_centrality(g, [source]).collect()
+    }
+    want_bc = bc_oracle(edges, [source])
+    assert set(got_bc) == set(want_bc)
+    assert np.allclose(
+        [got_bc[v] for v in sorted(got_bc)],
+        [want_bc[v] for v in sorted(want_bc)],
+        atol=1e-9,
+    )
+
+    # knuth32 coloring: exact round indices vs the sequential twin
+    colors = {
+        r.vid: r.color
+        for r in jpl_coloring(g, priority="knuth32").state.collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for s, d in norm:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    pri = {v: (v * 2654435761) % (1 << 32) for v in adj}
+    unc, expect, rnd = set(adj), {}, 0
+    while unc:
+        win = [v for v in unc if all(pri[v] > pri[u] for u in adj[v] if u in unc)]
+        for v in win:
+            expect[v] = rnd
+        unc -= set(win)
+        rnd += 1
+    assert colors == expect
