@@ -392,6 +392,86 @@ def _geolocation_unrolled_sql(rounds: int = 20) -> str:
     return "\n".join(parts)
 
 
+def _lsh_fold_ctes(source: str, planes: int, bits: int) -> str:
+    """Shared CTE block: Rademacher-sign dot folds → bucket keys → norms
+    over ``source`` (a CTE named ``base`` with (vec_id, v: DOUBLE[])).
+
+    Every float op is a sequential left fold seeded with 0.0 —
+    bit-identical to the engine's ``aggregate(zip_with(...), 0.0, +)``
+    (linkgraph.textops.ann.lsh_bucket_ids_portable), so signs, buckets
+    and cosines can never diverge between engines.
+    """
+    return f"""dots AS MATERIALIZED (
+  SELECT vec_id, p.j,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, len(v) + 1), i ->
+             CASE WHEN ((p.j * 1000003 + (i - 1)) * 2654435761) % 4294967296 < 2147483648
+                  THEN v[i] ELSE -v[i] END)),
+           (a, b) -> a + b) AS dot
+  FROM {source} CROSS JOIN (SELECT unnest(range(0, {planes})) AS j) p
+),
+bkt AS MATERIALIZED (
+  SELECT vec_id, j // {bits} AS tbl,
+         SUM(CASE WHEN dot > 0 THEN 1 << (j % {bits}) ELSE 0 END) AS bucket
+  FROM dots GROUP BY 1, 2
+),
+normv AS MATERIALIZED (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+  FROM {source}
+)"""
+
+
+LSH_ANN_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+{_lsh_fold_ctes('base', 32, 8)},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+  FROM bkt q JOIN bkt c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+           (a, b) -> a + b) / (q.nrm * c.nrm) AS cosine
+  FROM cand JOIN normv q ON q.vec_id = cand.query_id
+            JOIN normv c ON c.vec_id = cand.vec_id
+)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine6, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) t WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+NEARDUP_LSH_SQL = f"""
+WITH {EMB2_SQL.strip()},
+base AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM emb2
+),
+{_lsh_fold_ctes('base', 60, 10)},
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM bkt l JOIN bkt r ON l.tbl = r.tbl AND l.bucket = r.bucket
+  WHERE l.vec_id < r.vec_id
+)
+SELECT a, b, ROUND(cosine, 5) AS cosine5 FROM (
+  SELECT cand.a, cand.b,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])),
+           (a2, b2) -> a2 + b2) / (x.nrm * y.nrm) AS cosine
+  FROM cand JOIN normv x ON x.vec_id = cand.a
+            JOIN normv y ON y.vec_id = cand.b
+) s WHERE cosine >= 0.45 ORDER BY a, b
+"""
+
+
 def _boruvka_unrolled_sql(rounds: int = 16, jumps: int = 12) -> str:
     """Unrolled Borůvka MSF (twin of ``q_mst``).
 
@@ -1286,8 +1366,12 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (seeded hyperplane LSH is engine-internal; its
-    recall vs the exact baseline is pinned by tests/test_ann.py)."""
+    """Hyperplane-LSH ANN with the portable Rademacher planes,
+    DuckDB-oracled by LSH_ANN_SQL: the engine's sequential-fold dot
+    products are BIT-identical to the twin's list_reduce folds, so
+    buckets, candidate sets, cosines and ranks cannot diverge.  The
+    seeded-Gaussian production path's recall vs the exact baseline
+    stays pinned by tests/test_ann.py."""
     from linkgraph.textops.ann import lsh_cosine_topk
 
     _load(spark, sf_dir, "embeddings")
@@ -1296,7 +1380,12 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     dim = len(emb.select("embedding").first()[0])
-    return lsh_cosine_topk(emb, queries, dim=dim, k=10)
+    return lsh_cosine_topk(emb, queries, dim=dim, k=10, planes="arith").select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine6"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1333,17 +1422,18 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (LSH candidate generation is approximate by
-    construction; its recall vs the exact baseline is pinned by
-    tests/test_ann.py).  This is the 100 TB scale path: candidates come
-    from hyperplane-LSH bucket equi-joins, never an all-pairs join."""
+    """LSH near-dup pairs with the portable Rademacher planes,
+    DuckDB-oracled by NEARDUP_LSH_SQL (bit-identical folds — see
+    q_lsh_ann).  This is the 100 TB scale path: candidates come from
+    hyperplane-LSH bucket equi-joins, never an all-pairs join; the
+    Gaussian path's recall stays pinned by tests/test_ann.py."""
     from linkgraph.textops.ann import embedding_near_duplicates
 
     emb2 = _emb2(spark, sf_dir)
     dim = len(emb2.select("embedding").first()[0])
-    return embedding_near_duplicates(emb2, dim=dim, threshold=0.45).select(
-        "a", "b", F.round("cosine", 5).alias("cosine5")
-    )
+    return embedding_near_duplicates(
+        emb2, dim=dim, threshold=0.45, planes="arith"
+    ).select("a", "b", F.round("cosine", 5).alias("cosine5"))
 
 
 def _media_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1486,10 +1576,12 @@ ORACLES: dict[str, str] = {
     "events_rollup": EVENTS_ROLLUP_SQL,
     "events_json": EVENTS_JSON_SQL,
     "lineitem_pricing": LINEITEM_PRICING_SQL,
-    # lsh_ann / ivf_ann / embed_neardup_lsh: intentionally no oracle →
-    # rows-only check (their hyperplanes/centroids come from seeded
-    # NumPy RNG inside the engine, which no SQL engine can replay;
-    # recall/subset relations vs exact baselines pinned in tests/test_ann.py)
+    "lsh_ann": LSH_ANN_SQL,
+    "embed_neardup_lsh": NEARDUP_LSH_SQL,
+    # ivf_ann: intentionally no oracle → rows-only check (its k-means
+    # centroids come from seeded NumPy RNG inside the engine, which no
+    # SQL engine can replay; full-probe==exact and clustered recall are
+    # pinned in tests/test_ann.py)
     "embed_neardup": NEARDUP_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "media_frame_plan": MEDIA_FRAME_PLAN_SQL,

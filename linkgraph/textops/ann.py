@@ -147,6 +147,84 @@ def lsh_bucket_ids(
     ).mapInArrow(run, schema="vec_id long, table long, bucket long")
 
 
+#: Rademacher-plane hash constants for the portable bucket path: plane j,
+#: dim i gets sign +1 iff ((j·A + i)·K) mod 2^32 < 2^31.  K odd ⇒ the map
+#: is uniform-ish over the 2^32 ring; pure int64 arithmetic (max operand
+#: ~1.6e17 — ANSI-safe), evaluable identically in Spark SQL and DuckDB.
+ARITH_PLANE_A = 1000003
+ARITH_PLANE_K = 2654435761
+
+
+def lsh_bucket_ids_portable(
+    embeddings: DataFrame,
+    dim: int,
+    num_tables: int = 4,
+    bits_per_table: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, table, bucket)`` like :func:`lsh_bucket_ids`, but with
+    arithmetic Rademacher (±1) planes and a SEQUENTIAL left-fold dot
+    product in JVM expressions.
+
+    Sign-random-projection LSH is valid for any i.i.d. symmetric ±1
+    plane entries (Rademacher ≡ Gaussian up to constants for cosine
+    LSH); the point of this variant is *engine portability*: the fold
+    ``aggregate(zip_with(v, sequence, ±), 0.0, +)`` evaluates in exactly
+    the order DuckDB's ``list_reduce(list_prepend(0.0, ·), +)`` does, so
+    a SQL twin reproduces every dot product BIT-identically — signs and
+    buckets can never diverge (the DuckDB-oracle path for the lsh_ann /
+    embed_neardup_lsh catalog entries).  The seeded-Gaussian Arrow path
+    (:func:`lsh_bucket_ids`) remains the default for production use.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def dot_j(j: int):
+        def signed(x, i):
+            h = (
+                (F.lit(j) * F.lit(ARITH_PLANE_A) + i.cast("long"))
+                * F.lit(ARITH_PLANE_K)
+            ) % F.lit(1 << 32)
+            return F.when(h < F.lit(1 << 31), x).otherwise(-x)
+
+        return F.aggregate(
+            F.zip_with(v, idx, signed), F.lit(0.0), lambda a, x: a + x
+        )
+
+    tables = []
+    for t in range(num_tables):
+        bucket = F.lit(0)
+        for b in range(bits_per_table):
+            bucket = bucket + F.when(
+                dot_j(t * bits_per_table + b) > 0, F.lit(1 << b)
+            ).otherwise(F.lit(0))
+        tables.append(
+            F.struct(
+                F.lit(t).cast("long").alias("table"),
+                bucket.cast("long").alias("bucket"),
+            )
+        )
+    return embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.explode(F.array(*tables)).alias("_tb"),
+    ).select(
+        "vec_id",
+        F.col("_tb.table").alias("table"),
+        F.col("_tb.bucket").alias("bucket"),
+    )
+
+
+def _bucket_fn(planes: str):
+    if planes == "arith":
+        return lambda df, dim, nt, bpt, seed, idc, vc: lsh_bucket_ids_portable(
+            df, dim, nt, bpt, idc, vc
+        )
+    if planes != "gaussian":
+        raise ValueError(f"unknown planes mode {planes!r}")
+    return lsh_bucket_ids
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -158,16 +236,20 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    planes: str = "gaussian",
 ) -> DataFrame:
     """Approximate top-k: LSH candidates → exact cosine re-rank.
 
     Same output shape as :func:`cosine_topk`; recall < 1 by construction
-    (tested against the brute-force baseline).
+    (tested against the brute-force baseline).  ``planes``: "gaussian"
+    (seeded NumPy, Arrow matmul — default) or "arith" (portable
+    Rademacher folds — the DuckDB-oracle path).
     """
-    corpus_b = lsh_bucket_ids(
+    bucket = _bucket_fn(planes)
+    corpus_b = bucket(
         embeddings, dim, num_tables, bits_per_table, seed, id_col, vec_col
     )
-    query_b = lsh_bucket_ids(
+    query_b = bucket(
         queries, dim, num_tables, bits_per_table, seed, query_id_col, vec_col
     ).withColumnRenamed("vec_id", "query_id")
     cand = (
@@ -398,12 +480,16 @@ def embedding_near_duplicates(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: str = "gaussian",
 ) -> DataFrame:
     """Corpus near-dup pairs ``(a, b, cosine)`` with cosine ≥ threshold.
 
-    LSH-bucketed self-join — quadratic only within buckets.
+    LSH-bucketed self-join — quadratic only within buckets.  ``planes``
+    as in :func:`lsh_cosine_topk`.
     """
-    b = lsh_bucket_ids(embeddings, dim, num_tables, bits_per_table, seed, id_col, vec_col)
+    b = _bucket_fn(planes)(
+        embeddings, dim, num_tables, bits_per_table, seed, id_col, vec_col
+    )
     l = b.select(F.col("vec_id").alias("a"), "table", "bucket")
     r = b.select(F.col("vec_id").alias("b"), "table", "bucket")
     cand = (
