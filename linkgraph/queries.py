@@ -472,6 +472,62 @@ SELECT a, b, ROUND(cosine, 5) AS cosine5 FROM (
 """
 
 
+IVF_ANN_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+normv AS MATERIALIZED (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+  FROM base
+),
+piv AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS pv, nrm AS pnrm
+  FROM (SELECT * FROM normv ORDER BY vec_id LIMIT 8)
+),
+sims AS MATERIALIZED (
+  SELECT n.vec_id, p.cell,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, len(n.v) + 1), i -> n.v[i] * p.pv[i])),
+           (a, b) -> a + b) / (n.nrm * p.pnrm) AS sim
+  FROM normv n CROSS JOIN piv p
+),
+corpus_cell AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, cell) AS r FROM sims
+  ) t WHERE r = 1
+),
+query_cell AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, cell) AS r
+    FROM sims WHERE vec_id < 5
+  ) t WHERE r <= 2
+),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id
+  FROM query_cell q JOIN corpus_cell c USING (cell)
+  WHERE q.query_id <> c.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])),
+           (a, b) -> a + b) / (q.nrm * c.nrm) AS cosine
+  FROM cand JOIN normv q ON q.vec_id = cand.query_id
+            JOIN normv c ON c.vec_id = cand.vec_id
+)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine6, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) t WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
 def _boruvka_unrolled_sql(rounds: int = 16, jumps: int = 12) -> str:
     """Unrolled Borůvka MSF (twin of ``q_mst``).
 
@@ -1389,20 +1445,27 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (IVF cell assignment is approximate at
-    nprobe < n_cells; recall vs the exact baseline — and exact equality
-    at full probe — are pinned by tests/test_ann.py).  Scale path:
-    centroids train on a bounded driver-side sample, candidates come
-    from a cell-key equi-join, never corpus×corpus."""
-    from linkgraph.textops.ann import ivf_cosine_topk
+    """IVF ANN with the deterministic pivot quantizer (the 8 lowest-id
+    corpus vectors are the centroids), DuckDB-oracled by IVF_ANN_SQL:
+    sequential-fold cosines make cell assignments, probed candidate
+    sets and re-rank scores bit-identical between engines.  The
+    seeded-k-means production quantizer (ivf_cosine_topk) stays pinned
+    by tests/test_ann.py (full-probe == exact, clustered recall).
+    Scale path either way: candidates come from a cell-key equi-join,
+    never corpus×corpus."""
+    from linkgraph.textops.ann import ivf_pivot_topk
 
     _load(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    dim = len(emb.select("embedding").first()[0])
-    return ivf_cosine_topk(emb, queries, dim=dim, k=10, n_cells=16, nprobe=4)
+    return ivf_pivot_topk(emb, queries, k=10, n_cells=8, nprobe=2).select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine6"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def _emb2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1578,10 +1641,7 @@ ORACLES: dict[str, str] = {
     "lineitem_pricing": LINEITEM_PRICING_SQL,
     "lsh_ann": LSH_ANN_SQL,
     "embed_neardup_lsh": NEARDUP_LSH_SQL,
-    # ivf_ann: intentionally no oracle → rows-only check (its k-means
-    # centroids come from seeded NumPy RNG inside the engine, which no
-    # SQL engine can replay; full-probe==exact and clustered recall are
-    # pinned in tests/test_ann.py)
+    "ivf_ann": IVF_ANN_SQL,
     "embed_neardup": NEARDUP_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "media_frame_plan": MEDIA_FRAME_PLAN_SQL,

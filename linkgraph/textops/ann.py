@@ -437,6 +437,94 @@ def ivf_cosine_topk(
     )
 
 
+def ivf_pivot_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF top-k with a DETERMINISTIC coarse quantizer: the ``n_cells``
+    lowest-id corpus vectors *are* the centroids (no RNG, no k-means).
+
+    Same IVF plumbing as :func:`ivf_cosine_topk` — single-cell corpus
+    assignment, ``nprobe``-cell query probing, candidates from one
+    cell-key equi-join, exact cosine re-rank — but every float op is a
+    sequential JVM fold (:func:`_dot`/:func:`_norm`), so a DuckDB twin
+    replays cell assignments, candidate sets, cosines and ranks
+    BIT-identically (the oracle path for the ``ivf_ann`` catalog entry).
+    Pivot pick is ``orderBy(id).limit(n_cells)`` — a TakeOrdered, not a
+    global sort; cell assignment is a broadcast of ``n_cells`` rows.
+    The seeded-k-means quantizer (:func:`ivf_cosine_topk`) remains the
+    production path — quantizer quality is orthogonal to the plumbing
+    this variant pins.
+    """
+    corpus = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    qdf = queries.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    piv = corpus.orderBy("vec_id").limit(n_cells).select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("long")
+        .alias("cell"),
+        F.col("_v").alias("_pv"),
+    )
+
+    def assign(df: DataFrame, idname: str, limit: int) -> DataFrame:
+        sims = df.crossJoin(F.broadcast(piv)).select(
+            idname,
+            "cell",
+            (
+                _dot(F.col("_v"), F.col("_pv"))
+                / (_norm(F.col("_v")) * _norm(F.col("_pv")))
+            ).alias("_sim"),
+        )
+        w = Window.partitionBy(idname).orderBy(F.desc("_sim"), F.asc("cell"))
+        return (
+            sims.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= limit)
+            .select(idname, "cell")
+        )
+
+    corpus_cells = assign(corpus, "vec_id", 1)
+    query_cells = assign(qdf, "query_id", min(nprobe, n_cells))
+    cand = (
+        query_cells.join(corpus_cells, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = (
+        cand.join(
+            F.broadcast(qdf.withColumnRenamed("_v", "_qv")), "query_id"
+        )
+        .join(corpus.withColumnRenamed("_v", "_cv"), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def exact_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

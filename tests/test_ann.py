@@ -143,6 +143,47 @@ def test_ivf_full_probe_equals_bruteforce(spark):
     assert full == bf
 
 
+def test_ivf_pivot_full_probe_equals_bruteforce(spark):
+    from linkgraph.textops.ann import ivf_pivot_topk
+
+    df, _ = _emb_df(spark, n=60, planted_pairs=0)
+    queries = df.where("vec_id < 6").selectExpr("vec_id as query_id", "embedding")
+    bf = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in cosine_topk(df, queries, k=5).collect()
+    }
+    # deterministic pivot quantizer, nprobe == n_cells → exact baseline
+    full = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in ivf_pivot_topk(
+            df, queries, k=5, n_cells=8, nprobe=8
+        ).collect()
+    }
+    assert full == bf
+
+
+def test_ivf_pivot_partial_probe_subset_of_exact(spark):
+    from linkgraph.textops.ann import ivf_pivot_topk
+
+    df, _ = _emb_df(spark, n=60, planted_pairs=0)
+    queries = df.where("vec_id < 6").selectExpr("vec_id as query_id", "embedding")
+    bf = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(df, queries, k=5).collect()
+    }
+    part = ivf_pivot_topk(df, queries, k=5, n_cells=8, nprobe=2).collect()
+    # candidates only shrink vs exact; every returned pair must be real
+    assert {(r.query_id, r.vec_id) for r in part} <= {
+        (q, v)
+        for q in range(6)
+        for v in range(60)
+        if q != v
+    }
+    assert len(part) > 0
+    recall = len({(r.query_id, r.vec_id) for r in part} & bf) / len(bf)
+    assert recall > 0.0
+
+
 def test_ivf_recall_on_clustered_corpus(spark):
     from linkgraph.textops.ann import ivf_cosine_topk
 
