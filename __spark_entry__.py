@@ -6,11 +6,12 @@ wrapping each doc + deterministic hrefs) → extraction front end
 PageRank to 1e-6 → top-20 ranked urls.
 
 ``queries()`` / ``oracle_sql()`` — the operator catalog from SURVEY.md §2
-with DuckDB twins; see linkgraph/queries.py.  Entries without an oracle
-(lsh_ann, ivf_ann, embed_neardup_lsh) are intentionally rows-only:
-their hyperplanes/centroids come from seeded NumPy RNG inside the
-engine, which no SQL engine can replay; their recall/subset relations
-vs the exact baselines are pinned by tests/test_ann.py instead.
+with DuckDB twins; see linkgraph/queries.py.  All 39 entries carry an
+oracle: the LSH/IVF entries run portable deterministic variants
+(arithmetic Rademacher planes / pivot quantizer) whose sequential-fold
+float ops the SQL twin replays bit-identically, while the seeded-RNG
+production variants (Gaussian planes, k-means centroids) stay pinned by
+tests/test_ann.py (recall, full-probe == exact).
 """
 
 from __future__ import annotations

@@ -133,6 +133,43 @@ def test_ann_scale_paths_have_no_allpairs_join(spark):
         assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_portable_ann_scale_paths_plans(spark):
+    """The portable (DuckDB-oracle) ANN variants keep the same scale
+    shape: LSH arith candidates come from a bucket equi-join with no
+    nested-loop anywhere; IVF pivot may broadcast-cross the n_cells-row
+    pivot side (linear, |N|·n_cells — the quantizer evaluation) but its
+    candidate generation must be a cell-key equi-join, never
+    corpus×corpus."""
+    import numpy as np
+
+    from linkgraph.textops.ann import ivf_pivot_topk, lsh_cosine_topk
+
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.where("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    plan = formatted_plan(lsh_cosine_topk(emb, queries, dim=8, k=5, planes="arith"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    plan = formatted_plan(ivf_pivot_topk(emb, queries, k=5, n_cells=4, nprobe=2))
+    assert "CartesianProduct" not in plan, plan
+    # quantizer cross-joins are against the broadcast pivot side only:
+    # every BNLJ in the plan must build a BroadcastExchange (tiny side),
+    # and the candidate join on `cell` must be a real equi-join
+    # formatted plans list each node twice (tree + detail section):
+    # 2 quantizer cross-joins → at most 4 string occurrences
+    assert plan.count("BroadcastNestedLoopJoin") <= 4, plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*\bcell\b", plan) or (
+        "cell" in plan and ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan)
+    ), plan
+
+
 def test_neardup_lsh_plan_has_no_allpairs_join(spark):
     import numpy as np
 
