@@ -64,6 +64,12 @@ def jpl_coloring(
     ``priority`` picks the hash ordering: ``"xxhash64"`` (default, seeded)
     or ``"knuth32"`` (pure arithmetic — identical in any SQL engine,
     used by the DuckDB-oracled catalog entry; needs vid < 2^31)."""
+    if priority == "knuth32" and graph.max_vid >= (1 << 31):
+        raise ValueError(
+            "knuth32 priority requires vid < 2^31 (the multiplicative "
+            f"hash is only injective there; max_vid={graph.max_vid}) — "
+            "use the default xxhash64 priority for larger id spaces"
+        )
     sym = graph.symmetrized_edges
     init = graph.vertices.select(
         "vid", F.lit(None).cast("int").alias("color")
@@ -71,10 +77,17 @@ def jpl_coloring(
 
     def step(state: DataFrame, i: int) -> DataFrame:
         unc = state.where(F.col("color").isNull()).select("vid")
-        # gather: max priority among each vertex's UNCOLORED neighbors
+        # gather: max priority among each vertex's UNCOLORED neighbors.
+        # Only the SRC side prunes the edge scan (exchange-free semi-join
+        # against the persisted hash(src, P) layout); restricting the dst
+        # side happens after the aggregation, on the |V|-sized nbr_max —
+        # a dst-keyed semi-join on the edges would re-shuffle |E| (or
+        # serially broadcast a near-|V| uncolored set) every round.
         active_edges = sym.join(
-            unc.withColumnRenamed("vid", "src"), "src", "left_semi"
-        ).join(unc.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+            unc.withColumnRenamed("vid", "src").hint("merge"),
+            "src",
+            "left_semi",
+        )
         nbr_max = (
             active_edges.select(
                 F.col("dst").alias("vid"),
@@ -84,7 +97,7 @@ def jpl_coloring(
             .agg(F.max("p").alias("nbr_max"))
         )
         winners = (
-            unc.join(nbr_max, "vid", "left")
+            unc.join(nbr_max.hint("merge"), "vid", "left")
             .where(
                 F.col("nbr_max").isNull()
                 | (_priority("vid", seed, priority) > F.col("nbr_max"))
@@ -92,7 +105,7 @@ def jpl_coloring(
             .select("vid", F.lit(i).cast("int").alias("new_color"))
         )
         return (
-            state.join(winners, "vid", "left")
+            state.join(winners.hint("merge"), "vid", "left")
             .select(
                 "vid",
                 F.coalesce("color", "new_color").alias("color"),

@@ -43,10 +43,11 @@ def hits(
     init = graph.vertices.select(
         "vid", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
     )
-    # reversed edge view for the hub gather (reference: the CSC view).
-    redges = (
-        graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # reversed edge view for the hub gather (reference: the CSC view) —
+    # persisted hash(src, P) + sorted on the Graph, so the per-superstep
+    # hub gather plans exchange-free (a bare column swap would keep the
+    # ORIGINAL src partitioning and re-shuffle |E| every iteration).
+    redges = graph.reversed_edges
 
     def _l2_normalized(df: DataFrame, col: str) -> DataFrame:
         norm = df.agg(

@@ -8,14 +8,24 @@ degrees over the surviving subgraph and drops vertices below k.  Output
 is exact and unique (the k-core is well-defined), so the result is
 independent of peel order/parallelism.
 
-Superstep state = surviving vertex set ``(vid)``; each round:
+Superstep state = ``(vid, deg)`` where ``deg`` counts edges to vertices
+alive at the START of the round; vertices with ``deg < k`` are *pending
+removal*.  Each round removes the pending set simultaneously and
+DECREMENTS neighbors' degrees (delta peeling — equivalent to recomputing
+degrees over survivors, but the shuffled data is proportional to the
+round's removals, not |E|):
 
-    alive_edges = sym_edges ⋉ alive(src) ⋉ alive(dst)   (two semi-joins)
-    deg         = alive_edges.groupBy(src).count()       (salted optional)
-    alive'      = deg.filter(deg ≥ k)
+    pending = state where deg < k
+    dec     = sym_edges ⋉ pending(src)  .groupBy(dst).count()
+    state'  = (state where deg ≥ k) ⟕ dec : deg −= dec
 
-The symmetrized edge DF is persisted once (graph view); only |V|-sized
-vertex sets shuffle per round.  Convergence: no vertex removed.
+The src-side semi-join reuses the persisted hash(src, P) layout of the
+symmetrized view (exchange-free); the ``groupBy(dst)`` shuffles only the
+partial-aggregated decrement counts.  Both |V|-scale join sides carry
+merge hints so no round ever serially broadcasts a large vertex set
+(the measured 10× per-superstep pathology — operators/neighbor_reduce).
+Convergence: pending count is 0, observed during the round's own
+materialization job (no extra equal-count round).
 """
 
 from __future__ import annotations
@@ -30,37 +40,40 @@ from linkgraph.superstep import IterationResult, iterate
 def k_core(graph: Graph, k: int, max_iters: int = 500) -> IterationResult:
     """Vertices of the k-core: state ``(vid, deg)`` (degree within core)."""
     sym = graph.symmetrized_edges
-    deg0 = sym.groupBy(F.col("src").alias("vid")).agg(
+    init = sym.groupBy(F.col("src").alias("vid")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    init = deg0.where(F.col("deg") >= k)
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        alive = state.select("vid")
-        alive_edges = sym.join(
-            alive.withColumnRenamed("vid", "src"), "src", "left_semi"
-        ).join(alive.withColumnRenamed("vid", "dst"), "dst", "left_semi")
-        deg = alive_edges.groupBy(F.col("src").alias("vid")).agg(
-            F.count(F.lit(1)).alias("deg")
+        pending = state.where(F.col("deg") < k).select("vid")
+        dec = (
+            sym.join(
+                pending.withColumnRenamed("vid", "src").hint("merge"),
+                "src",
+                "left_semi",
+            )
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.count(F.lit(1)).alias("_dec"))
         )
-        return deg.where(F.col("deg") >= k)
+        return (
+            state.where(F.col("deg") >= k)
+            .join(dec.hint("merge"), "vid", "left")
+            .select(
+                "vid",
+                (F.col("deg") - F.coalesce("_dec", F.lit(0))).alias("deg"),
+            )
+        )
 
-    # Converged when no vertex was removed: alive count is observed during
-    # each superstep's materialization job (zero extra jobs); the previous
-    # generation's count is simply last iteration's observation, carried
-    # driver-side.
-    prev_alive: list[float | None] = [None]
-
-    def converged(s: dict) -> bool:
-        same = prev_alive[0] is not None and s.get("alive") == prev_alive[0]
-        prev_alive[0] = s.get("alive")
-        return same
-
+    # Converged when nothing is pending removal — at that point every
+    # surviving deg counts only edges into the surviving set, i.e. the
+    # state IS the k-core with in-core degrees.
     result = iterate(
         init,
         step,
-        stats_cols=[F.count(F.lit(1)).alias("alive")],
-        converged=converged,
+        stats_cols=[
+            F.sum((F.col("deg") < k).cast("long")).alias("pending")
+        ],
+        converged=lambda s: (s.get("pending") or 0) == 0,
         max_iters=max_iters,
     )
     return result

@@ -139,6 +139,11 @@ def _contract_distributed(sym: DataFrame) -> DataFrame:
             .where(F.col("new_comp") != F.col("_old"))
             .count()
         )
+        # free the superseded generation's checkpoint blocks — the same
+        # block-pileup discipline the Boruvka main loop applies (leaving
+        # them to the ContextCleaner measured 10-50× wall spikes in the
+        # superstep runtime).
+        _free_checkpoint_blocks(lab)
         lab = jumped
         if changed == 0:
             return lab
@@ -159,7 +164,9 @@ def _contract(merges: DataFrame, n_merges: int) -> DataFrame:
         .unionAll(merges.select(F.col("cb").alias("a"), F.col("ca").alias("b")))
         .dropDuplicates(["a", "b"])
     )
-    return _contract_distributed(sym)
+    mapping = _contract_distributed(sym)
+    _free_checkpoint_blocks(sym)  # mapping is an independent fresh leaf
+    return mapping
 
 
 def minimum_spanning_forest(
@@ -216,6 +223,7 @@ def minimum_spanning_forest(
         )
         n_sel = sel.count()
         if n_sel == 0:
+            _free_checkpoint_blocks(sel)
             break
         picked = sel.select("src", "dst", "weight")
         prev_chosen = chosen
@@ -232,6 +240,9 @@ def minimum_spanning_forest(
         )
         _free_checkpoint_blocks(prev_comp)
         _free_checkpoint_blocks(sel)
+        _free_checkpoint_blocks(mapping)  # no-op on the driver-path DF
+    _free_checkpoint_blocks(e)
+    _free_checkpoint_blocks(comp)
     if chosen is None:
         return spark.createDataFrame([], "src long, dst long, weight double")
     return chosen

@@ -31,7 +31,16 @@ import time
 
 
 def _load(spark, path: str):
-    if "://" not in path and not path.endswith(".parquet") and "." in path.strip("/"):
+    # A catalog table name (`db.pages`, `catalog.db.pages`) is dotted but
+    # never contains a path separator; anything with a "/" or a scheme is
+    # a filesystem path even when it contains dots (e.g. a dated directory
+    # like /data/crawl-2024.06/edges).
+    if (
+        "://" not in path
+        and "/" not in path
+        and not path.endswith(".parquet")
+        and "." in path
+    ):
         return spark.read.table(path)  # Iceberg/catalog table name
     return spark.read.parquet(path)
 

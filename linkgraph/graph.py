@@ -195,6 +195,28 @@ class Graph:
         return e
 
     @cached_property
+    def reversed_edges(self) -> DataFrame:
+        """Reversed view ``(src=old dst, dst=old src)``, re-laid-out as
+        hash(src, P) + sorted — the reference's CSC view kept next to CSR
+        [ref: include/gunrock/graph/csc.hxx — UNVERIFIED].
+
+        A bare ``select`` swap keeps the persisted HashPartitioning on the
+        ORIGINAL src (now named dst), so every dst-keyed gather over it
+        would re-shuffle + re-sort the full |E| set inside each superstep
+        plan; building the view once here makes those gathers
+        exchange-free (used by HITS' hub gather)."""
+        e = (
+            self.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+            .repartition(self.num_partitions, "src")
+            .sortWithinPartitions("src", "dst")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self._persisted.append(e)
+        return e
+
+    @cached_property
     def canonical_edges(self) -> DataFrame:
         """DAG orientation src < dst of the undirected edge set.
 

@@ -22,6 +22,7 @@ without an HTML parser.)
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -91,8 +92,25 @@ emb2 AS (
 
 
 def _load(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    # Pin timestamp RENDERING to UTC: the DuckDB oracle formats the stored
+    # naive-UTC parquet values directly, while Spark renders TimestampType
+    # in the session timezone — on a non-UTC host date_format/isoformat
+    # would shift (events near midnight land on a different "day" string)
+    # and value-hash comparisons would fail despite correct code.  Runtime
+    # conf, idempotent, safe under concurrent harness threads.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for t in tables:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _embedding_dim(emb: DataFrame) -> int:
+    """Vector dimensionality from one NON-NULL row (the schema allows a
+    nullable embedding column; ``first()`` on an unfiltered scan would
+    TypeError on a corpus whose first-scanned row is NULL)."""
+    row = emb.where(F.col("embedding").isNotNull()).select("embedding").first()
+    if row is None:
+        raise ValueError("embeddings table has no non-null embedding rows")
+    return len(row[0])
 
 
 def build_edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,6 +181,7 @@ def q_extract_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GRAPH_CACHE: dict[str, object] = {}
+_GRAPH_CACHE_LOCK = threading.Lock()
 
 
 def build_graph(spark: SparkSession, sf_dir: str, num_partitions: int | None = None):
@@ -179,14 +198,20 @@ def build_graph(spark: SparkSession, sf_dir: str, num_partitions: int | None = N
     from linkgraph.graph import Graph
 
     app_id = spark.sparkContext.applicationId
-    for k in [k for k in _GRAPH_CACHE if not k.startswith(f"{app_id}:")]:
-        del _GRAPH_CACHE[k]
     key = f"{app_id}:{sf_dir}:{num_partitions}"
-    if key not in _GRAPH_CACHE:
-        _GRAPH_CACHE[key] = Graph.from_edges(
-            build_edges_df(spark, sf_dir), num_partitions=num_partitions
-        )
-    return _GRAPH_CACHE[key]
+    # Serialized: concurrent run_batch threads hitting the same key would
+    # otherwise both build (two full |E| normalize+persist jobs) and leak
+    # the loser's persisted edges for the session's lifetime.  The build
+    # happens under the lock on purpose — a duplicate build costs far more
+    # than the brief serialization.
+    with _GRAPH_CACHE_LOCK:
+        for k in [k for k in _GRAPH_CACHE if not k.startswith(f"{app_id}:")]:
+            del _GRAPH_CACHE[k]
+        if key not in _GRAPH_CACHE:
+            _GRAPH_CACHE[key] = Graph.from_edges(
+                build_edges_df(spark, sf_dir), num_partitions=num_partitions
+            )
+        return _GRAPH_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
@@ -1435,7 +1460,7 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    dim = len(emb.select("embedding").first()[0])
+    dim = _embedding_dim(emb)
     return lsh_cosine_topk(emb, queries, dim=dim, k=10, planes="arith").select(
         "query_id",
         "vec_id",
@@ -1493,7 +1518,7 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.textops.ann import embedding_near_duplicates
 
     emb2 = _emb2(spark, sf_dir)
-    dim = len(emb2.select("embedding").first()[0])
+    dim = _embedding_dim(emb2)
     return embedding_near_duplicates(
         emb2, dim=dim, threshold=0.45, planes="arith"
     ).select("a", "b", F.round("cosine", 5).alias("cosine5"))

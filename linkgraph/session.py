@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Deterministic timestamp rendering regardless of host timezone
+        # (oracle twins format stored naive-UTC values directly).
+        .config("spark.sql.session.timeZone", "UTC")
         # Iterative supersteps re-plan each job; keep planning cheap.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.driver.memory", "16g")

@@ -156,11 +156,16 @@ class CheckpointManager:
         if os.path.exists(mf):
             os.remove(mf)
         state.write.mode("overwrite").parquet(path)
-        # Per-partition lineage: row count per written partition.
+        # Per-partition lineage: row count per WRITTEN partition — computed
+        # from the pre-write DataFrame (the checkpointed generation whose
+        # partitions map 1:1 onto writer tasks/files), not from a re-read:
+        # parquet scan splits merge/split files by size, so a read-side
+        # histogram would describe arbitrary scan splits AND cost an extra
+        # full |V| re-read per epoch.  This aggregate runs over the already
+        # materialized checkpoint blocks.
         part_hist = [
             {"partition": int(r["pid"]), "rows": int(r["rows"])}
-            for r in self.spark.read.parquet(path)
-            .groupBy(F.spark_partition_id().alias("pid"))
+            for r in state.groupBy(F.spark_partition_id().alias("pid"))
             .agg(F.count(F.lit(1)).alias("rows"))
             .collect()
         ]

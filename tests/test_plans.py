@@ -186,3 +186,114 @@ def test_neardup_lsh_plan_has_no_allpairs_join(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_kcore_round_plan_no_edge_exchange_no_broadcast(spark, plan_graph):
+    """Delta-peel round: the symmetrized |E| side must plan exchange-free
+    (its persisted hash(src, P) layout feeds the pending semi-join), and
+    no vertex set may be broadcast (a near-|V| pending set in round 1
+    would serialize through the driver every round)."""
+    g = plan_graph
+    parts = g.num_partitions
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sym = g.symmetrized_edges
+        state = strip_origin_stats(
+            sym.groupBy(F.col("src").alias("vid"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .repartition(parts, "vid")
+            .sortWithinPartitions("vid")
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        )
+        k = 3
+        pending = state.where(F.col("deg") < k).select("vid")
+        dec = (
+            sym.join(
+                pending.withColumnRenamed("vid", "src").hint("merge"),
+                "src",
+                "left_semi",
+            )
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.count(F.lit(1)).alias("_dec"))
+        )
+        out = (
+            state.where(F.col("deg") >= k)
+            .join(dec.hint("merge"), "vid", "left")
+            .select("vid", (F.col("deg") - F.coalesce("_dec", F.lit(0))).alias("deg"))
+        )
+        live = live_tree(formatted_plan(out))
+        # live shuffles: pending→hash(src) and the dec aggregation; the
+        # |E| sym scan and the |V| state leaf stream exchange-free
+        assert len(re.findall(r"\bExchange\b", live)) <= 2, live
+        assert "BroadcastHashJoin" not in live, live
+        assert "SortMergeJoin" in live, live
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_coloring_round_plan_no_edge_exchange_no_broadcast(spark, plan_graph):
+    """JPL round: uncolored-src semi-join reuses the persisted edge
+    layout; the dst restriction happens on the aggregated |V|-sized
+    nbr_max (merge-joined), never by re-shuffling |E| by dst or
+    broadcasting a near-|V| uncolored set."""
+    from linkgraph.algorithms.coloring import _priority
+
+    g = plan_graph
+    parts = g.num_partitions
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sym = g.symmetrized_edges
+        state = strip_origin_stats(
+            g.vertices.select("vid", F.lit(None).cast("int").alias("color"))
+            .repartition(parts, "vid")
+            .sortWithinPartitions("vid")
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        )
+        unc = state.where(F.col("color").isNull()).select("vid")
+        active_edges = sym.join(
+            unc.withColumnRenamed("vid", "src").hint("merge"), "src", "left_semi"
+        )
+        nbr_max = (
+            active_edges.select(
+                F.col("dst").alias("vid"), _priority("src", 42, "xxhash64").alias("p")
+            )
+            .groupBy("vid")
+            .agg(F.max("p").alias("nbr_max"))
+        )
+        winners = (
+            unc.join(nbr_max.hint("merge"), "vid", "left")
+            .where(
+                F.col("nbr_max").isNull()
+                | (_priority("vid", 42, "xxhash64") > F.col("nbr_max"))
+            )
+            .select("vid", F.lit(0).cast("int").alias("new_color"))
+        )
+        out = state.join(winners.hint("merge"), "vid", "left").select(
+            "vid", F.coalesce("color", "new_color").alias("color")
+        )
+        live = live_tree(formatted_plan(out))
+        assert len(re.findall(r"\bExchange\b", live)) <= 2, live
+        assert "BroadcastHashJoin" not in live, live
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_hits_reversed_view_gather_is_exchange_free(spark, plan_graph):
+    """The persisted reversed view (CSC analog) must feed the hub gather
+    without re-shuffling |E| — a bare column-swap view would keep the
+    ORIGINAL src partitioning and exchange every superstep."""
+    g = plan_graph
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        state = _state_leaf(spark, g, g.num_partitions)
+        contrib = state.select("vid", F.col("rank").alias("auth"))
+        gathered = g.reversed_edges.join(
+            contrib.withColumnRenamed("vid", "src").hint("merge"), "src"
+        )
+        live = live_tree(formatted_plan(gathered))
+        assert len(re.findall(r"\bExchange\b", live)) == 0, live
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

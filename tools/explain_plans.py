@@ -202,6 +202,76 @@ def main() -> int:
         "LSH NEAR-DUP PLAN:\n" + plan4 + "\n\nIVF TOP-K PLAN:\n" + plan5,
     ))
 
+    # -- 5. k-core delta-peel round ----------------------------------------
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sym = g.symmetrized_edges
+    kstate = strip_origin_stats(
+        sym.groupBy(F.col("src").alias("vid"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .repartition(8, "vid")
+        .sortWithinPartitions("vid")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    pending = kstate.where(F.col("deg") < 3).select("vid")
+    dec = (
+        sym.join(
+            pending.withColumnRenamed("vid", "src").hint("merge"),
+            "src",
+            "left_semi",
+        )
+        .groupBy(F.col("dst").alias("vid"))
+        .agg(F.count(F.lit(1)).alias("_dec"))
+    )
+    kround = (
+        kstate.where(F.col("deg") >= 3)
+        .join(dec.hint("merge"), "vid", "left")
+        .select("vid", (F.col("deg") - F.coalesce("_dec", F.lit(0))).alias("deg"))
+    )
+    plan6 = formatted(kround)
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    live6 = live_tree(plan6)
+    n_ex6 = len(re.findall(r"\bExchange\b", live6))
+    assert n_ex6 <= 2, f"k-core round must shuffle only delta-sized sides, got {n_ex6}:\n{live6}"
+    assert "BroadcastHashJoin" not in live6, live6
+    sections.append((
+        "k-core delta-peel round (per-iteration job)",
+        "Per round only the REMOVED set and its decrement counts shuffle "
+        "(two small Exchanges); the symmetrized |E| relation streams "
+        "exchange-free out of its persisted hash(src, 8) + sorted layout "
+        "into the pending semi-join, and the |V| state leaf streams into "
+        "the merge join.  No vertex set is ever broadcast — a near-|V| "
+        "pending set in round 1 would otherwise serialize through the "
+        "driver every round.  Shuffled bytes are proportional to the "
+        "round's removals, not |E|.",
+        "LIVE TREE (per-round work):\n" + live6 + "\n\nFULL PLAN:\n" + plan6,
+    ))
+
+    # -- 6. HITS reversed-view (CSC) gather --------------------------------
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    hstate = strip_origin_stats(
+        g.vertices.select("vid", F.lit(1.0).alias("auth"))
+        .repartition(8, "vid")
+        .sortWithinPartitions("vid")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    gathered = g.reversed_edges.join(
+        hstate.withColumnRenamed("vid", "src").hint("merge"), "src"
+    )
+    plan7 = formatted(gathered)
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    live7 = live_tree(plan7)
+    assert len(re.findall(r"\bExchange\b", live7)) == 0, live7
+    sections.append((
+        "HITS hub gather over the persisted reversed view (CSC analog)",
+        "The reversed edge view is re-laid-out hash(src, 8) + sorted ONCE "
+        "at first use and persisted (the reference keeps a CSC view next "
+        "to CSR) — the per-superstep hub gather then plans with ZERO "
+        "Exchanges.  A bare column-swap view would keep the original src "
+        "partitioning and re-shuffle + re-sort the full |E| set inside "
+        "every iteration's plan.",
+        "LIVE TREE (per-superstep gather):\n" + live7 + "\n\nFULL PLAN:\n" + plan7,
+    ))
+
     out = ["# BENCH/PLANS.md — physical-plan evidence (asserted, not aspirational)\n"]
     out.append(
         "Generated by `python tools/explain_plans.py` on a 5,000-page "
