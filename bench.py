@@ -263,13 +263,18 @@ def main() -> int:
     # straggler effects amortize identically at both levels (measured
     # slightly faster at both levels than 2×).
     scale_parts = HIGH_CORES * 8
+    # keyed by ROLE, not core count: under the documented saturated repro
+    # (LINKGRAPH_BENCH_HIGH_CORES=32 == CPUS) a core-count key would let
+    # the extras level overwrite the HIGH scaling level and the reported
+    # efficiency would compare the 30M-edge low run against the 10M-edge
+    # extras run.
     plan = [
-        (LOW_CORES, edges_path, scale_parts, False),
-        (HIGH_CORES, edges_path, scale_parts, False),
-        (CPUS, extras_path, CPUS * 2, True),
+        ("low", LOW_CORES, edges_path, scale_parts, False),
+        ("high", HIGH_CORES, edges_path, scale_parts, False),
+        ("full", CPUS, extras_path, CPUS * 2, True),
     ]
     levels = {}
-    for cores, path, parts, extras in plan:
+    for role, cores, path, parts, extras in plan:
         cmd = [
             sys.executable, os.path.abspath(__file__),
             "--level", str(cores), "--edges-path", path,
@@ -286,17 +291,18 @@ def main() -> int:
         if line is None:
             sys.stderr.write(r.stdout[-2000:] + "\n" + r.stderr[-4000:])
             return 1
-        levels[cores] = json.loads(line[len("LEVELJSON:"):])
+        levels[role] = json.loads(line[len("LEVELJSON:"):])
 
-    lo, hi, full = levels[LOW_CORES], levels[HIGH_CORES], levels[CPUS]
+    lo, hi, full = levels["low"], levels["high"], levels["full"]
     core_ratio = HIGH_CORES / LOW_CORES
     speedup = lo["pr_iter_median_s"] / hi["pr_iter_median_s"]
     efficiency = round(speedup / core_ratio, 3)
 
     queries = {
-        f"pagerank_{BLOCKS*FIXED_ITERS}iter_local{LOW_CORES}": lo["pr_fixed_s"],
-        f"pagerank_{BLOCKS*FIXED_ITERS}iter_local{HIGH_CORES}": hi["pr_fixed_s"],
-        f"pagerank_{BLOCKS*FIXED_ITERS}iter_local{CPUS}": full["pr_fixed_s"],
+        # role-qualified: LOW/HIGH/CPUS may coincide under env overrides
+        f"pagerank_{BLOCKS*FIXED_ITERS}iter_scale_low_local{LOW_CORES}": lo["pr_fixed_s"],
+        f"pagerank_{BLOCKS*FIXED_ITERS}iter_scale_high_local{HIGH_CORES}": hi["pr_fixed_s"],
+        f"pagerank_{BLOCKS*FIXED_ITERS}iter_extras_local{CPUS}": full["pr_fixed_s"],
         f"pagerank_converged_local{CPUS}": full.get("pr_converged_s"),
         f"pagerank_spmv_{FIXED_ITERS}iter_local{CPUS}": full.get("pr_spmv_fixed_s"),
         f"cc_local{CPUS}": full.get("cc_s"),

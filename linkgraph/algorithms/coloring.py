@@ -53,6 +53,59 @@ def _priority(col: str = "vid", seed: int = 42, scheme: str = "xxhash64"):
     )
 
 
+def color_round(
+    sym: DataFrame,
+    state: DataFrame,
+    round_no: int,
+    seed: int = 42,
+    priority: str = "xxhash64",
+) -> DataFrame:
+    """ONE JPL round over ``(vid, color)`` state (the production round
+    body :func:`jpl_coloring` iterates — exposed so the plan-regression
+    tests and tools/explain_plans.py assert the shipping plan, not a
+    replica).
+
+    Gather: max priority among each vertex's UNCOLORED neighbors.  Only
+    the SRC side prunes the edge scan (exchange-free semi-join against
+    the persisted hash(src, P) layout); restricting the dst side happens
+    after the aggregation, on the |V|-sized nbr_max — a dst-keyed
+    semi-join on the edges would re-shuffle |E| (or serially broadcast a
+    near-|V| uncolored set) every round.
+    """
+    unc = state.where(F.col("color").isNull()).select("vid")
+    active_edges = sym.join(
+        unc.withColumnRenamed("vid", "src").hint("merge"),
+        "src",
+        "left_semi",
+    )
+    nbr_max = (
+        active_edges.select(
+            F.col("dst").alias("vid"),
+            _priority("src", seed, priority).alias("p"),
+        )
+        .groupBy("vid")
+        .agg(F.max("p").alias("nbr_max"))
+    )
+    winners = (
+        unc.join(nbr_max.hint("merge"), "vid", "left")
+        .where(
+            F.col("nbr_max").isNull()
+            | (_priority("vid", seed, priority) > F.col("nbr_max"))
+        )
+        .select("vid", F.lit(round_no).cast("int").alias("new_color"))
+    )
+    return (
+        state.join(winners.hint("merge"), "vid", "left")
+        .select(
+            "vid",
+            F.coalesce("color", "new_color").alias("color"),
+            (
+                F.col("color").isNull() & F.col("new_color").isNull()
+            ).cast("long").alias("_uncolored"),
+        )
+    )
+
+
 def jpl_coloring(
     graph: Graph,
     seed: int = 42,
@@ -76,44 +129,7 @@ def jpl_coloring(
     )
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        unc = state.where(F.col("color").isNull()).select("vid")
-        # gather: max priority among each vertex's UNCOLORED neighbors.
-        # Only the SRC side prunes the edge scan (exchange-free semi-join
-        # against the persisted hash(src, P) layout); restricting the dst
-        # side happens after the aggregation, on the |V|-sized nbr_max —
-        # a dst-keyed semi-join on the edges would re-shuffle |E| (or
-        # serially broadcast a near-|V| uncolored set) every round.
-        active_edges = sym.join(
-            unc.withColumnRenamed("vid", "src").hint("merge"),
-            "src",
-            "left_semi",
-        )
-        nbr_max = (
-            active_edges.select(
-                F.col("dst").alias("vid"),
-                _priority("src", seed, priority).alias("p"),
-            )
-            .groupBy("vid")
-            .agg(F.max("p").alias("nbr_max"))
-        )
-        winners = (
-            unc.join(nbr_max.hint("merge"), "vid", "left")
-            .where(
-                F.col("nbr_max").isNull()
-                | (_priority("vid", seed, priority) > F.col("nbr_max"))
-            )
-            .select("vid", F.lit(i).cast("int").alias("new_color"))
-        )
-        return (
-            state.join(winners.hint("merge"), "vid", "left")
-            .select(
-                "vid",
-                F.coalesce("color", "new_color").alias("color"),
-                (
-                    F.col("color").isNull() & F.col("new_color").isNull()
-                ).cast("long").alias("_uncolored"),
-            )
-        )
+        return color_round(sym, state, i, seed=seed, priority=priority)
 
     result = iterate(
         init,

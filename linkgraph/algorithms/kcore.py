@@ -37,6 +37,31 @@ from linkgraph.graph import Graph
 from linkgraph.superstep import IterationResult, iterate
 
 
+def peel_round(sym: DataFrame, state: DataFrame, k: int) -> DataFrame:
+    """ONE delta-peel round over ``(vid, deg)`` state (the production
+    round body :func:`k_core` iterates — exposed so the plan-regression
+    tests and tools/explain_plans.py assert the shipping plan, not a
+    replica)."""
+    pending = state.where(F.col("deg") < k).select("vid")
+    dec = (
+        sym.join(
+            pending.withColumnRenamed("vid", "src").hint("merge"),
+            "src",
+            "left_semi",
+        )
+        .groupBy(F.col("dst").alias("vid"))
+        .agg(F.count(F.lit(1)).alias("_dec"))
+    )
+    return (
+        state.where(F.col("deg") >= k)
+        .join(dec.hint("merge"), "vid", "left")
+        .select(
+            "vid",
+            (F.col("deg") - F.coalesce("_dec", F.lit(0))).alias("deg"),
+        )
+    )
+
+
 def k_core(graph: Graph, k: int, max_iters: int = 500) -> IterationResult:
     """Vertices of the k-core: state ``(vid, deg)`` (degree within core)."""
     sym = graph.symmetrized_edges
@@ -45,24 +70,7 @@ def k_core(graph: Graph, k: int, max_iters: int = 500) -> IterationResult:
     )
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        pending = state.where(F.col("deg") < k).select("vid")
-        dec = (
-            sym.join(
-                pending.withColumnRenamed("vid", "src").hint("merge"),
-                "src",
-                "left_semi",
-            )
-            .groupBy(F.col("dst").alias("vid"))
-            .agg(F.count(F.lit(1)).alias("_dec"))
-        )
-        return (
-            state.where(F.col("deg") >= k)
-            .join(dec.hint("merge"), "vid", "left")
-            .select(
-                "vid",
-                (F.col("deg") - F.coalesce("_dec", F.lit(0))).alias("deg"),
-            )
-        )
+        return peel_round(sym, state, k)
 
     # Converged when nothing is pending removal — at that point every
     # surviving deg counts only edges into the surviving set, i.e. the

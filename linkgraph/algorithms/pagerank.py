@@ -41,6 +41,51 @@ from linkgraph.operators.neighbor_reduce import neighbor_reduce
 from linkgraph.superstep import CheckpointManager, IterationResult, iterate
 
 
+def pagerank_round(
+    graph: Graph,
+    state: DataFrame,
+    alpha: float,
+    n: int,
+    dangling: float,
+    salted: bool = False,
+    salt_buckets: int = 32,
+    strategy: str = "join",
+) -> DataFrame:
+    """ONE power-iteration superstep over ``(vid, rank, outdeg)`` state.
+
+    This is the production round body :func:`pagerank` iterates — exposed
+    so the plan-regression tests (tests/test_plans.py) and the evidence
+    tool (tools/explain_plans.py) assert the physical plan of the code
+    that actually ships, not a hand-kept replica that could drift.
+    """
+    contrib = state.where(F.col("outdeg").isNotNull()).select(
+        "vid", (F.col("rank") / F.col("outdeg")).alias("contrib")
+    )
+    if strategy == "spmv":
+        from linkgraph.csr import spmv_contrib_sums
+
+        sums = spmv_contrib_sums(graph, contrib)
+    else:
+        sums = neighbor_reduce(
+            graph.edges,
+            contrib,
+            F.col("contrib"),
+            op="sum",
+            out="msum",
+            salted=salted,
+            salt_buckets=salt_buckets,
+        )
+    new_rank = F.lit((1.0 - alpha) / n) + alpha * (
+        F.coalesce(F.col("msum"), F.lit(0.0)) + F.lit(dangling / n)
+    )
+    return state.join(sums.hint("merge"), "vid", "left").select(
+        "vid",
+        new_rank.alias("rank"),
+        "outdeg",
+        F.abs(new_rank - F.col("rank")).alias("_delta"),
+    )
+
+
 def pagerank(
     graph: Graph,
     alpha: float = 0.85,
@@ -86,30 +131,15 @@ def pagerank(
                 ).alias("d")
             ).collect()[0]
             dangling_cell[0] = float(row["d"])
-        dangling = dangling_cell[0]
-        contrib = state.where(F.col("outdeg").isNotNull()).select(
-            "vid", (F.col("rank") / F.col("outdeg")).alias("contrib")
-        )
-        if strategy == "spmv":
-            sums = spmv_contrib_sums(graph, contrib)
-        else:
-            sums = neighbor_reduce(
-                graph.edges,
-                contrib,
-                F.col("contrib"),
-                op="sum",
-                out="msum",
-                salted=salted,
-                salt_buckets=salt_buckets,
-            )
-        new_rank = F.lit((1.0 - alpha) / n) + alpha * (
-            F.coalesce(F.col("msum"), F.lit(0.0)) + F.lit(dangling / n)
-        )
-        return state.join(sums.hint("merge"), "vid", "left").select(
-            "vid",
-            new_rank.alias("rank"),
-            "outdeg",
-            F.abs(new_rank - F.col("rank")).alias("_delta"),
+        return pagerank_round(
+            graph,
+            state,
+            alpha=alpha,
+            n=n,
+            dangling=dangling_cell[0],
+            salted=salted,
+            salt_buckets=salt_buckets,
+            strategy=strategy,
         )
 
     # Observed during the superstep job itself (superstep.py: stats_cols)

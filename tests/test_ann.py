@@ -66,7 +66,7 @@ def test_lsh_finds_planted_neighbors(spark):
 
 
 def test_embedding_near_duplicates(spark):
-    df, _ = _emb_df(spark, n=40, planted_pairs=4)
+    df, mat = _emb_df(spark, n=40, planted_pairs=4)
     pairs = {
         (r.a, r.b)
         for r in embedding_near_duplicates(
@@ -75,9 +75,12 @@ def test_embedding_near_duplicates(spark):
     }
     want = {(j, 40 + j) for j in range(4)}
     assert want <= pairs
-    # no false positives among random pairs at this threshold
-    for a, b in pairs - want:
-        assert a >= 40 or b >= 40 or abs(a - b) >= 0  # sanity only
+    # precision: every reported pair's TRUE cosine clears the threshold
+    # (a regression that returns raw LSH candidates without the cosine
+    # filter emits random-pair false positives here)
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for a, b in pairs:
+        assert float(normed[a] @ normed[b]) >= 0.99 - 1e-9, (a, b)
 
 
 def test_exact_near_duplicates_matches_numpy(spark):
@@ -162,26 +165,37 @@ def test_ivf_pivot_full_probe_equals_bruteforce(spark):
     assert full == bf
 
 
-def test_ivf_pivot_partial_probe_subset_of_exact(spark):
+def test_ivf_pivot_partial_probe_matches_numpy_twin(spark):
+    """Full semantic oracle for the partial-probe path: a NumPy replica
+    of the deterministic pivot quantizer (cells = argmax cosine vs the 8
+    lowest-id vectors, queries probe top-nprobe cells, exact cosine
+    re-rank) must produce the SAME (query, rank, vec) triples."""
     from linkgraph.textops.ann import ivf_pivot_topk
 
-    df, _ = _emb_df(spark, n=60, planted_pairs=0)
+    n_cells, nprobe, k = 8, 2, 5
+    df, mat = _emb_df(spark, n=60, planted_pairs=0)
     queries = df.where("vec_id < 6").selectExpr("vec_id as query_id", "embedding")
-    bf = {
-        (r.query_id, r.vec_id)
-        for r in cosine_topk(df, queries, k=5).collect()
-    }
-    part = ivf_pivot_topk(df, queries, k=5, n_cells=8, nprobe=2).collect()
-    # candidates only shrink vs exact; every returned pair must be real
-    assert {(r.query_id, r.vec_id) for r in part} <= {
-        (q, v)
-        for q in range(6)
-        for v in range(60)
-        if q != v
-    }
+    part = ivf_pivot_topk(df, queries, k=k, n_cells=n_cells, nprobe=nprobe).collect()
     assert len(part) > 0
-    recall = len({(r.query_id, r.vec_id) for r in part} & bf) / len(bf)
-    assert recall > 0.0
+
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    piv = normed[:n_cells]  # pivots = the n_cells lowest vec_ids
+    cell_sims = normed @ piv.T  # (n, n_cells)
+    corpus_cell = cell_sims.argmax(axis=1)  # ties: argmax = lowest cell
+    want = {}
+    for q in range(6):
+        probed = set(np.argsort(-cell_sims[q], kind="stable")[:nprobe])
+        cand = [
+            v for v in range(60) if v != q and corpus_cell[v] in probed
+        ]
+        ranked = sorted(cand, key=lambda v: (-(normed[q] @ normed[v]), v))
+        for rank, v in enumerate(ranked[:k], start=1):
+            want[(q, rank)] = v
+    got = {(r.query_id, r.rank): r.vec_id for r in part}
+    assert got == want
+    # and reported cosines are the true cosines
+    for r in part:
+        assert abs(r.cosine - float(normed[r.query_id] @ normed[r.vec_id])) < 1e-9
 
 
 def test_ivf_recall_on_clustered_corpus(spark):

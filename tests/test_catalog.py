@@ -9,7 +9,6 @@ Marked slow: it executes every catalog entry.
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
@@ -17,32 +16,18 @@ import pytest
 
 from linkgraph.queries import ORACLES, QUERIES
 
+# the EXACT normalization/signature helpers the dev harness runs — one
+# implementation, so pytest and tools/compare_oracles.py cannot drift
+# apart in float/NULL/timestamp handling
+from tools.compare_oracles import frame_signature as _signature
+from tools.compare_oracles import norm_cell as _norm_cell  # noqa: F401  (re-exported for debugging)
+
 SF_DIR = "/root/testdata/sf0.001"
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
-
-
-def _norm_cell(v):
-    if v is None:
-        return "∅"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return str(v)
-
-
-def _signature(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return (
-        [cols[i] for i in order],
-        sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows),
-    )
 
 
 @pytest.fixture(scope="module")

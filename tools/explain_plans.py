@@ -28,40 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-
-def formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-
-
-def live_tree(plan: str) -> str:
-    """The physical-plan TREE with cached subtrees removed.
-
-    Formatted explain prints each InMemoryTableScan's child plan (the
-    plan that materialized the cache) — those operators, including their
-    Exchanges, run once at cache build, not per query.  For "this query
-    shuffles exactly N times" assertions, keep only the live operators:
-    drop every line nested deeper than an InMemoryTableScan.
-    """
-    lines = plan.split("== Physical Plan ==", 1)[1].splitlines()
-    out: list[str] = []
-    skip_deeper_than: int | None = None
-    for line in lines:
-        if not line.strip():
-            if out:
-                break  # end of tree section (details follow)
-            continue  # leading blank after the header
-        # tree prefix is 3-char groups: "   ", ":  ", ":- ", or "+- "
-        indent = re.match(r"^(?:[ :] {2}|[+:]- )*", line).end()
-        if skip_deeper_than is not None:
-            if indent > skip_deeper_than:
-                continue
-            skip_deeper_than = None
-        out.append(line)
-        if "InMemoryTableScan" in line:
-            skip_deeper_than = indent
-    return "\n".join(out)
+from linkgraph.plans import formatted_plan as formatted, live_tree  # noqa: E402  (one implementation shared with tests/test_plans.py — the Exchange counts asserted by pytest and written to BENCH/PLANS.md cannot drift)
 
 
 def main() -> int:
@@ -95,17 +62,11 @@ def main() -> int:
         .sortWithinPartitions("vid")
         .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
-    contrib = state.where(F.col("outdeg").isNotNull()).select(
-        "vid", (F.col("rank") / F.col("outdeg")).alias("contrib")
-    )
-    sums = neighbor_reduce(g.edges, contrib, F.col("contrib"), op="sum", out="msum")
-    alpha = 0.85
-    new_rank = F.lit((1.0 - alpha) / n) + alpha * F.coalesce(
-        F.col("msum"), F.lit(0.0)
-    )
-    superstep = state.join(sums.hint("merge"), "vid", "left").select(
-        "vid", new_rank.alias("rank"), "outdeg"
-    )
+    from linkgraph.algorithms.pagerank import pagerank_round
+
+    # the PRODUCTION round body (not a replica — pagerank.py regressions
+    # fail this tool the same way they fail tests/test_plans.py)
+    superstep = pagerank_round(g, state, alpha=0.85, n=n, dangling=0.0)
     plan = formatted(superstep)
     spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
@@ -212,21 +173,10 @@ def main() -> int:
         .sortWithinPartitions("vid")
         .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
-    pending = kstate.where(F.col("deg") < 3).select("vid")
-    dec = (
-        sym.join(
-            pending.withColumnRenamed("vid", "src").hint("merge"),
-            "src",
-            "left_semi",
-        )
-        .groupBy(F.col("dst").alias("vid"))
-        .agg(F.count(F.lit(1)).alias("_dec"))
-    )
-    kround = (
-        kstate.where(F.col("deg") >= 3)
-        .join(dec.hint("merge"), "vid", "left")
-        .select("vid", (F.col("deg") - F.coalesce("_dec", F.lit(0))).alias("deg"))
-    )
+    from linkgraph.algorithms.kcore import peel_round
+
+    # the PRODUCTION round body (not a replica)
+    kround = peel_round(sym, kstate, k=3)
     plan6 = formatted(kround)
     spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     live6 = live_tree(plan6)
