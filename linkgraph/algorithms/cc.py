@@ -18,6 +18,19 @@ comp(comp(v)) each superstep), reducing iterations from graph diameter to
 iteration structure exactly (SURVEY.md §4.5); the converged labels are
 identical either way (min id per component), so it is safe to enable at
 scale where diameters are large.
+
+``frontier=True`` (default) gathers only from vertices whose ``comp``
+CHANGED in the previous round — the delta/frontier form of hash-min.
+This is trajectory-identical to the full gather, not merely
+same-fixpoint: ``comp`` is monotone non-increasing and the merge is
+``least(old, min_in)``, so a silent (unchanged) neighbor u's message is
+exactly the value v already merged in the round after u last changed —
+re-sending it every round is a no-op.  Per-round states, change counts
+and the iteration count are therefore bit-identical (asserted by
+tests/test_cc.py's differential test), while the shuffled message volume
+shrinks with the frontier instead of staying at 2|E| every round — on a
+web crawl most vertices settle in 2-3 rounds and the remaining rounds
+only pay for the long-diameter tail.
 """
 
 from __future__ import annotations
@@ -35,10 +48,72 @@ from linkgraph.superstep import (
 )
 
 
+def cc_round(
+    sym: DataFrame,
+    state: DataFrame,
+    salted: bool = False,
+    frontier: bool = True,
+    pointer_jumping: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """ONE hash-min round over ``(vid, comp, _changed)`` state (the
+    production round body :func:`connected_components` iterates —
+    exposed so plan tests assert the shipping plan, not a replica)."""
+    src_state = state.select("vid", "comp")
+    if frontier:
+        # delta gather: only last round's changed vertices push their
+        # comp (trajectory-identical — module docstring)
+        src_state = state.where(F.col("_changed")).select("vid", "comp")
+    min_in = neighbor_reduce(
+        sym,
+        src_state,
+        F.col("comp"),
+        op="min",
+        out="min_in",
+        salted=salted,
+    )
+    merged = F.least("comp", F.coalesce("min_in", F.col("comp")))
+    new = state.join(min_in.hint("merge"), "vid", "left").select(
+        "vid",
+        merged.alias("comp"),
+        (merged != F.col("comp")).alias("_changed"),
+    )
+    if pointer_jumping:
+        # comp(v) ← comp(comp(v)): join the new labels against
+        # themselves — a |V|-sized self-join, shrinks tall trees.
+        # merge hint: Catalyst would otherwise broadcast the |V|-sized
+        # parent side (per-superstep driver collect — the pathology
+        # neighbor_reduce.py documents as 10× iteration cost).
+        parent = new.select(
+            F.col("vid").alias("comp"), F.col("comp").alias("gcomp")
+        )
+        jumped = F.least("comp", F.coalesce("gcomp", "comp"))
+        new = (
+            new.join(parent.hint("merge"), "comp", "left")
+            .select(
+                "vid",
+                jumped.alias("comp"),
+                (F.col("_changed") | (jumped != F.col("comp"))).alias(
+                    "_changed"
+                ),
+            )
+            # the self-join re-clustered the state on comp; restore
+            # the canonical hash(vid, P) + sorted layout the superstep
+            # runtime's checkpoint-leaf contract requires (iterate()
+            # skips relayout for step outputs) — one extra |V|
+            # exchange per superstep, the price of the log(diameter)
+            # iteration count pointer jumping buys
+            .repartition(num_partitions, "vid")
+            .sortWithinPartitions("vid")
+        )
+    return new
+
+
 def connected_components(
     graph: Graph,
     max_iters: int = 200,
     salted: bool = False,
+    frontier: bool = True,
     pointer_jumping: bool = False,
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 10,
@@ -46,52 +121,20 @@ def connected_components(
 ) -> IterationResult:
     """Label each vertex with min vid of its component: state ``(vid, comp)``."""
     sym = graph.symmetrized_edges
-    init = graph.vertices.select("vid", F.col("vid").alias("comp"))
+    # _changed=True seeds round 1's frontier with every vertex
+    init = graph.vertices.select(
+        "vid", F.col("vid").alias("comp"), F.lit(True).alias("_changed")
+    )
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        min_in = neighbor_reduce(
+        return cc_round(
             sym,
-            state.select("vid", "comp"),
-            F.col("comp"),
-            op="min",
-            out="min_in",
+            state,
             salted=salted,
+            frontier=frontier,
+            pointer_jumping=pointer_jumping,
+            num_partitions=graph.num_partitions,
         )
-        merged = F.least("comp", F.coalesce("min_in", F.col("comp")))
-        new = state.join(min_in.hint("merge"), "vid", "left").select(
-            "vid",
-            merged.alias("comp"),
-            (merged != F.col("comp")).alias("_changed"),
-        )
-        if pointer_jumping:
-            # comp(v) ← comp(comp(v)): join the new labels against
-            # themselves — a |V|-sized self-join, shrinks tall trees.
-            # merge hint: Catalyst would otherwise broadcast the |V|-sized
-            # parent side (per-superstep driver collect — the pathology
-            # neighbor_reduce.py documents as 10× iteration cost).
-            parent = new.select(
-                F.col("vid").alias("comp"), F.col("comp").alias("gcomp")
-            )
-            jumped = F.least("comp", F.coalesce("gcomp", "comp"))
-            new = (
-                new.join(parent.hint("merge"), "comp", "left")
-                .select(
-                    "vid",
-                    jumped.alias("comp"),
-                    (F.col("_changed") | (jumped != F.col("comp"))).alias(
-                        "_changed"
-                    ),
-                )
-                # the self-join re-clustered the state on comp; restore
-                # the canonical hash(vid, P) + sorted layout the superstep
-                # runtime's checkpoint-leaf contract requires (iterate()
-                # skips relayout for step outputs) — one extra |V|
-                # exchange per superstep, the price of the log(diameter)
-                # iteration count pointer jumping buys
-                .repartition(graph.num_partitions, "vid")
-                .sortWithinPartitions("vid")
-            )
-        return new
 
     result = iterate(
         init,

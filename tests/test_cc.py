@@ -46,3 +46,20 @@ def test_pointer_jumping_same_result(spark):
     a = _check(spark, edges, pointer_jumping=False)
     b = _check(spark, edges, pointer_jumping=True)
     assert b.iterations <= a.iterations
+
+def test_frontier_gather_trajectory_identical_to_full(spark):
+    """The delta/frontier gather must be trajectory-identical to the full
+    gather (cc.py module docstring's monotonicity argument): same final
+    labels, same iteration count, and the same per-round change counts —
+    not merely the same fixpoint."""
+    edges = (
+        list(MICRO_GRAPHS["chain"])
+        + list(MICRO_GRAPHS["two_cliques"])
+        + [(int(s), int(d)) for s, d in synthetic_crawl(300)]
+    )
+    a = _check(spark, edges, frontier=False)
+    b = _check(spark, edges, frontier=True)
+    assert b.iterations == a.iterations
+    assert [h.get("changed") for h in b.history] == [
+        h.get("changed") for h in a.history
+    ]
