@@ -79,6 +79,10 @@ def cc_round(
         (merged != F.col("comp")).alias("_changed"),
     )
     if pointer_jumping:
+        if num_partitions is None:
+            num_partitions = int(
+                state.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
         # comp(v) ← comp(comp(v)): join the new labels against
         # themselves — a |V|-sized self-join, shrinks tall trees.
         # merge hint: Catalyst would otherwise broadcast the |V|-sized

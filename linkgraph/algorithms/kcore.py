@@ -84,6 +84,12 @@ def k_core(graph: Graph, k: int, max_iters: int = 500) -> IterationResult:
         converged=lambda s: (s.get("pending") or 0) == 0,
         max_iters=max_iters,
     )
+    # A converged state has no pending rows; on max_iters exhaustion drop
+    # the round's pending (deg < k) vertices so the output honors the
+    # "(vid, deg) with deg within core" contract either way (a partial
+    # run then over-approximates the core, matching the recompute-peel
+    # formulation's partial output).
+    result.state = result.state.where(F.col("deg") >= k)
     return result
 
 

@@ -36,7 +36,6 @@ def main() -> int:
     from linkgraph.graph import Graph
     from linkgraph.session import get_spark
     from linkgraph.superstep import strip_origin_stats
-    from linkgraph.operators.neighbor_reduce import neighbor_reduce
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
