@@ -12,27 +12,37 @@ SURVEY.md §2.3).
 
 Two physical modes, chosen by |V| (both end in the same shuffle-reduce):
 
-- **broadcast** (|V| ≤ threshold): the per-vertex contrib vector is
-  broadcast as a dense NumPy array; ``mapInArrow`` streams the persisted
-  edge partitions (already sorted by (src, dst) = the CSR layout) with
-  ZERO join and ZERO shuffle of edges, computes ``contrib[src]`` by NumPy
-  fancy-indexing (the gather), combines per destination inside the batch
-  via ``np.unique`` + ``np.bincount`` (the scatter+map-side combine), and
-  emits compact ``(dst, partial)`` rows.  The vector build is a SERIAL
-  driver collect + torrent broadcast per call, so this mode only wins
-  for small vertex sets (see ``BROADCAST_MAX_VERTICES``); each call
-  destroys the previous call's vector (callers must materialize one
-  result before requesting the next — the superstep runtime does).
+- **broadcast** (|V| ≤ threshold): a TRUE per-partition CSR-block SpMV
+  over the graph's persisted CSC view (``Graph.reversed_edges``: edges
+  re-keyed and sorted by DESTINATION).  The per-vertex contrib vector is
+  broadcast as a dense NumPy array; ``mapInArrow`` streams the cached,
+  destination-sorted partitions with ZERO join and ZERO shuffle of
+  edges.  Because each partition arrives sorted by destination, its
+  segment boundaries ARE the CSR ``row_offsets`` (computed per Arrow
+  batch by ``np.flatnonzero(np.diff(dest))``), the gather is
+  ``vec[origin]`` fancy-indexing, and the segmented reduction is ONE
+  ``np.add.reduceat`` — the textbook CSR SpMV kernel, no per-batch sort
+  or hash.  Output is at most one ``(dst, partial)`` row per distinct
+  destination per partition, and destinations are hash-partitioned, so
+  the follow-up ``groupBy(dst)`` shuffle moves ≤ |V| pre-combined rows
+  whose partitioning already matches the state-merge join's demand.
+  The vector build is a SERIAL driver collect + torrent broadcast per
+  call, so this mode only wins while |V| is small (see
+  ``BROADCAST_MAX_VERTICES``); each call destroys the previous call's
+  vector (callers must materialize one result before requesting the
+  next — the superstep runtime does).
 
 - **join** (the scale path, default beyond the threshold): gather by
   equi-join on ``src``.  With the superstep runtime's co-partitioned
   state this join is EXCHANGE-FREE (edges reuse their persisted
   HashPartitioning; contrib is a narrow projection of the hash(vid, P)
-  checkpoint leaf), then the same Arrow batch scatter-combine.
+  checkpoint leaf), then an Arrow scatter pass combines per destination
+  across the WHOLE partition (per-batch ``np.unique`` + ``bincount``
+  partials, re-combined once at partition end) before the shuffle.
 
 The map-side combine is the skew treatment here: a hub destination
-appears at most once **per Arrow batch** in the UDF output (≤ P·batches
-rows globally) instead of once per in-edge (10^8 rows), so the final
+appears at most once **per task partition** in the UDF output (≤ P rows
+globally) instead of once per in-edge (10^8 rows), so the final
 ``groupBy(dst).sum()`` is uniform — a stronger guarantee than salting and
 the same two-phase structure (partial by (dst, partition) → final by dst).
 """
@@ -57,6 +67,13 @@ from linkgraph.graph import Graph
 # broadcast cleanup, ~13 s after — hence the small threshold.
 BROADCAST_MAX_VERTICES = 2_000_000
 
+# Flush accumulated partials once this many combined rows are buffered
+# in a single task: bounds Python-side memory to ~2×16 MB per task while
+# keeping one combine per partition in the common case (a 128 MB parquet
+# split is ~8M edges but far fewer distinct destinations).  Flushing
+# early is correctness-neutral — the downstream groupBy re-merges.
+_FLUSH_ROWS = 8_000_000
+
 # Stale-broadcast registry: the superstep contract materializes each
 # call's result before the next call, so the previous vector can be
 # destroyed then (a PageRank run otherwise accumulates one 8·|V|-byte
@@ -74,26 +91,104 @@ def _live_broadcasts() -> list:
         _tl.bcs = []
     return _tl.bcs
 
-def _make_combiner():
-    """Map-side combine: sum values per distinct dst (vectorized).
 
-    Defined as a factory returning a LOCAL function so cloudpickle ships
-    it by value inside the UDF closure — the library then works on
-    executors that don't have ``linkgraph`` on their PYTHONPATH (plain
-    ``python script.py`` without ``--py-files``).
+def _out_batch(dst: np.ndarray, partial: np.ndarray) -> pa.RecordBatch:
+    return pa.RecordBatch.from_arrays(
+        [pa.array(dst, type=pa.int64()), pa.array(partial, type=pa.float64())],
+        schema=pa.schema(
+            [pa.field("dst", pa.int64()), pa.field("partial", pa.float64())]
+        ),
+    )
+
+
+def _make_csc_kernel(flush_rows: int = _FLUSH_ROWS):
+    """CSR-block segmented-sum kernel over destination-sorted partitions.
+
+    Factory returning LOCAL functions so cloudpickle ships them by value
+    inside the UDF closure — the library then works on executors that
+    don't have ``linkgraph`` on their PYTHONPATH (plain ``python
+    script.py`` without ``--py-files``).
     """
 
-    def combine(dst: np.ndarray, vals: np.ndarray) -> pa.RecordBatch:
-        uniq, inv = np.unique(dst, return_inverse=True)
-        partial = np.bincount(inv, weights=vals, minlength=len(uniq))
-        return pa.RecordBatch.from_arrays(
-            [pa.array(uniq, type=pa.int64()), pa.array(partial, type=pa.float64())],
-            schema=pa.schema(
-                [pa.field("dst", pa.int64()), pa.field("partial", pa.float64())]
-            ),
-        )
+    def kernel(
+        batches: Iterator[pa.RecordBatch], vec: np.ndarray
+    ) -> Iterator[pa.RecordBatch]:
+        # Per-batch: row_offsets from the sorted destination run
+        # boundaries, gather by fancy index, segmented sum by reduceat.
+        # Batch partials are buffered and merged ONCE at partition end
+        # (a destination run can span batch boundaries; the buffered
+        # uniques stay globally sorted, so the merge is another
+        # diff+reduceat, not a sort).
+        us: list[np.ndarray] = []
+        ps: list[np.ndarray] = []
+        buffered = 0
+        for batch in batches:
+            dest = batch.column("src").to_numpy(zero_copy_only=False)
+            orig = batch.column("dst").to_numpy(zero_copy_only=False)
+            if len(dest) == 0:
+                continue
+            if orig.min() < 0:
+                raise ValueError(
+                    "negative vertex id in broadcast SpMV gather"
+                )
+            row_offsets = np.concatenate(
+                ([0], np.flatnonzero(np.diff(dest)) + 1)
+            )
+            us.append(dest[row_offsets])
+            ps.append(np.add.reduceat(vec[orig], row_offsets))
+            buffered += len(row_offsets)
+            if buffered >= flush_rows:
+                u, p = _merge_sorted_runs(us, ps)
+                us, ps, buffered = [], [], 0
+                yield _out_batch(u, p)
+        if us:
+            u, p = _merge_sorted_runs(us, ps)
+            yield _out_batch(u, p)
 
-    return combine
+    def _merge_sorted_runs(us, ps):
+        u = np.concatenate(us)
+        p = np.concatenate(ps)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(u)) + 1))
+        return u[starts], np.add.reduceat(p, starts)
+
+    return kernel
+
+
+def _make_combiner(flush_rows: int = _FLUSH_ROWS):
+    """Map-side combine for UNSORTED (dst, val) batches (join-mode scatter).
+
+    Per batch: ``np.unique`` + ``bincount`` partials; buffered and
+    re-combined once per partition so a destination leaves the task at
+    most once (instead of once per batch).  Factory-local for the same
+    cloudpickle-by-value reason as :func:`_make_csc_kernel`.
+    """
+
+    def scatter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        us: list[np.ndarray] = []
+        ps: list[np.ndarray] = []
+        buffered = 0
+        for batch in batches:
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            vals = batch.column("contrib").to_numpy(zero_copy_only=False)
+            if len(dst) == 0:
+                continue
+            uniq, inv = np.unique(dst, return_inverse=True)
+            us.append(uniq)
+            ps.append(np.bincount(inv, weights=vals, minlength=len(uniq)))
+            buffered += len(uniq)
+            if buffered >= flush_rows:
+                yield _combine(us, ps)
+                us, ps, buffered = [], [], 0
+        if us:
+            yield _combine(us, ps)
+
+    def _combine(us, ps):
+        u = np.concatenate(us)
+        p = np.concatenate(ps)
+        uniq, inv = np.unique(u, return_inverse=True)
+        return _out_batch(uniq, np.bincount(inv, weights=p, minlength=len(uniq)))
+
+    return scatter
 
 
 def spmv_contrib_sums(
@@ -136,22 +231,14 @@ def spmv_contrib_sums(
         bc = graph.spark.sparkContext.broadcast(vec)
         live.append(bc)
 
-        combine = _make_combiner()
+        kernel = _make_csc_kernel()
 
         def gather_scatter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-            v = bc.value
-            for batch in batches:
-                src = batch.column("src").to_numpy(zero_copy_only=False)
-                dst = batch.column("dst").to_numpy(zero_copy_only=False)
-                if len(src) == 0:
-                    continue
-                if src.min() < 0:
-                    raise ValueError(
-                        "negative src vertex id in broadcast SpMV gather"
-                    )
-                yield combine(dst, v[src])
+            yield from kernel(batches, bc.value)
 
-        partials = graph.edges.mapInArrow(
+        # CSC view: (src=destination, dst=origin), hash(destination, P),
+        # sorted — the persisted CSR-block layout this kernel assumes.
+        partials = graph.reversed_edges.mapInArrow(
             gather_scatter, schema="dst long, partial double"
         )
     elif mode == "join":
@@ -164,20 +251,15 @@ def spmv_contrib_sums(
             "src",
         ).select("dst", "contrib")
 
-        combine = _make_combiner()
-
-        def scatter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-            for batch in batches:
-                dst = batch.column("dst").to_numpy(zero_copy_only=False)
-                c = batch.column("contrib").to_numpy(zero_copy_only=False)
-                if len(dst) == 0:
-                    continue
-                yield combine(dst, c)
-
+        scatter = _make_combiner()
         partials = gathered.mapInArrow(scatter, schema="dst long, partial double")
     else:
         raise ValueError(f"unknown spmv mode: {mode!r}")
 
+    # The final reduce: ≤ one row per (destination, task) enters this
+    # shuffle, and its output HashPartitioning(dst, P) is exactly the
+    # distribution the caller's state-merge join needs — one |V|-row
+    # exchange per superstep, total.
     return (
         partials.groupBy("dst")
         .agg(F.sum("partial").alias("msum"))
