@@ -41,10 +41,18 @@ Two physical modes, chosen by |V| (both end in the same shuffle-reduce):
   partials, re-combined once at partition end) before the shuffle.
 
 The map-side combine is the skew treatment here: a hub destination
-appears at most once **per task partition** in the UDF output (≤ P rows
-globally) instead of once per in-edge (10^8 rows), so the final
+appears at most once **per flush** in the UDF output (one flush per
+task in the common case, so ≈ P rows globally; a task whose distinct
+destinations exceed ``_FLUSH_ROWS`` emits one extra row per flush)
+instead of once per in-edge (10^8 rows), so the final
 ``groupBy(dst).sum()`` is uniform — a stronger guarantee than salting and
 the same two-phase structure (partial by (dst, partition) → final by dst).
+
+Costs the modes do NOT share: broadcast mode's first call triggers the
+one-time build + MEMORY_AND_DISK persist of ``Graph.reversed_edges``
+(one |E| exchange + sort, a second cached copy of the edge set — shared
+with HITS' hub gather); join mode reuses the primary ``Graph.edges``
+cache.  "Zero shuffle" above is per-superstep, after that view exists.
 """
 
 from __future__ import annotations
@@ -68,11 +76,14 @@ from linkgraph.graph import Graph
 BROADCAST_MAX_VERTICES = 2_000_000
 
 # Flush accumulated partials once this many combined rows are buffered
-# in a single task: bounds Python-side memory to ~2×16 MB per task while
-# keeping one combine per partition in the common case (a 128 MB parquet
-# split is ~8M edges but far fewer distinct destinations).  Flushing
-# early is correctness-neutral — the downstream groupBy re-merges.
-_FLUSH_ROWS = 8_000_000
+# in a single task.  Sizing: 16 B/row buffered (int64 dst + float64
+# partial) = 32 MB at the threshold, peaking ~3× that transiently in
+# the flush merge (concatenate + unique/reduceat scratch) ≈ 100 MB per
+# task — size spark.executor.pyspark.memory for cores × that.  One
+# combine per partition in the common case (a 128 MB parquet split is
+# ~8M edges but far fewer distinct destinations).  Flushing early is
+# correctness-neutral — the downstream groupBy re-merges.
+_FLUSH_ROWS = 2_000_000
 
 # Stale-broadcast registry: the superstep contract materializes each
 # call's result before the next call, so the previous vector can be
@@ -101,55 +112,72 @@ def _out_batch(dst: np.ndarray, partial: np.ndarray) -> pa.RecordBatch:
     )
 
 
-def _make_csc_kernel(flush_rows: int = _FLUSH_ROWS):
-    """CSR-block segmented-sum kernel over destination-sorted partitions.
+def _make_buffered_flusher(merge, flush_rows: int):
+    """Shared buffer/flush/final-merge skeleton for both map-side kernels.
 
-    Factory returning LOCAL functions so cloudpickle ships them by value
-    inside the UDF closure — the library then works on executors that
-    don't have ``linkgraph`` on their PYTHONPATH (plain ``python
-    script.py`` without ``--py-files``).
+    ``merge(us, ps) -> RecordBatch`` re-combines the buffered per-batch
+    partial arrays.  Returns a LOCAL driver function so cloudpickle ships
+    it by value inside the UDF closure — the library then works on
+    executors that don't have ``linkgraph`` on their PYTHONPATH (plain
+    ``python script.py`` without ``--py-files``); ``merge`` must itself
+    be factory-local for the same reason.
     """
 
-    def kernel(
-        batches: Iterator[pa.RecordBatch], vec: np.ndarray
-    ) -> Iterator[pa.RecordBatch]:
-        # Per-batch: row_offsets from the sorted destination run
-        # boundaries, gather by fancy index, segmented sum by reduceat.
-        # Batch partials are buffered and merged ONCE at partition end
-        # (a destination run can span batch boundaries; the buffered
-        # uniques stay globally sorted, so the merge is another
-        # diff+reduceat, not a sort).
+    def drive(pairs: Iterator[tuple]) -> Iterator[pa.RecordBatch]:
         us: list[np.ndarray] = []
         ps: list[np.ndarray] = []
         buffered = 0
-        for batch in batches:
-            dest = batch.column("src").to_numpy(zero_copy_only=False)
-            orig = batch.column("dst").to_numpy(zero_copy_only=False)
-            if len(dest) == 0:
-                continue
-            if orig.min() < 0:
-                raise ValueError(
-                    "negative vertex id in broadcast SpMV gather"
-                )
-            row_offsets = np.concatenate(
-                ([0], np.flatnonzero(np.diff(dest)) + 1)
-            )
-            us.append(dest[row_offsets])
-            ps.append(np.add.reduceat(vec[orig], row_offsets))
-            buffered += len(row_offsets)
+        for u, p in pairs:
+            us.append(u)
+            ps.append(p)
+            buffered += len(u)
             if buffered >= flush_rows:
-                u, p = _merge_sorted_runs(us, ps)
+                yield merge(us, ps)
                 us, ps, buffered = [], [], 0
-                yield _out_batch(u, p)
         if us:
-            u, p = _merge_sorted_runs(us, ps)
-            yield _out_batch(u, p)
+            yield merge(us, ps)
+
+    return drive
+
+
+def _make_csc_kernel(flush_rows: int = _FLUSH_ROWS):
+    """CSR-block segmented-sum kernel over destination-sorted partitions.
+
+    Per batch: row_offsets from the sorted destination run boundaries,
+    gather by fancy index, segmented sum by reduceat.  Batch partials
+    are buffered and merged once per partition / flush (a destination
+    run can span batch boundaries; the buffered uniques stay globally
+    sorted, so the merge is another diff+reduceat, not a sort).
+    Factory-local for cloudpickle-by-value (:func:`_make_buffered_flusher`).
+    """
 
     def _merge_sorted_runs(us, ps):
         u = np.concatenate(us)
         p = np.concatenate(ps)
         starts = np.concatenate(([0], np.flatnonzero(np.diff(u)) + 1))
-        return u[starts], np.add.reduceat(p, starts)
+        return _out_batch(u[starts], np.add.reduceat(p, starts))
+
+    drive = _make_buffered_flusher(_merge_sorted_runs, flush_rows)
+
+    def kernel(
+        batches: Iterator[pa.RecordBatch], vec: np.ndarray
+    ) -> Iterator[pa.RecordBatch]:
+        def pairs():
+            for batch in batches:
+                dest = batch.column("src").to_numpy(zero_copy_only=False)
+                orig = batch.column("dst").to_numpy(zero_copy_only=False)
+                if len(dest) == 0:
+                    continue
+                if orig.min() < 0:
+                    raise ValueError(
+                        "negative vertex id in broadcast SpMV gather"
+                    )
+                row_offsets = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(dest)) + 1)
+                )
+                yield dest[row_offsets], np.add.reduceat(vec[orig], row_offsets)
+
+        yield from drive(pairs())
 
     return kernel
 
@@ -158,35 +186,30 @@ def _make_combiner(flush_rows: int = _FLUSH_ROWS):
     """Map-side combine for UNSORTED (dst, val) batches (join-mode scatter).
 
     Per batch: ``np.unique`` + ``bincount`` partials; buffered and
-    re-combined once per partition so a destination leaves the task at
-    most once (instead of once per batch).  Factory-local for the same
-    cloudpickle-by-value reason as :func:`_make_csc_kernel`.
+    re-combined once per partition / flush so a destination leaves the
+    task once per flush (instead of once per batch).  Factory-local for
+    cloudpickle-by-value (:func:`_make_buffered_flusher`).
     """
-
-    def scatter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        us: list[np.ndarray] = []
-        ps: list[np.ndarray] = []
-        buffered = 0
-        for batch in batches:
-            dst = batch.column("dst").to_numpy(zero_copy_only=False)
-            vals = batch.column("contrib").to_numpy(zero_copy_only=False)
-            if len(dst) == 0:
-                continue
-            uniq, inv = np.unique(dst, return_inverse=True)
-            us.append(uniq)
-            ps.append(np.bincount(inv, weights=vals, minlength=len(uniq)))
-            buffered += len(uniq)
-            if buffered >= flush_rows:
-                yield _combine(us, ps)
-                us, ps, buffered = [], [], 0
-        if us:
-            yield _combine(us, ps)
 
     def _combine(us, ps):
         u = np.concatenate(us)
         p = np.concatenate(ps)
         uniq, inv = np.unique(u, return_inverse=True)
         return _out_batch(uniq, np.bincount(inv, weights=p, minlength=len(uniq)))
+
+    drive = _make_buffered_flusher(_combine, flush_rows)
+
+    def scatter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        def pairs():
+            for batch in batches:
+                dst = batch.column("dst").to_numpy(zero_copy_only=False)
+                vals = batch.column("contrib").to_numpy(zero_copy_only=False)
+                if len(dst) == 0:
+                    continue
+                uniq, inv = np.unique(dst, return_inverse=True)
+                yield uniq, np.bincount(inv, weights=vals, minlength=len(uniq))
+
+        yield from drive(pairs())
 
     return scatter
 
@@ -198,7 +221,14 @@ def spmv_contrib_sums(
 ) -> DataFrame:
     """Σ_{u→v} contrib(u) per destination v → ``(vid, msum)``.
 
-    ``contrib`` is ``(vid, contrib)`` for non-dangling vertices.
+    ``contrib`` is ``(vid, contrib)`` and MUST cover every non-dangling
+    vertex (every edge origin).  With partial coverage the modes diverge
+    on the output key set — broadcast (dense vector, missing = 0.0)
+    emits ``(v, 0.0)`` for a destination all of whose in-origins are
+    missing, join (inner gather) omits ``v`` entirely.  Callers
+    left-join + ``coalesce(msum, 0)`` (the PageRank round does), so both
+    conventions read back identically; direct callers inner-joining the
+    result must honor the coverage precondition.
     """
     if mode == "auto":
         # gate on max_vid, not num_vertices: the dense vector is sized

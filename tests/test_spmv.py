@@ -49,3 +49,61 @@ def test_spmv_modes_agree(spark, crawl_graph):
 def test_spmv_star_hub(spark):
     g = Graph.from_edges(edges_df(spark, MICRO_GRAPHS["star_hub"]), num_partitions=4)
     _pr_allclose(spark, MICRO_GRAPHS["star_hub"], g)
+
+
+def test_kernels_flush_boundaries_differential():
+    """Spark-free differential sweep of both map-side kernels.
+
+    Random batch splits (including empty batches), flush thresholds down
+    to 1 row, destination runs spanning batch AND flush boundaries — the
+    merged output must equal brute-force sums after a final re-merge
+    (the downstream groupBy's role)."""
+    import pyarrow as pa
+
+    from linkgraph.csr import _make_combiner, _make_csc_kernel
+
+    rng = np.random.default_rng(42)
+    for trial in range(30):
+        n = int(rng.integers(0, 400))
+        dst = np.sort(rng.integers(0, 25, size=n))  # sorted: CSC layout
+        orig = rng.integers(0, 50, size=n)
+        vec = rng.uniform(0.1, 2.0, size=50)
+        vals = vec[orig]
+        want: dict[int, float] = {}
+        for d, v in zip(dst, vals):
+            want[int(d)] = want.get(int(d), 0.0) + float(v)
+
+        # random batch split with occasional empty batches
+        cuts = np.sort(rng.integers(0, n + 1, size=int(rng.integers(0, 6))))
+        bounds = [0, *cuts.tolist(), n]
+
+        def batches(xcol, xname, xtype, ycol, yname, ytype):
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(xcol[lo:hi], type=xtype),
+                        pa.array(ycol[lo:hi], type=ytype),
+                    ],
+                    names=[xname, yname],
+                )
+
+        flush = int(rng.choice([1, 2, 7, 10_000]))
+        for got_batches in (
+            # CSC kernel reads (src=destination, dst=origin) + broadcast vec
+            _make_csc_kernel(flush)(
+                batches(dst, "src", pa.int64(), orig, "dst", pa.int64()), vec
+            ),
+            # join-mode combiner reads unsorted (dst, contrib)
+            _make_combiner(flush)(
+                batches(dst, "dst", pa.int64(), vals, "contrib", pa.float64())
+            ),
+        ):
+            got: dict[int, float] = {}
+            for b in got_batches:
+                for d, v in zip(
+                    b.column("dst").to_numpy(), b.column("partial").to_numpy()
+                ):
+                    got[int(d)] = got.get(int(d), 0.0) + float(v)
+            assert set(got) == set(want), (trial, flush)
+            for k in want:
+                assert abs(got[k] - want[k]) < 1e-9, (trial, flush, k)
