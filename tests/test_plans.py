@@ -262,3 +262,45 @@ def test_hits_reversed_view_gather_is_exchange_free(spark, plan_graph):
         assert len(re.findall(r"\bExchange\b", live)) == 0, live
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_spmv_join_mode_plan_single_live_shuffle(spark, plan_graph):
+    """SpMV join mode: exchange-free gather into the Arrow combine stage,
+    then exactly ONE live shuffle (the final reduce by destination)."""
+    g = plan_graph
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        from linkgraph.csr import spmv_contrib_sums
+
+        state = _state_leaf(spark, g, g.num_partitions)
+        contrib = state.select("vid", F.col("rank").alias("contrib"))
+        sums = spmv_contrib_sums(g, contrib, mode="join")
+        live = assert_superstep_plan(sums, max_exchanges=1)
+        # the Python stage is the Arrow map (per-partition scatter-combine)
+        assert "MapInArrow" in live, live
+        # gather streams from the persisted edge cache, no re-sort of it
+        assert "InMemoryTableScan" in live, live
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_spmv_broadcast_mode_plan_no_join_no_edge_shuffle(spark, plan_graph):
+    """SpMV broadcast mode: the CSC-block kernel streams the persisted
+    destination-sorted view with NO join at all — the only live shuffle
+    is the final ≤|V|-row reduce."""
+    g = plan_graph
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        from linkgraph.csr import spmv_contrib_sums
+
+        state = _state_leaf(spark, g, g.num_partitions)
+        contrib = state.select("vid", F.col("rank").alias("contrib"))
+        sums = spmv_contrib_sums(g, contrib, mode="broadcast")
+        live = assert_superstep_plan(sums, max_exchanges=1)
+        assert "MapInArrow" in live, live
+        assert "Join" not in live, live  # no gather join of any kind
+        assert "InMemoryTableScan" in live, live  # reversed_edges cache
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
