@@ -34,14 +34,18 @@ def _load(spark, path: str):
     # A catalog table name (`db.pages`, `catalog.db.pages`) is dotted but
     # never contains a path separator; anything with a "/" or a scheme is
     # a filesystem path even when it contains dots (e.g. a dated directory
-    # like /data/crawl-2024.06/edges).
-    if (
-        "://" not in path
-        and "/" not in path
-        and not path.endswith(".parquet")
-        and "." in path
-    ):
-        return spark.read.table(path)  # Iceberg/catalog table name
+    # like /data/crawl-2024.06/edges).  A SINGLE-part name (`pages`, the
+    # current database's table) is ambiguous with a relative dir — resolve
+    # it through the catalog first so configured tables win.
+    if "://" not in path and "/" not in path and not path.endswith(".parquet"):
+        if "." in path:
+            return spark.read.table(path)  # Iceberg/catalog table name
+        try:
+            is_table = spark.catalog.tableExists(path)
+        except Exception:
+            is_table = False
+        if is_table:
+            return spark.read.table(path)
     return spark.read.parquet(path)
 
 
@@ -120,14 +124,20 @@ def main(argv: list[str] | None = None) -> int:
             # path — that is a valid empty ingest, not an error
             log = None
             stats["link_log_rows"] = 0
-        if args.compact and log is not None:
-            pairs = compact_link_log(log)
-            pairs.write.mode("overwrite").parquet(f"{args.out}/pairs.parquet")
+        if args.compact:
+            # an empty drain still (re)writes pairs.parquet — the output
+            # contract downstream readers rely on, and latest-wins
+            # semantics: no log rows means no surviving pairs, so a stale
+            # pairs.parquet from an earlier run must not outlive this one
+            src = log if log is not None else spark.createDataFrame(
+                [], LINK_LOG_SCHEMA
+            )
+            compact_link_log(src).write.mode("overwrite").parquet(
+                f"{args.out}/pairs.parquet"
+            )
             stats["compacted_pairs"] = spark.read.parquet(
                 f"{args.out}/pairs.parquet"
             ).count()
-        elif args.compact:
-            stats["compacted_pairs"] = 0
         print(json.dumps(stats))
         return 0
 
@@ -138,7 +148,11 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.extract import pages_to_edge_urls
 
         pages = _load(spark, args.pages)
-        pairs = pages_to_edge_urls(pages)
+        # persist: the extraction chain (latest-snapshot window + Arrow
+        # parse + explode + distinct) is the dominant front-end cost and
+        # feeds BOTH the url dictionary and the edge builder — without
+        # the pin it executes twice
+        pairs = pages_to_edge_urls(pages).persist()
         urls = pairs.selectExpr("src_url as url").unionAll(
             pairs.selectExpr("dst_url as url")
         )
@@ -146,6 +160,7 @@ def main(argv: list[str] | None = None) -> int:
         verts.write.mode("overwrite").parquet(f"{args.out}/vertices.parquet")
         edges = edges_from_url_pairs(pairs, verts)
         edges.write.mode("overwrite").parquet(f"{args.out}/edges.parquet")
+        pairs.unpersist()
         g = Graph.from_edges(
             spark.read.parquet(f"{args.out}/edges.parquet"),
             num_partitions=args.partitions,
@@ -171,6 +186,39 @@ def main(argv: list[str] | None = None) -> int:
 
     if not args.edges:
         ap.error(f"{args.command} requires --edges")
+    if args.command == "mst":
+        # MST runs on the raw (possibly multigraph) edge rows, not a
+        # deduped Graph — skip the Graph build (an |E| repartition +
+        # dropDuplicates it would never use) and report the stats of the
+        # edge set the algorithm actually consumed
+        from pyspark.sql import functions as F
+
+        from linkgraph.algorithms.mst import minimum_spanning_forest
+
+        e = _load(spark, args.edges)
+        if args.weight_col is None:
+            e = e.withColumn(
+                "weight",
+                (F.col("src") * 1000000 + F.col("dst")).cast("double"),
+            )
+            wcol = "weight"
+        else:
+            wcol = args.weight_col
+        t0 = time.perf_counter()
+        forest = minimum_spanning_forest(e, weight_col=wcol)
+        forest.write.mode("overwrite").parquet(args.out)
+        n_vert = (
+            e.select(F.col("src").alias("vid"))
+            .unionAll(e.select(F.col("dst").alias("vid")))
+            .distinct()
+            .count()
+        )
+        print(json.dumps({
+            "command": "mst", "vertices": n_vert, "edges": e.count(),
+            "iterations": 1, "converged": True,
+            "wall_s": round(time.perf_counter() - t0, 2),
+        }))
+        return 0
     g = Graph.from_edges(_load(spark, args.edges), num_partitions=args.partitions)
     t0 = time.perf_counter()
     if args.command == "pagerank":
@@ -221,17 +269,6 @@ def main(argv: list[str] | None = None) -> int:
 
         res = jpl_coloring(g, max_iters=args.max_iters)
         out_df, iters, conv = res.state, res.iterations, res.converged
-    elif args.command == "mst":
-        from linkgraph.algorithms.mst import minimum_spanning_forest
-        from pyspark.sql import functions as F
-
-        e = _load(spark, args.edges)
-        if args.weight_col is None:
-            e = e.withColumn("weight", (F.col("src") * 1000000 + F.col("dst")).cast("double"))
-            wcol = "weight"
-        else:
-            wcol = args.weight_col
-        out_df, iters, conv = minimum_spanning_forest(e, weight_col=wcol), 1, True
     elif args.command == "bc":
         from linkgraph.algorithms.bc import betweenness_centrality
 

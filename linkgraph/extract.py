@@ -38,8 +38,14 @@ _COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
 # backreference pins the closing quote to the opening one: an url
 # containing the OTHER quote character (e.g. .../o'brien) must not be
 # silently truncated at it — a truncated dst_url fails the dictionary
-# join and the edge vanishes from the graph
-_HREF_RE = re.compile(rb"""<a\b[^>]*?\bhref\s*=\s*(["'])([^<>]*?)\1""", re.I)
+# join and the edge vanishes from the graph.  The second alternative
+# accepts the (valid, common) UNQUOTED form `href=/path` — value runs to
+# the first whitespace or '>' per the HTML spec; quoted matching is
+# attempted first so quoted pages parse exactly as before.
+_HREF_RE = re.compile(
+    rb"""<a\b[^>]*?\bhref\s*=\s*(?:(["'])([^<>]*?)\1|([^\s>"'][^\s>]*))""",
+    re.I,
+)
 _TAG_RE = re.compile(rb"<[^>]+>")
 _BLOCK_TAG_RE = re.compile(
     rb"</?(p|div|br|li|ul|ol|h[1-6]|tr|table|title|head|body|html)\b[^>]*>", re.I
@@ -73,7 +79,9 @@ def extract_links(html: bytes) -> list[str]:
     if html is None:
         return []
     return [
-        m.group(2).decode("utf-8", errors="replace")
+        (m.group(2) if m.group(2) is not None else m.group(3)).decode(
+            "utf-8", errors="replace"
+        )
         for m in _HREF_RE.finditer(html)
     ]
 

@@ -46,8 +46,12 @@ def read_mtx(spark: SparkSession, path: str) -> DataFrame:
     header_mid = lines.agg(F.min("_mid")).collect()[0][0]
     lines = lines.where(F.col("_mid") != header_mid)
     parts = F.split(F.trim("value"), r"\s+")
+    # >= not ==: 'complex' matrices carry a 4th (imaginary) token per
+    # line; like the driver-side parser we read the leading tokens and
+    # ignore the rest, so both paths return the same edges instead of
+    # this one silently filtering every data line to an empty result.
     n_data_tokens = 3 if has_values else 2
-    lines = lines.where(F.size(parts) == n_data_tokens)
+    lines = lines.where(F.size(parts) >= n_data_tokens)
     edges = lines.select(
         (parts.getItem(0).cast("long") - 1).alias("src"),
         (parts.getItem(1).cast("long") - 1).alias("dst"),
@@ -58,14 +62,23 @@ def read_mtx(spark: SparkSession, path: str) -> DataFrame:
         ),
     )
     if symmetric:
-        cols = edges.columns
-        swapped = edges.select(
-            F.col("dst").alias("src"),
-            F.col("src").alias("dst"),
-            *[c for c in cols if c not in ("src", "dst")],
-        )
-        edges = edges.unionAll(swapped)
+        edges = _symmetrize(edges)
     return edges
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Union with the swapped copy, WITHOUT re-emitting the diagonal —
+    symmetric MatrixMarket storage lists (i,i) once and it must stay
+    a single COO entry (a duplicated diagonal double-counts in SpMV /
+    weighted use; ``Graph.from_edges`` only masks it because self-loop
+    dropping defaults on)."""
+    cols = edges.columns
+    swapped = edges.where(F.col("src") != F.col("dst")).select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        *[c for c in cols if c not in ("src", "dst")],
+    )
+    return edges.unionAll(swapped)
 
 
 def read_mtx_local(spark: SparkSession, path: str) -> DataFrame:
@@ -93,11 +106,5 @@ def read_mtx_local(spark: SparkSession, path: str) -> DataFrame:
     )
     df = spark.createDataFrame(rows, schema)
     if symmetric:
-        cols = df.columns
-        swapped = df.select(
-            F.col("dst").alias("src"),
-            F.col("src").alias("dst"),
-            *[c for c in cols if c not in ("src", "dst")],
-        )
-        df = df.unionAll(swapped)
+        df = _symmetrize(df)
     return df

@@ -980,8 +980,12 @@ _MARKER_VALUES = ", ".join(
 LANGID_SQL = f"""
 WITH markers AS (SELECT lang, word FROM (VALUES {_MARKER_VALUES}) AS m(lang, word)),
 toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
-  FROM documents
+  -- CJK-bearing tokens excluded: their hits come from the cjk stream
+  -- only (twin of the engine's no-double-count rule)
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE NOT regexp_matches(word, '[一-鿿]')
 ),
 -- twin of the engine's per-character CJK stream (zh markers are single
 -- characters that whitespace tokenization can't isolate)
@@ -1461,7 +1465,10 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     dim = _embedding_dim(emb)
-    return lsh_cosine_topk(emb, queries, dim=dim, k=10, planes="arith").select(
+    # seed=0 pins the un-offset plane formula LSH_ANN_SQL replays
+    return lsh_cosine_topk(
+        emb, queries, dim=dim, k=10, planes="arith", seed=0
+    ).select(
         "query_id",
         "vec_id",
         F.round("cosine", 6).alias("cosine6"),
@@ -1519,8 +1526,9 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb2 = _emb2(spark, sf_dir)
     dim = _embedding_dim(emb2)
+    # seed=0 pins the un-offset plane formula NEARDUP_LSH_SQL replays
     return embedding_near_duplicates(
-        emb2, dim=dim, threshold=0.45, planes="arith"
+        emb2, dim=dim, threshold=0.45, planes="arith", seed=0
     ).select("a", "b", F.round("cosine", 5).alias("cosine5"))
 
 

@@ -162,6 +162,7 @@ def lsh_bucket_ids_portable(
     bits_per_table: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 0,
 ) -> DataFrame:
     """``(vec_id, table, bucket)`` like :func:`lsh_bucket_ids`, but with
     arithmetic Rademacher (±1) planes and a SEQUENTIAL left-fold dot
@@ -176,6 +177,12 @@ def lsh_bucket_ids_portable(
     buckets can never diverge (the DuckDB-oracle path for the lsh_ann /
     embed_neardup_lsh catalog entries).  The seeded-Gaussian Arrow path
     (:func:`lsh_bucket_ids`) remains the default for production use.
+
+    ``seed`` offsets the plane index (plane ``j`` uses hash row
+    ``j + seed``), so different seeds select disjoint-by-construction
+    plane families — independent tables for recall sweeps.  A SQL twin
+    must apply the same offset (``seed=0`` reproduces the un-offset
+    formula the catalog oracles use).
     """
     v = F.col(vec_col).cast("array<double>")
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
@@ -183,7 +190,7 @@ def lsh_bucket_ids_portable(
     def dot_j(j: int):
         def signed(x, i):
             h = (
-                (F.lit(j) * F.lit(ARITH_PLANE_A) + i.cast("long"))
+                (F.lit(j + seed) * F.lit(ARITH_PLANE_A) + i.cast("long"))
                 * F.lit(ARITH_PLANE_K)
             ) % F.lit(1 << 32)
             return F.when(h < F.lit(1 << 31), x).otherwise(-x)
@@ -218,7 +225,7 @@ def lsh_bucket_ids_portable(
 def _bucket_fn(planes: str):
     if planes == "arith":
         return lambda df, dim, nt, bpt, seed, idc, vc: lsh_bucket_ids_portable(
-            df, dim, nt, bpt, idc, vc
+            df, dim, nt, bpt, idc, vc, seed=seed
         )
     if planes != "gaussian":
         raise ValueError(f"unknown planes mode {planes!r}")

@@ -48,8 +48,11 @@ def word_shingles(
     The previous explode + (n−1) positional self-joins shuffled the full
     token set n−1 times just to align adjacent positions; on the dedup
     hot path at corpus scale those exchanges dominated everything else.
-    Docs with fewer than n tokens produce no shingles (sequence start >
-    stop yields an empty window list), matching the join formulation.
+    Docs with fewer than n tokens produce no shingles — enforced by the
+    ``size(_toks) >= n`` guard, which is LOAD-BEARING: Spark's
+    ``sequence(1, 0)`` yields the DESCENDING list ``[1, 0]`` (not an
+    empty list), so without the guard short docs would hit ``slice``
+    with start 0 (error) or emit truncated windows.
     """
     toks = _norm_tokens(F.col(text_col))
     windows = F.expr(

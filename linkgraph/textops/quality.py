@@ -111,11 +111,15 @@ def language_id(
         [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws],
         "lang string, word string",
     )
+    # CJK-bearing tokens are excluded from the word stream: their marker
+    # hits come from the per-character stream below, and counting a
+    # standalone marker character as BOTH a whitespace token and a
+    # character would double-weight zh against every other language
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word"),
-    )
-    # zh has no whitespace tokens; also match per-character for CJK markers
+    ).where(~F.col("word").rlike("[一-鿿]"))
+    # zh has no whitespace tokens; match per-character for CJK markers
     chars = df.select(
         F.col(id_col),
         F.explode(
