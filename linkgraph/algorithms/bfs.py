@@ -10,10 +10,43 @@ The frontier starts tiny (one vertex) — exactly the case where Catalyst's
 broadcast-join fast path mirrors the reference's small-frontier
 ``thread_mapped`` advance.  The visited check is a **left_anti** join
 (SURVEY.md §2.5 joins row).
+
+Direction-optimized traversal (reference: advance direction
+``optimized`` + bfs.hxx push/pull switch [ref:
+include/gunrock/algorithms/bfs.hxx — UNVERIFIED]; SURVEY.md §4.5):
+``direction="optimized"`` switches per round between
+
+- **push** (forward): expand the frontier's out-edges — cost ∝
+  out-edges of the frontier; wins while the frontier is small;
+- **pull** (backward): for each UNVISITED vertex, keep it if any
+  in-neighbor is in the frontier — cost ∝ in-edges of the unvisited
+  set; wins in the dense middle rounds of low-diameter web graphs,
+  where the frontier covers most of the graph but the unvisited
+  remainder is already small.
+
+The pull gather runs over the persisted reversed (CSC-layout) view:
+the unvisited-side semi-join streams on the hash(src) edge layout
+(no |E| exchange there), then its OUTPUT — the in-edges of the
+unvisited set — is re-keyed by dst for the frontier semi-join, a
+shuffle whose volume is that candidate edge count (small exactly when
+pull is the right mode).  The per-round choice is a Beamer-style count
+heuristic: pull iff ``|frontier| ≥ pull_ratio · |unvisited|`` AND
+``|frontier| ≥ |V| / beta`` — the second condition is the classic
+switch-back-to-push guard: a tiny tail frontier must not pay pull's
+per-round |V|+|E|-scan floor to discover a handful of vertices
+(loop counts are already on the driver; only ``num_vertices`` costs
+one up-front count job, cached on the Graph).  The visited set and
+depth labels are IDENTICAL in every mode (both compute "has an edge
+from the depth-d frontier"); the differential test pins push vs
+optimized vs pull equality on the synthetic crawl.  Measured on the
+10^7-edge undirected crawl (local[8], interleaved reps): optimized
+25.3/22.3 s vs push-only 41.7/29.5 s to full traversal, pull firing
+in the 4 dense middle rounds — BENCH/NOTES.md.
 """
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import Graph
@@ -22,20 +55,62 @@ from linkgraph.operators.uniquify import uniquify
 from linkgraph.superstep import IterationResult, plain_checkpoint
 
 
+def pull_round(graph: Graph, rev: DataFrame, state: DataFrame, frontier: DataFrame) -> DataFrame:
+    """One backward (pull) BFS round: the unvisited vertices with an
+    in-neighbor in the frontier.
+
+    Returns one row per (unvisited vertex, frontier in-neighbor) edge —
+    the caller uniquifies, same frontier-dedup contract as the push path.
+
+    Extracted as the production round body so the plan test drives the
+    real closure (a replica would drift): both semi-joins carry merge
+    hints — the frontier/unvisited sides are |V|-scale in the pull
+    regime and must never become driver-built broadcasts.
+    """
+    unvisited = graph.vertices.join(state.hint("merge"), "vid", "left_anti")
+    cand = rev.join(
+        unvisited.select(F.col("vid").alias("src")).hint("merge"),
+        "src",
+        "left_semi",
+    )
+    return (
+        cand.join(
+            frontier.select(F.col("vid").alias("dst")).hint("merge"),
+            "dst",
+            "left_semi",
+        )
+        .select(F.col("src").alias("vid"))
+    )
+
+
 def bfs(
     graph: Graph,
     source: int,
     directed: bool = True,
     max_iters: int = 10_000,
+    direction: str = "forward",
+    pull_ratio: float = 1.0,
+    beta: float = 24.0,
 ) -> IterationResult:
     """Depth of every reachable vertex from ``source``: ``(vid, depth)``.
+
+    ``direction``: ``"forward"`` (push-only — the default), ``"pull"``
+    (backward-only, mainly for testing), or ``"optimized"`` (per-round
+    push/pull switch).  All three produce identical output.
 
     ``converged`` is True only when the frontier emptied; a loop cut off
     by ``max_iters`` returns ``converged=False`` (deeper vertices are
     missing from the state).
     """
+    if direction not in ("forward", "pull", "optimized"):
+        raise ValueError(f"unknown direction {direction!r}")
     spark = graph.spark
     edges = graph.edges if directed else graph.symmetrized_edges
+    # in-edges of v, keyed by v: the reversed (CSC) view for directed
+    # graphs; the symmetrized view IS its own reverse (in-neighbors ==
+    # out-neighbors), already hash(src)-laid-out
+    rev = graph.reversed_edges if directed else graph.symmetrized_edges
+    n_vertices = graph.num_vertices if direction == "optimized" else None
     # Eager checkpoint leaf per superstep: the new state's plan contains
     # the old state three times (union + anti-join + frontier filter), so
     # without lineage truncation the plan grows 3^k — and the anti-join
@@ -48,11 +123,26 @@ def bfs(
     history = []
     depth = 0
     size = 1
+    frontier_size = 1
     done = False
     while depth < max_iters:
-        nxt = uniquify(
-            advance(frontier, edges).select(F.col("dst").alias("vid"))
-        ).join(state, "vid", "left_anti")
+        if direction == "forward":
+            pull = False
+        elif direction == "pull":
+            pull = True
+        else:
+            unvisited_est = n_vertices - size
+            pull = (
+                unvisited_est > 0
+                and frontier_size >= pull_ratio * unvisited_est
+                and frontier_size * beta >= n_vertices
+            )
+        if pull:
+            nxt = uniquify(pull_round(graph, rev, state, frontier))
+        else:
+            nxt = uniquify(
+                advance(frontier, edges).select(F.col("dst").alias("vid"))
+            ).join(state, "vid", "left_anti")
         depth += 1
         new_state = plain_checkpoint(
             state.unionAll(
@@ -62,8 +152,14 @@ def bfs(
         )
         new_size = new_state.count()
         grew = new_size - size
-        history.append({"iter": depth, "new_vertices": grew})
-        state, size = new_state, new_size
+        history.append(
+            {
+                "iter": depth,
+                "new_vertices": grew,
+                "mode": "pull" if pull else "push",
+            }
+        )
+        state, size, frontier_size = new_state, new_size, grew
         if grew == 0:
             done = True
             break

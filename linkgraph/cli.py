@@ -66,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="geo: parquet/table (vid, lat, lon); default = "
                          "deterministic seeds on every 10th vid")
     ap.add_argument("--source", type=int, default=0, help="bfs/sssp/bc source vid")
+    ap.add_argument("--direction", default="optimized",
+                    choices=["forward", "pull", "optimized"],
+                    help="bfs traversal: push-only, pull-only, or the "
+                         "per-round push/pull switch (CLI default; the "
+                         "library bfs() defaults to forward — identical "
+                         "output either way)")
     ap.add_argument("--seeds", default="0", help="ppr comma-separated seed vids")
     ap.add_argument("--k", type=int, default=3, help="kcore k")
     ap.add_argument("--weight-col", default=None, help="mst/sssp weight column")
@@ -251,7 +257,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.command == "bfs":
         from linkgraph.algorithms.bfs import bfs
 
-        res = bfs(g, args.source, max_iters=args.max_iters)
+        res = bfs(g, args.source, max_iters=args.max_iters,
+                  direction=args.direction)
         out_df, iters, conv = res.state, res.iterations, res.converged
     elif args.command == "sssp":
         from linkgraph.algorithms.sssp import sssp

@@ -1120,6 +1120,21 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs(g, 0).state.select("vid", F.col("depth").cast("long").alias("depth"))
 
 
+def q_bfs_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direction-optimized BFS (per-round Beamer push/pull switch over
+    the reversed/CSC view — SURVEY.md §4.5).  Output is mode-independent
+    by construction, so it shares BFS_SQL with ``bfs_depths`` — the
+    driver's value-hash gate then pins the PULL code path, not just the
+    push path, to the oracle.  pull_ratio/beta are set so the small
+    sf-dir graph actually exercises pull rounds."""
+    from linkgraph.algorithms.bfs import bfs
+
+    g = build_graph(spark, sf_dir)
+    return bfs(
+        g, 0, direction="optimized", pull_ratio=0.1, beta=1000.0
+    ).state.select("vid", F.col("depth").cast("long").alias("depth"))
+
+
 def q_sssp7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted SSSP from vertex 0, 7 relaxation rounds (reference A6).
 
@@ -1604,6 +1619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "connected_components": q_cc,
     "labelprop3": q_labelprop3,
     "bfs_depths": q_bfs,
+    "bfs_optimized": q_bfs_optimized,
     "sssp7": q_sssp7,
     "triangle_total": q_triangle_total,
     "triangle_per_vertex": q_triangle_per_vertex,
@@ -1646,6 +1662,7 @@ ORACLES: dict[str, str] = {
     "connected_components": CC_SQL,
     "labelprop3": _labelprop_unrolled_sql(3),
     "bfs_depths": BFS_SQL,
+    "bfs_optimized": BFS_SQL,
     "sssp7": _sssp_unrolled_sql(7),
     "triangle_total": TRI_TOTAL_SQL,
     "triangle_per_vertex": TRI_PER_VERTEX_SQL,

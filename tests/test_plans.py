@@ -304,3 +304,39 @@ def test_spmv_broadcast_mode_plan_no_join_no_edge_shuffle(spark, plan_graph):
         assert "InMemoryTableScan" in live, live  # reversed_edges cache
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_bfs_pull_round_streams_both_vertex_sides(spark, plan_graph):
+    """Direction-optimized BFS pull round: the frontier and unvisited
+    sides are |V|-scale in the pull regime — the plan must stream them
+    (merge semi/anti joins), never build driver-side broadcasts, and the
+    persisted reversed-edge layout must feed the src-keyed semi-join
+    without re-shuffling |E|."""
+    from linkgraph.algorithms.bfs import pull_round
+
+    g = plan_graph
+    parts = g.num_partitions
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        rev = g.reversed_edges
+        state = strip_origin_stats(
+            g.vertices.select("vid", F.lit(0).alias("depth"))
+            .repartition(parts, "vid")
+            .sortWithinPartitions("vid")
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        )
+        frontier = state.select("vid")
+        # the PRODUCTION round body (not a replica)
+        out = pull_round(g, rev, state, frontier)
+        live = live_tree(formatted_plan(out))
+        assert "BroadcastHashJoin" not in live, live
+        assert "BroadcastNestedLoopJoin" not in live, live
+        # rev is persisted hash(src): the unvisited semi-join streams on
+        # it without an |E| exchange.  The remaining live exchanges are
+        # the anti-join re-key (|V|) and the dst re-key of the in-edge
+        # CANDIDATES — the latter is edge-scale in-edges-of-unvisited,
+        # small exactly in the regime where the heuristic picks pull
+        assert len(re.findall(r"\bExchange\b", live)) <= 4, live
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

@@ -42,3 +42,48 @@ def test_max_iters_cutoff_reports_not_converged(spark):
     assert not s.converged
     full = bfs(g, 0)
     assert full.converged
+
+
+def test_bfs_direction_modes_identical(spark):
+    # push vs pull vs optimized must produce the SAME depth labels — the
+    # three modes compute the same frontier set each round
+    from linkgraph.fixtures import synthetic_crawl
+
+    edges = synthetic_crawl(250)
+    g = Graph.from_edges(
+        edges_df(spark, [(int(s), int(d)) for s, d in edges]), num_partitions=4
+    )
+    fwd = bfs(g, 0)
+    opt = bfs(g, 0, direction="optimized")
+    pull = bfs(g, 0, direction="pull")
+    want = {r["vid"]: r["depth"] for r in fwd.state.collect()}
+    assert {r["vid"]: r["depth"] for r in opt.state.collect()} == want
+    assert {r["vid"]: r["depth"] for r in pull.state.collect()} == want
+    assert want == bfs_oracle([(int(s), int(d)) for s, d in edges], 0)
+    # on a directed crawl with a large forever-unreachable remainder the
+    # count heuristic must KEEP pushing (pull would scan the in-edges of
+    # every unreachable vertex each round)
+    assert all(h["mode"] == "push" for h in opt.history), opt.history
+
+
+def test_bfs_optimized_switches_to_pull(spark):
+    # fan-out then funnel: round 1's frontier (the 60 middles) dwarfs the
+    # 6 remaining unvisited leaves, so the optimized run must flip to
+    # pull for round 2 — and still match push exactly
+    edges = [(0, m) for m in range(1, 61)] + [
+        (m, 61 + (m % 6)) for m in range(1, 61)
+    ]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+    fwd = bfs(g, 0)
+    opt = bfs(g, 0, direction="optimized")
+    want = {r["vid"]: r["depth"] for r in fwd.state.collect()}
+    assert {r["vid"]: r["depth"] for r in opt.state.collect()} == want
+    assert want == bfs_oracle(edges, 0)
+    modes = [h["mode"] for h in opt.history]
+    assert modes[0] == "push" and "pull" in modes, modes
+
+
+def test_bfs_optimized_undirected(spark, chesapeake_graph):
+    res = bfs(chesapeake_graph, 0, directed=False, direction="optimized")
+    got = {r["vid"]: r["depth"] for r in res.state.collect()}
+    assert got == bfs_oracle(chesapeake_edges(), 0, directed=False)
