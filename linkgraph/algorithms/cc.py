@@ -104,9 +104,16 @@ def cc_round(
             # the self-join re-clustered the state on comp; restore
             # the canonical hash(vid, P) + sorted layout the superstep
             # runtime's checkpoint-leaf contract requires (iterate()
-            # skips relayout for step outputs) — one extra |V|
-            # exchange per superstep, the price of the log(diameter)
-            # iteration count pointer jumping buys
+            # skips relayout for step outputs).  Honest cost note:
+            # `new` is an UN-materialized subtree referenced twice
+            # (probe side + parent projection), so beyond this |V|
+            # re-key the plan recomputes the round's gather/merge a
+            # second time and exchanges both self-join sides on comp —
+            # roughly 3 extra |V|-scale shuffles per superstep.  That
+            # is why pointer_jumping is OFF by default: it pays off
+            # only on long-diameter graphs where the log(diameter)
+            # round saving dominates; the default hash-min path also
+            # matches the reference's per-round trajectory exactly
             .repartition(num_partitions, "vid")
             .sortWithinPartitions("vid")
         )

@@ -94,9 +94,13 @@ def k_core(graph: Graph, k: int, max_iters: int = 500) -> IterationResult:
 
 
 def k_core_peel_rounds(graph: Graph, k: int, rounds: int) -> DataFrame:
-    """Exactly ``rounds`` peel rounds (no convergence check) —
-    deterministic partial peel used by the SQL-oracle harness, where the
-    DuckDB twin unrolls the same fixed number of rounds."""
+    """``rounds`` peel rounds AFTER the initial full-graph degree filter
+    (which is itself the first peel — so ``rounds=0`` already filters by
+    deg >= k, and the total is rounds+1 peels).  Deterministic partial
+    peel used by the SQL-oracle harness; the DuckDB twin unrolls the
+    SAME rounds+1 structure, so the two cannot drift — but a
+    re-implemented twin must match this counting, not "exactly
+    rounds"."""
     sym = graph.symmetrized_edges
     alive = (
         sym.groupBy(F.col("src").alias("vid"))

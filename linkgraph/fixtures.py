@@ -111,13 +111,19 @@ def synthetic_crawl(
     total = int(deg.sum())
     src = np.repeat(v, deg)
     dst = rng.integers(0, n_pages, size=total)
-    # re-draw self-loops once (any left over are dropped by normalization)
+    # re-draw self-loops once (any left over are dropped by
+    # normalization); guard n_pages == 1, where every edge is a
+    # self-loop and the redraw range would be empty
     loops = src == dst
-    dst[loops] = (dst[loops] + 1 + rng.integers(0, n_pages - 1, size=loops.sum())) % n_pages
-    hubs = rng.permutation(n_pages)[:n_hubs]
+    if n_pages > 1:
+        dst[loops] = (dst[loops] + 1 + rng.integers(0, n_pages - 1, size=loops.sum())) % n_pages
+    # clamp the hub pool to the vertex count: drawing indices in
+    # [0, n_hubs) against a permutation truncated to n_pages would
+    # IndexError for n_pages < n_hubs
+    hubs = rng.permutation(n_pages)[: min(n_hubs, n_pages)]
     hub_pick = (~dangling) & (rng.random(n_pages) < hub_fraction)
     hub_src = v[hub_pick]
-    hub_dst = hubs[rng.integers(0, n_hubs, size=hub_src.size)]
+    hub_dst = hubs[rng.integers(0, hubs.size, size=hub_src.size)]
     keep = hub_src != hub_dst
     src = np.concatenate([src, hub_src[keep]])
     dst = np.concatenate([dst, hub_dst[keep]])
@@ -135,21 +141,24 @@ def page_url(vid: int, n_sites: int = 10) -> str:
     return f"https://site{vid % n_sites}.example/p/{vid}"
 
 
-def _page_text(vid: int, lang: str, out_urls: list[str]) -> str:
-    """The page's visible text — single source of truth for html AND text."""
-    para = (
+def _page_para(vid: int, lang: str) -> str:
+    """Body paragraph — the ONE definition both html and text render, so
+    the text/html parity the fixtures promise cannot drift."""
+    return (
         f"Page {vid} in {lang}. "
         + " ".join(f"token{(vid * 31 + k) % 97}" for k in range(20))
     )
+
+
+def _page_text(vid: int, lang: str, out_urls: list[str]) -> str:
+    """The page's visible text — single source of truth for html AND text."""
+    para = _page_para(vid, lang)
     link_words = " ".join(f"link to {u}" for u in out_urls)
     return f"T{vid}\n{para}\n{link_words}".rstrip()
 
 
 def _page_html(vid: int, lang: str, out_urls: list[str]) -> bytes:
-    para = (
-        f"Page {vid} in {lang}. "
-        + " ".join(f"token{(vid * 31 + k) % 97}" for k in range(20))
-    )
+    para = _page_para(vid, lang)
     anchors = "".join(f'<a href="{u}">link to {u}</a> ' for u in out_urls)
     html = (
         f"<html><head><title>T{vid}</title></head><body>"

@@ -149,9 +149,13 @@ class Graph:
 
     @cached_property
     def in_degrees(self) -> DataFrame:
+        """``(vid, indeg)`` — only vertices with indeg > 0; laid out
+        hash(vid, P) like :attr:`out_degrees` so vid-keyed merge joins
+        against it stream exchange-free."""
         d = (
             self.edges.groupBy(F.col("dst").alias("vid"))
             .agg(F.count(F.lit(1)).alias("indeg"))
+            .repartition(self.num_partitions, "vid")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         self._persisted.append(d)
@@ -238,8 +242,19 @@ class Graph:
         return e
 
     def symmetrized(self) -> "Graph":
-        """A Graph over the symmetrized edge set (shares persisted DF)."""
+        """A Graph over the symmetrized edge set.
+
+        The child SHARES the parent's persisted symmetrized DataFrame as
+        its edge set — and its own ``symmetrized_edges`` view is
+        pre-seeded to that same DataFrame (an already-symmetric edge set
+        is its own symmetrization), so no algorithm run on the child
+        redoes the 2|E| union+dedupe.  Lifetime caveat: the shared DF is
+        registered in the PARENT's persisted list, so
+        ``parent.unpersist()`` drops the child's edge cache too; views
+        the child derives itself (vertices, degrees, ...) are its own.
+        """
         g = Graph(self.symmetrized_edges, self.num_partitions)
+        g.__dict__["symmetrized_edges"] = self.symmetrized_edges
         return g
 
     # -- snapshot (reference: result/graph sink, SURVEY.md §2.2 I6) --------
@@ -272,6 +287,15 @@ class Graph:
         ``spark.sql.sources.bucketing.enabled``, on by default), so the
         canonical layout comes back for free; edges were normalized
         before saving, so no dedupe pass either.
+
+        The loading session's ``spark.sql.shuffle.partitions`` MUST equal
+        the table's bucket count (the Graph contract from
+        :meth:`from_edges`): on mismatch the state side of every
+        superstep join would re-exchange a full |E|-scale side each
+        iteration — the exact regression the bucketed snapshot exists to
+        avoid — so this raises instead of silently degrading.  Set the
+        session's shuffle partitions to the bucket count (or re-save the
+        snapshot at the new width) before loading.
         """
         desc = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
         n_buckets = None
@@ -280,6 +304,15 @@ class Graph:
                 n_buckets = int(r.data_type.strip())
         if n_buckets is None:
             raise ValueError(f"{table} is not a bucketed table")
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if session_parts != n_buckets:
+            raise ValueError(
+                f"bucketed table {table} has {n_buckets} buckets but "
+                f"spark.sql.shuffle.partitions={session_parts}; the "
+                "exchange-free superstep contract requires them equal — "
+                "set the session's shuffle partitions to the bucket "
+                "count before load_bucketed, or rebuild the snapshot"
+            )
         # The bucketed scan restores HashPartitioning(src, P) but NOT the
         # sort half of the canonical layout (Spark ignores bucket-file
         # sort order on scan by default); re-sort within partitions —

@@ -61,7 +61,13 @@ def _default_parallelism(master: str) -> int:
     import os
     import re
 
-    m = re.match(r"local\[(\d+|\*)\]", master)
+    # accept every local-master form Spark does: local, local[N],
+    # local[*], and the retry-enabled local[N,maxFailures] variants —
+    # a missed match silently configures the 200-partition cluster
+    # default, 25x over-partitioning every superstep on an 8-core box
+    if master == "local":
+        return 1  # Spark's bare "local" runs one worker thread
+    m = re.match(r"local\[(\d+|\*)(?:\s*,\s*\d+)?\]$", master)
     if m:
         tok = m.group(1)
         return os.cpu_count() or 8 if tok == "*" else int(tok)
