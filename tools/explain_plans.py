@@ -221,6 +221,37 @@ def main() -> int:
         "LIVE TREE (per-superstep gather):\n" + live7 + "\n\nFULL PLAN:\n" + plan7,
     ))
 
+    # -- 7. direction-optimized BFS pull round -----------------------------
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    from linkgraph.algorithms.bfs import pull_round
+
+    bstate = strip_origin_stats(
+        g.vertices.select("vid", F.lit(0).alias("depth"))
+        .repartition(8, "vid")
+        .sortWithinPartitions("vid")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    pulled = pull_round(g, g.reversed_edges, bstate, bstate.select("vid"))
+    plan8 = formatted(pulled)
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    live8 = live_tree(plan8)
+    assert "BroadcastHashJoin" not in live8, live8
+    assert "BroadcastNestedLoopJoin" not in live8, live8
+    assert len(re.findall(r"\bExchange\b", live8)) <= 4, live8
+    sections.append((
+        "Direction-optimized BFS: backward (pull) round",
+        "In the dense middle rounds the frontier and unvisited sets are "
+        "|V|-scale — both semi-joins carry merge hints and the plan has "
+        "NO broadcast join (a driver-built |V| broadcast per round was "
+        "the measured 10x pathology in PageRank).  The unvisited "
+        "semi-join streams on the persisted hash(src) reversed view "
+        "without an |E| Exchange; the remaining shuffles are the "
+        "anti-join re-key and the dst re-key of the in-edge candidates "
+        "— a set that is small exactly in the regime where the Beamer "
+        "heuristic chooses pull.",
+        "LIVE TREE (per-round work):\n" + live8 + "\n\nFULL PLAN:\n" + plan8,
+    ))
+
     out = ["# BENCH/PLANS.md — physical-plan evidence (asserted, not aspirational)\n"]
     out.append(
         "Generated by `python tools/explain_plans.py` on a 5,000-page "
