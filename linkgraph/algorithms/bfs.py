@@ -52,7 +52,11 @@ from pyspark.sql import functions as F
 from linkgraph.graph import Graph
 from linkgraph.operators.advance import advance
 from linkgraph.operators.uniquify import uniquify
-from linkgraph.superstep import IterationResult, plain_checkpoint
+from linkgraph.superstep import (
+    CheckpointManager,
+    IterationResult,
+    plain_checkpoint,
+)
 
 
 def pull_round(graph: Graph, rev: DataFrame, state: DataFrame, frontier: DataFrame) -> DataFrame:
@@ -91,6 +95,9 @@ def bfs(
     direction: str = "forward",
     pull_ratio: float = 1.0,
     beta: float = 24.0,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = True,
 ) -> IterationResult:
     """Depth of every reachable vertex from ``source``: ``(vid, depth)``.
 
@@ -101,6 +108,13 @@ def bfs(
     ``converged`` is True only when the frontier emptied; a loop cut off
     by ``max_iters`` returns ``converged=False`` (deeper vertices are
     missing from the state).
+
+    ``checkpoint``/``checkpoint_every``/``resume`` mirror the iterate()
+    runtime's protocol (durable Parquet epochs + manifests + metrics):
+    BFS state is fully resumable because the frontier is DERIVED from
+    the depth table — ``where(depth == max_depth)`` — so a relaunch
+    rehydrates both from the last complete epoch and continues the
+    identical trajectory (tests/test_resume.py).
     """
     if direction not in ("forward", "pull", "optimized"):
         raise ValueError(f"unknown direction {direction!r}")
@@ -125,6 +139,14 @@ def bfs(
     size = 1
     frontier_size = 1
     done = False
+    if checkpoint is not None and resume:
+        got = checkpoint.latest()
+        if got is not None:
+            depth, saved, _stats = got
+            state = plain_checkpoint(saved, replaces=state)
+            size = state.count()
+            frontier = state.where(F.col("depth") == depth).select("vid")
+            frontier_size = frontier.count()
     while depth < max_iters:
         if direction == "forward":
             pull = False
@@ -162,6 +184,16 @@ def bfs(
         state, size, frontier_size = new_state, new_size, grew
         if grew == 0:
             done = True
+        if checkpoint is not None:
+            checkpoint.append_metrics(
+                {"iter": depth, "new_vertices": grew,
+                 "mode": "pull" if pull else "push"}
+            )
+            if depth % checkpoint_every == 0 or done:
+                checkpoint.write(
+                    state, depth, {"new_vertices": grew, "size": size}
+                )
+        if done:
             break
         frontier = state.where(F.col("depth") == depth).select("vid")
     return IterationResult(

@@ -258,7 +258,8 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.algorithms.bfs import bfs
 
         res = bfs(g, args.source, max_iters=args.max_iters,
-                  direction=args.direction)
+                  direction=args.direction, checkpoint=ck,
+                  checkpoint_every=args.checkpoint_every)
         out_df, iters, conv = res.state, res.iterations, res.converged
     elif args.command == "sssp":
         from linkgraph.algorithms.sssp import sssp

@@ -18,6 +18,14 @@ physical join:
 
 The emission predicate (reference: the advance lambda) is a Column
 expression evaluated JVM-side inside whole-stage codegen.
+
+Direction variants (reference: ``advance_direction_t``
+forward/backward/optimized): a BACKWARD advance — visit each frontier
+vertex's in-neighbors — is this same function over
+``Graph.reversed_edges`` (the persisted CSC-layout view), keeping the
+src-keyed join exchange-free; the per-round OPTIMIZED switch lives in
+``algorithms/bfs.py`` (push/pull), where frontier/unvisited sizes are
+known to the driver loop.
 """
 
 from __future__ import annotations

@@ -107,3 +107,30 @@ def test_resume_of_converged_run_is_noop(spark, tmp_path):
     want = {r.vid: r.rank for r in first.state.collect()}
     got = {r.vid: r.rank for r in again.state.collect()}
     assert got == want
+
+
+def test_bfs_resume_exact(spark, tmp_path):
+    from linkgraph.algorithms.bfs import bfs
+    from linkgraph.fixtures import synthetic_crawl
+
+    edges = synthetic_crawl(300)
+    g = Graph.from_edges(
+        edges_df(spark, [(int(s), int(d)) for s, d in edges]), num_partitions=4
+    )
+    full = bfs(g, 0, directed=False, direction="optimized")
+    want = {r.vid: r.depth for r in full.state.collect()}
+
+    ckdir = str(tmp_path / "bfs_ck")
+    ck1 = CheckpointManager(spark, ckdir)
+    part = bfs(g, 0, directed=False, direction="optimized", max_iters=3,
+               checkpoint=ck1, checkpoint_every=2)
+    assert not part.converged
+    assert ck1.latest() is not None
+
+    ck2 = CheckpointManager(spark, ckdir)
+    res = bfs(g, 0, directed=False, direction="optimized",
+              checkpoint=ck2, checkpoint_every=2)
+    assert res.converged
+    assert res.iterations == full.iterations
+    assert {r.vid: r.depth for r in res.state.collect()} == want
+    assert os.path.exists(os.path.join(ckdir, "metrics.jsonl"))
