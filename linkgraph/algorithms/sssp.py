@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from linkgraph.graph import Graph
-from linkgraph.superstep import IterationResult, plain_checkpoint
+from linkgraph.superstep import (
+    CheckpointManager,
+    IterationResult,
+    plain_checkpoint,
+)
 
 
 def sssp(
@@ -21,12 +25,21 @@ def sssp(
     source: int,
     weight_col: str | None = None,
     max_iters: int = 10_000,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = True,
 ) -> IterationResult:
     """Shortest distance to every reachable vertex: ``(vid, dist)``.
 
     ``converged`` is True only when a round relaxed nothing; a loop cut
     off by ``max_iters`` returns ``converged=False`` (distances may still
     be improvable).
+
+    ``checkpoint``/``checkpoint_every``/``resume``: durable Parquet
+    epochs (manifests + metrics) in the iterate() protocol.  The FULL
+    loop state is ``(vid, dist, _improved)`` — the relax frontier is the
+    ``_improved`` slice — so a relaunch rehydrates from the last
+    complete epoch and continues the identical trajectory.
     """
     spark = graph.spark
     edges = graph.edges
@@ -48,6 +61,13 @@ def sssp(
     history = []
     it = 0
     done = False
+    if checkpoint is not None and resume:
+        got = checkpoint.latest()
+        if got is not None:
+            it, saved, _stats = got
+            leaf = plain_checkpoint(saved, replaces=leaf)
+            state = leaf.select("vid", "dist")
+            improved = leaf.where("_improved").select("vid", "dist")
     while it < max_iters:
         it += 1
         relaxed = (
@@ -76,6 +96,11 @@ def sssp(
         state = leaf.select("vid", "dist")
         if n_improved == 0:
             done = True
+        if checkpoint is not None:
+            checkpoint.append_metrics({"iter": it, "improved": n_improved})
+            if it % checkpoint_every == 0 or done:
+                checkpoint.write(leaf, it, {"improved": n_improved})
+        if done:
             break
         improved = leaf.where("_improved").select("vid", "dist")
     return IterationResult(state=state, iterations=it, converged=done, history=history)

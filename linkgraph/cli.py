@@ -265,7 +265,8 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.algorithms.sssp import sssp
 
         res = sssp(g, args.source, weight_col=args.weight_col,
-                   max_iters=args.max_iters)
+                   max_iters=args.max_iters, checkpoint=ck,
+                   checkpoint_every=args.checkpoint_every)
         out_df, iters, conv = res.state, res.iterations, res.converged
     elif args.command == "kcore":
         from linkgraph.algorithms.kcore import k_core

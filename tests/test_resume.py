@@ -134,3 +134,27 @@ def test_bfs_resume_exact(spark, tmp_path):
     assert res.iterations == full.iterations
     assert {r.vid: r.depth for r in res.state.collect()} == want
     assert os.path.exists(os.path.join(ckdir, "metrics.jsonl"))
+
+
+def test_sssp_resume_exact(spark, tmp_path):
+    from linkgraph.algorithms.sssp import sssp
+    from linkgraph.fixtures import synthetic_crawl
+
+    edges = synthetic_crawl(300)
+    g = Graph.from_edges(
+        edges_df(spark, [(int(s), int(d)) for s, d in edges]), num_partitions=4
+    )
+    full = sssp(g, 0)
+    want = {r.vid: r.dist for r in full.state.collect()}
+
+    ckdir = str(tmp_path / "sssp_ck")
+    ck1 = CheckpointManager(spark, ckdir)
+    part = sssp(g, 0, max_iters=3, checkpoint=ck1, checkpoint_every=2)
+    assert not part.converged
+    assert ck1.latest() is not None
+
+    res = sssp(g, 0, checkpoint=CheckpointManager(spark, ckdir),
+               checkpoint_every=2)
+    assert res.converged
+    assert res.iterations == full.iterations
+    assert {r.vid: r.dist for r in res.state.collect()} == want
