@@ -142,11 +142,25 @@ def bfs(
     if checkpoint is not None and resume:
         got = checkpoint.latest()
         if got is not None:
-            depth, saved, _stats = got
+            depth, saved, stats = got
             state = plain_checkpoint(saved, replaces=state)
-            size = state.count()
+            # metadata-only restart: the epoch manifest already stores
+            # the size/frontier counts — no |V|-scan jobs on relaunch
+            size = stats.get("size") if stats else None
+            frontier_size = stats.get("new_vertices") if stats else None
+            if size is None:
+                size = state.count()
             frontier = state.where(F.col("depth") == depth).select("vid")
-            frontier_size = frontier.count()
+            if frontier_size is None:
+                frontier_size = frontier.count()
+            if frontier_size == 0:
+                # converged-resume no-op (iterate() protocol): re-running
+                # would append a spurious epoch + metrics row and inflate
+                # the iteration count on every repeat invocation
+                return IterationResult(
+                    state=state, iterations=depth, converged=True,
+                    history=[],
+                )
     while depth < max_iters:
         if direction == "forward":
             pull = False
@@ -189,7 +203,14 @@ def bfs(
                 {"iter": depth, "new_vertices": grew,
                  "mode": "pull" if pull else "push"}
             )
-            if depth % checkpoint_every == 0 or done:
+            if (
+                depth % checkpoint_every == 0
+                or done
+                or depth >= max_iters
+            ):
+                # the max_iters cutoff is a resume point too — otherwise
+                # up to checkpoint_every-1 durable rounds are re-run by
+                # the follow-up invocation
                 checkpoint.write(
                     state, depth, {"new_vertices": grew, "size": size}
                 )

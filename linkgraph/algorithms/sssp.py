@@ -64,10 +64,20 @@ def sssp(
     if checkpoint is not None and resume:
         got = checkpoint.latest()
         if got is not None:
-            it, saved, _stats = got
+            it, saved, stats = got
             leaf = plain_checkpoint(saved, replaces=leaf)
             state = leaf.select("vid", "dist")
             improved = leaf.where("_improved").select("vid", "dist")
+            n_prev = stats.get("improved") if stats else None
+            if n_prev is None:
+                n_prev = improved.count()
+            if n_prev == 0:
+                # converged-resume no-op (iterate() protocol): rerunning
+                # the relax over an empty frontier would append a
+                # spurious epoch + metrics row per invocation
+                return IterationResult(
+                    state=state, iterations=it, converged=True, history=[],
+                )
     while it < max_iters:
         it += 1
         relaxed = (
@@ -98,7 +108,8 @@ def sssp(
             done = True
         if checkpoint is not None:
             checkpoint.append_metrics({"iter": it, "improved": n_improved})
-            if it % checkpoint_every == 0 or done:
+            if it % checkpoint_every == 0 or done or it >= max_iters:
+                # max_iters cutoff is a resume point (iterate() protocol)
                 checkpoint.write(leaf, it, {"improved": n_improved})
         if done:
             break

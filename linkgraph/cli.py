@@ -40,9 +40,14 @@ def _load(spark, path: str):
     if "://" not in path and "/" not in path and not path.endswith(".parquet"):
         if "." in path:
             return spark.read.table(path)  # Iceberg/catalog table name
+        from pyspark.errors import AnalysisException
+
         try:
             is_table = spark.catalog.tableExists(path)
-        except Exception:
+        except AnalysisException:
+            # not a resolvable table identifier → treat as a path; any
+            # OTHER failure (unreachable metastore etc.) must propagate,
+            # not silently demote a table read to a same-named local dir
             is_table = False
         if is_table:
             return spark.read.table(path)

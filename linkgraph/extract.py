@@ -42,8 +42,11 @@ _COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
 # accepts the (valid, common) UNQUOTED form `href=/path` — value runs to
 # the first whitespace or '>' per the HTML spec; quoted matching is
 # attempted first so quoted pages parse exactly as before.
+# the lookbehind rejects hyphen/colon/word chars before `href`, so
+# attribute names that merely END in href (data-href, ng-href,
+# xlink:href — non-navigational templating) cannot emit phantom edges
 _HREF_RE = re.compile(
-    rb"""<a\b[^>]*?\bhref\s*=\s*(?:(["'])([^<>]*?)\1|([^\s>"'][^\s>]*))""",
+    rb"""<a\b[^>]*?(?<![\w:-])href\s*=\s*(?:(["'])([^<>]*?)\1|([^\s>"'][^\s>]*))""",
     re.I,
 )
 _TAG_RE = re.compile(rb"<[^>]+>")

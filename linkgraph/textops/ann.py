@@ -251,6 +251,12 @@ def lsh_cosine_topk(
     (tested against the brute-force baseline).  ``planes``: "gaussian"
     (seeded NumPy, Arrow matmul — default) or "arith" (portable
     Rademacher folds — the DuckDB-oracle path).
+
+    NOTE: since the seed-offset fix, ``planes="arith"`` HONORS ``seed``
+    (plane j uses hash row j+seed); earlier builds silently ignored it.
+    Pass ``seed=0`` to reproduce the documented un-offset formula (what
+    the catalog oracles pin) — the default ``seed=42`` selects a
+    different, equally valid plane family.
     """
     bucket = _bucket_fn(planes)
     corpus_b = bucket(
@@ -580,7 +586,9 @@ def embedding_near_duplicates(
     """Corpus near-dup pairs ``(a, b, cosine)`` with cosine ≥ threshold.
 
     LSH-bucketed self-join — quadratic only within buckets.  ``planes``
-    as in :func:`lsh_cosine_topk`.
+    as in :func:`lsh_cosine_topk` — including the note there that
+    ``planes="arith"`` now honors ``seed`` (``seed=0`` = the un-offset
+    oracle formula).
     """
     b = _bucket_fn(planes)(
         embeddings, dim, num_tables, bits_per_table, seed, id_col, vec_col

@@ -112,3 +112,15 @@ def test_pages_to_edges_matches_ground_truth(spark):
     }
     want = {(int(s), int(d)) for s, d in truth}
     assert got == want
+
+
+def test_extract_links_ignores_lookalike_attributes():
+    # data-href / ng-href / xlink:href are non-navigational templating
+    # attributes — emitting them would add phantom edges to the graph
+    from linkgraph.extract import extract_links
+
+    html = (
+        b'<a data-href=/evil>x</a><a ng-href="/e2">y</a>'
+        b'<a xlink:href=/e3>z</a><a href=/good>k</a><a HREF="/q">q</a>'
+    )
+    assert extract_links(html) == ["/good", "/q"]

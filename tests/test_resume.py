@@ -158,3 +158,29 @@ def test_sssp_resume_exact(spark, tmp_path):
     assert res.converged
     assert res.iterations == full.iterations
     assert {r.vid: r.dist for r in res.state.collect()} == want
+
+
+def test_bfs_sssp_converged_resume_is_noop(spark, tmp_path):
+    from linkgraph.algorithms.bfs import bfs
+    from linkgraph.algorithms.sssp import sssp
+
+    edges = [(i, i + 1) for i in range(6)]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+
+    for name, run in (
+        ("bfs", lambda ck: bfs(g, 0, checkpoint=ck, checkpoint_every=2)),
+        ("sssp", lambda ck: sssp(g, 0, checkpoint=ck, checkpoint_every=2)),
+    ):
+        ckdir = str(tmp_path / f"{name}_ck")
+        first = run(CheckpointManager(spark, ckdir))
+        assert first.converged
+        epochs = sorted(
+            d for d in os.listdir(ckdir) if d.startswith("epoch=")
+        )
+        # re-invoking on a converged dir must be a no-op: same iteration
+        # count, NO new epoch, no extra superstep round
+        again = run(CheckpointManager(spark, ckdir))
+        assert again.converged and again.iterations == first.iterations
+        assert sorted(
+            d for d in os.listdir(ckdir) if d.startswith("epoch=")
+        ) == epochs
