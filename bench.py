@@ -280,10 +280,33 @@ def main() -> int:
             "--level", str(cores), "--edges-path", path,
             "--partitions", str(parts),
         ] + (["--extras", "--extras-path", extras_path] if extras else [])
-        r = subprocess.run(
-            cmd, capture_output=True, text=True, cwd=REPO,
-            env=dict(os.environ, PYTHONPATH=REPO), timeout=5400,
+        child_env = dict(os.environ)
+        # PREPEND the repo — clobbering PYTHONPATH would break installs
+        # that supply pyspark/py4j through it (SPARK_HOME-style)
+        child_env["PYTHONPATH"] = REPO + (
+            os.pathsep + child_env["PYTHONPATH"]
+            if child_env.get("PYTHONPATH")
+            else ""
         )
+        try:
+            r = subprocess.run(
+                cmd, capture_output=True, text=True, cwd=REPO,
+                env=child_env, timeout=5400,
+            )
+        except subprocess.TimeoutExpired as te:
+            # a wedged level must fail with diagnostics, not a raw
+            # traceback that discards every completed level's numbers
+            sys.stderr.write(
+                f"level {role} (cores={cores}) exceeded 5400 s; "
+                "partial output follows\n"
+            )
+            for stream in (te.stdout, te.stderr):
+                if stream:
+                    txt = stream if isinstance(stream, str) else stream.decode(
+                        "utf-8", "replace"
+                    )
+                    sys.stderr.write(txt[-3000:] + "\n")
+            return 1
         line = next(
             (l for l in r.stdout.splitlines() if l.startswith("LEVELJSON:")),
             None,

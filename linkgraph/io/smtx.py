@@ -43,5 +43,12 @@ def read_smtx_local(spark: SparkSession, path: str) -> DataFrame:
             f"smtx column line has {len(cols)} ints / last offset "
             f"{offsets[-1]}, expected nnz={nnz}"
         )
+    if nnz and (cols.min() < 0 or cols.max() >= _ncols):
+        # out-of-range columns would silently become phantom vertices in
+        # Graph.from_edges — fail as loudly as the other malformations
+        raise ValueError(
+            f"smtx column index out of range [0, {_ncols}): "
+            f"min={cols.min()}, max={cols.max()}"
+        )
     src = np.repeat(np.arange(nrows, dtype=np.int64), np.diff(offsets))
     return spark.createDataFrame(pd.DataFrame({"src": src, "dst": cols}))

@@ -45,10 +45,27 @@ def run_batch(
     reference's per-stream independence).
     """
     sc = spark.sparkContext
+    import itertools
+    import threading
+
+    # pool per WORKER THREAD, not per task index: with index-mod
+    # assignment a freed worker could pick up a task whose pool is still
+    # occupied by a long-running concurrent task (FIFO within a pool →
+    # the starvation the per-stream isolation exists to prevent)
+    _pool_of_thread: dict[int, str] = {}
+    _counter = itertools.count()
+    _lock = threading.Lock()
+
+    def _my_pool() -> str:
+        tid = threading.get_ident()
+        with _lock:
+            if tid not in _pool_of_thread:
+                _pool_of_thread[tid] = f"{pool_prefix}-{next(_counter)}"
+            return _pool_of_thread[tid]
 
     def run_one(i_task):
         i, task = i_task
-        sc.setLocalProperty("spark.scheduler.pool", f"{pool_prefix}-{i % max_concurrent}")
+        sc.setLocalProperty("spark.scheduler.pool", _my_pool())
         try:
             return task()
         except Exception as exc:  # fail-at-end: collect, re-raise later

@@ -69,7 +69,10 @@ def extract_media_features(
             payloads = batch.column("payload").to_pylist()
             n_bytes = [len(p or b"") for p in payloads]
             digests = [hashlib.md5(p or b"").hexdigest() for p in payloads]
-            feats = [decode(p, dim).tolist() for p in payloads]
+            # NULL payloads reach decode as b"" like the adjacent
+            # n_bytes/digest normalization — a real decoder's
+            # Callable[[bytes, int], ndarray] contract never sees None
+            feats = [decode(p or b"", dim).tolist() for p in payloads]
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids, type=pa.int64()),

@@ -33,9 +33,7 @@ def spark():
 def edges_df(spark, edges):
     """Build an edges DataFrame from a python/numpy edge list."""
     rows = [(int(s), int(d)) for s, d in edges]
-    return spark.createDataFrame(rows, "src long, dst long") if rows else (
-        spark.createDataFrame([], "src long, dst long")
-    )
+    return spark.createDataFrame(rows, "src long, dst long")
 
 
 @pytest.fixture(scope="session")

@@ -178,12 +178,23 @@ def ppr_oracle(
     e = _normalize(edges)
     verts = _vertices(e)
     n = len(verts)
+    if n == 0:
+        return {}
     idx = {int(v): i for i, v in enumerate(verts)}
     src = np.array([idx[int(s)] for s, _ in e], dtype=np.int64)
     dst = np.array([idx[int(d)] for _, d in e], dtype=np.int64)
     outdeg = np.bincount(src, minlength=n)
     t = np.zeros(n)
-    seed_idx = [idx[int(s)] for s in seeds]
+    # mirror the engine exactly (ppr.py dedupes seeds before weighting);
+    # a seed absent from the graph is a caller error — fail loudly, not
+    # with a bare KeyError
+    seed_set = sorted({int(s) for s in seeds})
+    if not seed_set:
+        raise ValueError("ppr_oracle: empty seed set")
+    missing = [s for s in seed_set if s not in idx]
+    if missing:
+        raise ValueError(f"ppr_oracle: seeds not in graph: {missing}")
+    seed_idx = [idx[s] for s in seed_set]
     t[seed_idx] = 1.0 / len(seed_idx)
     p = t.copy()
     for _ in range(max_iters):
@@ -205,6 +216,8 @@ def hits_oracle(
     e = _normalize(edges)
     verts = _vertices(e)
     n = len(verts)
+    if n == 0:
+        return {}
     idx = {int(v): i for i, v in enumerate(verts)}
     src = np.array([idx[int(s)] for s, _ in e], dtype=np.int64)
     dst = np.array([idx[int(d)] for _, d in e], dtype=np.int64)

@@ -35,7 +35,7 @@ def main() -> int:
     from linkgraph.fixtures import synthetic_crawl
     from linkgraph.graph import Graph
     from linkgraph.session import get_spark
-    from linkgraph.superstep import strip_origin_stats
+    from linkgraph.superstep import _aqe_disabled, strip_origin_stats
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -54,20 +54,26 @@ def main() -> int:
     init = g.vertices.select("vid", F.lit(1.0 / n).alias("rank")).join(
         g.out_degrees, "vid", "left"
     )
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    state = strip_origin_stats(
-        init.repartition(8, "vid")
-        .sortWithinPartitions("vid")
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
-    )
+    def leaf(df):
+        """The iterate() checkpoint-leaf recipe (hash(vid, 8) + sorted +
+        eager localCheckpoint + stats strip) — ONE definition shared by
+        every section so this tool cannot drift from the protocol it
+        certifies."""
+        return strip_origin_stats(
+            df.repartition(8, "vid")
+            .sortWithinPartitions("vid")
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        )
+
     from linkgraph.algorithms.pagerank import pagerank_round
 
-    # the PRODUCTION round body (not a replica — pagerank.py regressions
-    # fail this tool the same way they fail tests/test_plans.py)
-    superstep = pagerank_round(g, state, alpha=0.85, n=n, dangling=0.0)
-    plan = formatted(superstep)
-    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    with _aqe_disabled(spark):
+        state = leaf(init)
+        # the PRODUCTION round body (not a replica — pagerank.py
+        # regressions fail this tool the same way they fail
+        # tests/test_plans.py)
+        superstep = pagerank_round(g, state, alpha=0.85, n=n, dangling=0.0)
+        plan = formatted(superstep)
 
     live = live_tree(plan)
     n_exchange = len(re.findall(r"\bExchange\b", live))
@@ -163,21 +169,18 @@ def main() -> int:
     ))
 
     # -- 5. k-core delta-peel round ----------------------------------------
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    sym = g.symmetrized_edges
-    kstate = strip_origin_stats(
-        sym.groupBy(F.col("src").alias("vid"))
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .repartition(8, "vid")
-        .sortWithinPartitions("vid")
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
-    )
     from linkgraph.algorithms.kcore import peel_round
 
-    # the PRODUCTION round body (not a replica)
-    kround = peel_round(sym, kstate, k=3)
-    plan6 = formatted(kround)
-    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    sym = g.symmetrized_edges
+    with _aqe_disabled(spark):
+        kstate = leaf(
+            sym.groupBy(F.col("src").alias("vid")).agg(
+                F.count(F.lit(1)).alias("deg")
+            )
+        )
+        # the PRODUCTION round body (not a replica)
+        kround = peel_round(sym, kstate, k=3)
+        plan6 = formatted(kround)
     live6 = live_tree(plan6)
     n_ex6 = len(re.findall(r"\bExchange\b", live6))
     assert n_ex6 <= 2, f"k-core round must shuffle only delta-sized sides, got {n_ex6}:\n{live6}"
@@ -196,18 +199,12 @@ def main() -> int:
     ))
 
     # -- 6. HITS reversed-view (CSC) gather --------------------------------
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    hstate = strip_origin_stats(
-        g.vertices.select("vid", F.lit(1.0).alias("auth"))
-        .repartition(8, "vid")
-        .sortWithinPartitions("vid")
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
-    )
-    gathered = g.reversed_edges.join(
-        hstate.withColumnRenamed("vid", "src").hint("merge"), "src"
-    )
-    plan7 = formatted(gathered)
-    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    with _aqe_disabled(spark):
+        hstate = leaf(g.vertices.select("vid", F.lit(1.0).alias("auth")))
+        gathered = g.reversed_edges.join(
+            hstate.withColumnRenamed("vid", "src").hint("merge"), "src"
+        )
+        plan7 = formatted(gathered)
     live7 = live_tree(plan7)
     assert len(re.findall(r"\bExchange\b", live7)) == 0, live7
     sections.append((
@@ -222,18 +219,12 @@ def main() -> int:
     ))
 
     # -- 7. direction-optimized BFS pull round -----------------------------
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     from linkgraph.algorithms.bfs import pull_round
 
-    bstate = strip_origin_stats(
-        g.vertices.select("vid", F.lit(0).alias("depth"))
-        .repartition(8, "vid")
-        .sortWithinPartitions("vid")
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
-    )
-    pulled = pull_round(g, g.reversed_edges, bstate, bstate.select("vid"))
-    plan8 = formatted(pulled)
-    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    with _aqe_disabled(spark):
+        bstate = leaf(g.vertices.select("vid", F.lit(0).alias("depth")))
+        pulled = pull_round(g, g.reversed_edges, bstate, bstate.select("vid"))
+        plan8 = formatted(pulled)
     live8 = live_tree(plan8)
     assert "BroadcastHashJoin" not in live8, live8
     assert "BroadcastNestedLoopJoin" not in live8, live8

@@ -14,9 +14,11 @@ from linkgraph.session import get_spark
 from linkgraph.graph import Graph
 from linkgraph.algorithms.pagerank import pagerank
 
-cores = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-iters = int(sys.argv[2]) if len(sys.argv) > 2 else 6
-path = sys.argv[3] if len(sys.argv) > 3 else "/tmp/linkgraph_bench/crawl_10000000.parquet"
+_flags = [a for a in sys.argv[1:] if a.startswith("--")]
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+cores = int(_pos[0]) if len(_pos) > 0 else 32
+iters = int(_pos[1]) if len(_pos) > 1 else 6
+path = _pos[2] if len(_pos) > 2 else "/tmp/linkgraph_bench/crawl_10000000.parquet"
 
 spark = get_spark(master=f"local[{cores}]", shuffle_partitions=64,
                   extra_conf={"spark.driver.memory": "48g"})
@@ -34,9 +36,8 @@ for h in res.history:
     print(f"PROF iter {h['iter']}: {h['wall_ms']/1000:.2f}s", flush=True)
 print(f"PROF total {iters} iters: {dt:.2f}s  edges/s={iters*e/dt:,.0f}", flush=True)
 
-if "--explain" in sys.argv:
+if "--explain" in _flags:
     from linkgraph.operators.neighbor_reduce import neighbor_reduce
-    from linkgraph.superstep import iterate
     state = res.state.join(g.out_degrees, "vid", "left")
     # one more superstep's plan against a co-partitioned persisted state
     st = state.repartition(64, "vid").sortWithinPartitions("vid").persist()
