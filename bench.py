@@ -222,6 +222,18 @@ def run_level(
         out["triangles"] = triangle_count(gx)
         out["tc_s"] = round(time.perf_counter() - t0, 2)
 
+        # direction-optimized BFS on the symmetrized crawl (the dense
+        # middle rounds exercise the pull path; depth labels are
+        # mode-independent, so this is pure throughput)
+        from linkgraph.algorithms.bfs import bfs
+
+        t0 = time.perf_counter()
+        b = bfs(gx, 0, directed=False, direction="optimized")
+        out["bfs_opt_s"] = round(time.perf_counter() - t0, 2)
+        out["bfs_opt_pull_rounds"] = sum(
+            1 for h in b.history if h["mode"] == "pull"
+        )
+
         # sf-dir documents-derived graph (ties bench to SPARK_GRAFT_SF_DIR)
         from linkgraph.queries import build_graph
 
@@ -330,6 +342,7 @@ def main() -> int:
         f"pagerank_spmv_{FIXED_ITERS}iter_local{CPUS}": full.get("pr_spmv_fixed_s"),
         f"cc_local{CPUS}": full.get("cc_s"),
         f"triangles_local{CPUS}": full.get("tc_s"),
+        f"bfs_optimized_local{CPUS}": full.get("bfs_opt_s"),
         f"pagerank_sfgraph_local{CPUS}": full.get("pr_sfgraph_s"),
     }
     result = {
@@ -401,6 +414,8 @@ Full-parallelism (local[{CPUS}], {CPUS * 2} partitions) extras — graph
 - PageRank SpMV strategy, {FIXED_ITERS} supersteps: {full.get('pr_spmv_fixed_s')} s
 - Connected components (hash-min, {full.get('cc_iters')} iters): {full.get('cc_s')} s
 - Triangle count ({full.get('triangles'):,} triangles): {full.get('tc_s')} s
+- BFS direction-optimized, undirected full traversal \
+({full.get('bfs_opt_pull_rounds')} pull rounds): {full.get('bfs_opt_s')} s
 - sf-graph ({SF_DIR}) PageRank to 1e-6: {full.get('pr_sfgraph_s')} s
 
 Per-superstep walls (s):
