@@ -827,6 +827,13 @@ def _sssp_unrolled_sql(rounds: int = 7) -> str:
     return "\n".join(parts)
 
 
+SPMV_WEIGHTED_SQL = f"""
+WITH {EDGE_SQL.strip()}
+SELECT dst AS vid,
+       ROUND(SUM(((src * 3 + dst * 7) % 9 + 1) * ((src % 13) / 4.0)), 6) AS y6
+FROM edges GROUP BY dst ORDER BY vid
+"""
+
 SPGEMM_SQUARE_SQL = f"""
 WITH {EDGE_SQL.strip()}
 SELECT a.src AS row, b.dst AS col, CAST(COUNT(*) AS BIGINT) AS paths2
@@ -1204,6 +1211,27 @@ def q_spgemm_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = build_graph(spark, sf_dir)
     return square_counts(g)
+
+
+def q_spmv_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized weighted SpMV y = A·x (reference A13) over the
+    derived edge set with arithmetic weights w = (src·3+dst·7) mod 9 + 1
+    and x(v) = (v mod 13)/4.  Every term is an integer multiple of 0.25
+    (exact in binary double), so engine and DuckDB sums are bit-equal
+    regardless of reduction order — round-6 is cosmetic."""
+    from linkgraph.algorithms.spmv import spmv
+
+    g = build_graph(spark, sf_dir)
+    edges = g.edges.withColumn(
+        "weight",
+        ((F.col("src") * 3 + F.col("dst") * 7) % 9 + 1).cast("double"),
+    )
+    x = g.vertices.select(
+        "vid", ((F.col("vid") % 13) / F.lit(4.0)).alias("x")
+    )
+    return spmv(edges, x).select(
+        "vid", F.round("y", 6).alias("y6")
+    )
 
 
 def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1627,6 +1655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hits5": q_hits5,
     "kcore3_peel8": q_kcore3,
     "spgemm_square": q_spgemm_square,
+    "spmv_weighted": q_spmv_weighted,
     "jpl_coloring": q_coloring,
     "bc_source0": q_bc_source0,
     "mst": q_mst,
@@ -1676,6 +1705,7 @@ ORACLES: dict[str, str] = {
     "jpl_coloring": _jpl_unrolled_sql(48),
     "mst": _boruvka_unrolled_sql(16, 12),
     "spgemm_square": SPGEMM_SQUARE_SQL,
+    "spmv_weighted": SPMV_WEIGHTED_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_signatures": MINHASH_SQL,
     "ngram_jaccard": JACCARD_SQL,

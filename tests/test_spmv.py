@@ -107,3 +107,34 @@ def test_kernels_flush_boundaries_differential():
             assert set(got) == set(want), (trial, flush)
             for k in want:
                 assert abs(got[k] - want[k]) < 1e-9, (trial, flush, k)
+
+
+def test_weighted_spmv_matches_numpy(spark):
+    # generalized y = A·x (reference A13) against a dense NumPy product
+    import numpy as np
+
+    from linkgraph.algorithms.spmv import spmv
+
+    rng = np.random.default_rng(7)
+    n = 12
+    rows = [
+        (int(s), int(d), float(w))
+        for s, d, w in zip(
+            rng.integers(0, n, 40), rng.integers(0, n, 40),
+            rng.integers(1, 5, 40),
+        )
+    ]
+    A = np.zeros((n, n))
+    for s, d, w in rows:
+        A[d, s] += w  # duplicate COO entries accumulate, like the agg
+    x = np.arange(n, dtype=float) / 4.0
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    xdf = spark.createDataFrame(
+        [(i, float(x[i])) for i in range(n)], "vid long, x double"
+    )
+    got = {r["vid"]: r["y"] for r in spmv(edges, xdf).collect()}
+    want = A @ x
+    for v, y in got.items():
+        assert abs(y - want[v]) < 1e-9
+    # every dst with a nonzero row is present
+    assert set(got) == {d for _, d, _ in rows}
