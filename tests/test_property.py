@@ -215,3 +215,52 @@ def test_contraction_and_spatial_match_oracles(spark, edges):
         unc -= set(win)
         rnd += 1
     assert colors == expect
+
+
+@given(edges=edge_lists)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    print_blob=True,
+)
+def test_spmv_and_bfs_directions_match_oracles(spark, edges):
+    """Weighted SpMV vs a dense NumPy product (duplicate COO entries
+    accumulate), and push/pull/optimized BFS tri-mode equality — the
+    pull path's unvisited/frontier semi-joins must agree with plain
+    advance on arbitrary digraphs, including self-loops, dangling
+    vertices, and disconnected remainders."""
+    from linkgraph.algorithms.bfs import bfs
+    from linkgraph.algorithms.spmv import spmv
+    from oracles import bfs_oracle
+
+    # SpMV on the RAW edge list (duplicates/self-loops are all rows of A)
+    n = 14
+    wrows = [(s, d, float((s * 3 + d * 5) % 7 + 1)) for s, d in edges]
+    A = np.zeros((n, n))
+    for s, d, w in wrows:
+        A[d, s] += w
+    x = np.arange(n, dtype=float) / 4.0
+    wdf = spark.createDataFrame(wrows, "src long, dst long, weight double")
+    xdf = spark.createDataFrame(
+        [(i, float(x[i])) for i in range(n)], "vid long, x double"
+    )
+    got_y = {r.vid: r.y for r in spmv(wdf, xdf).collect()}
+    want_y = A @ x
+    assert set(got_y) == {d for _, d, _ in wrows}
+    for v, y in got_y.items():
+        assert abs(y - want_y[v]) < 1e-9, v
+
+    # BFS tri-mode equality from the smallest vertex present
+    norm = {(s, d) for s, d in edges if s != d}
+    if not norm:
+        return
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+    src = min(v for e in norm for v in e)
+    want = bfs_oracle(edges, src)
+    for direction in ("forward", "pull", "optimized"):
+        got = {
+            r.vid: r.depth
+            for r in bfs(g, src, direction=direction).state.collect()
+        }
+        assert got == want, direction
