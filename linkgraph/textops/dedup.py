@@ -13,9 +13,9 @@ Design notes for 10^12-document scale:
 - **LSH banding**: signatures → band keys → self-join per band =
   candidate pairs; only candidates are verified (exact Jaccard), so the
   all-pairs product never materializes.
-- **SimHash**: 64-bit fingerprints via a vectorized Arrow UDF (bit math
-  isn't expressible with built-ins); near-dups = Hamming distance ≤ r on
-  band-partitioned fingerprints.
+- **SimHash**: 64-bit fingerprints fully JVM-side (explode tokens →
+  ``md5`` → 64 conditional sums in one grouped aggregation); near-dups =
+  Hamming distance ≤ r on band-partitioned fingerprints.
 - **n-gram Jaccard**: exact pairwise Jaccard through an inverted shingle
   index (join on shingle, count common, normalize), with a document-
   frequency cap on hot shingles — the textual analog of hub-skew
@@ -25,9 +25,6 @@ Design notes for 10^12-document scale:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -121,12 +118,24 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """LSH candidate pairs ``(a, b)`` (a < b): docs agreeing on ≥1 band.
 
     bands = num_hashes / rows_per_band; band key = concatenated minhashes
     of the band's seeds.  The per-band self-join touches only same-bucket
     docs — linear in Σ bucket².
+
+    ``max_bucket`` is the hot-bucket skew guard, the banded analog of
+    ``jaccard_pairs.max_df``: a degenerate band key shared by B docs
+    (boilerplate-heavy corpora — empty pages, templated headers) costs
+    B² candidate rows before verification.  Buckets larger than
+    ``max_bucket`` are dropped BEFORE the self-join, bounding any single
+    bucket's cost at max_bucket²; such buckets carry almost no
+    similarity signal per pair but all of the quadratic blow-up.  Exact
+    duplicates inside a dropped bucket are still caught by
+    ``exact_duplicates`` (identical text ⇒ identical md5), which is the
+    correct tool for that regime.  ``None`` disables the cap.
     """
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     band = (F.col("seed") / rows_per_band).cast("int").alias("band")
@@ -139,6 +148,15 @@ def minhash_lsh_candidates(
             ).alias("band_key")
         )
     )
+    if max_bucket is not None:
+        # one extra |buckets|-row aggregation + a semi-ish join keyed the
+        # same way as the candidate join — cheap relative to B² rows
+        sizes = bands.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        bands = bands.join(
+            sizes.where(F.col("_bsz") <= max_bucket), ["band", "band_key"]
+        ).select(id_col, "band", "band_key")
     left = bands.select(F.col(id_col).alias("a"), "band", "band_key")
     right = bands.select(F.col(id_col).alias("b"), "band", "band_key")
     return (
@@ -200,49 +218,67 @@ def simhash64(
 ) -> DataFrame:
     """64-bit SimHash fingerprint per doc: ``(doc_id, simhash)``.
 
-    Token hashes are the first 8 bytes of md5 (deterministic across
-    engines/runs); the bit-vote accumulation runs vectorized in NumPy
-    inside one Arrow pass.
+    Token hash = first 8 bytes of md5, big-endian (deterministic across
+    engines/runs; replayable in DuckDB as
+    ``CAST('0x'||substr(md5(tok),1,16) AS UBIGINT)``).  Bit ``i`` of the
+    fingerprint is set iff the per-occurrence vote ``Σ_tok (2·bit_i − 1)``
+    is strictly positive; empty/whitespace-only/NULL docs fingerprint
+    to 0.
+
+    Everything runs JVM-side in whole-stage codegen: explode tokens →
+    ``md5`` → one grouped aggregation with 64 conditional sums — no
+    Python in the loop (the previous per-token ``hashlib.md5`` Python
+    loop ran at a few MB/s/core and was the engine's slowest operator at
+    crawl scale; see BENCH/NOTES.md for the A/B).  Shuffle volume is one
+    ~65-long partial-agg row per doc per input partition (map-side
+    combine collapses token rows before the exchange), independent of
+    document length.
+
+    The 64-bit token hash is handled as two 32-bit halves (``conv`` of
+    8 hex chars each fits a signed long); the final signed-int64
+    reinterpretation adds ``−2^63`` for bit 63 instead of ``+2^63``.
     """
+    from functools import reduce
+    from operator import add
 
-    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import hashlib
-
-        import numpy as np
-
-        for batch in batches:
-            ids = batch.column(0).to_pylist()
-            texts = batch.column(1).to_pylist()
-            out = []
-            for t in texts:
-                toks = (t or "").lower().split()
-                if not toks:
-                    out.append(0)
-                    continue
-                hs = np.frombuffer(
-                    b"".join(
-                        hashlib.md5(tok.encode("utf-8")).digest()[:8]
-                        for tok in toks
-                    ),
-                    dtype=">u8",
-                ).astype(np.uint64)
-                bits = (
-                    (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)
-                ).astype(np.int64)
-                votes = (2 * bits - 1).sum(axis=0)
-                fp = np.uint64(0)
-                for i in np.nonzero(votes > 0)[0]:
-                    fp |= np.uint64(1) << np.uint64(i)
-                out.append(int(np.int64(fp)))  # reinterpret as signed
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, type=pa.int64()), pa.array(out, type=pa.int64())],
-                names=["doc_id", "simhash"],
-            )
-
-    return df.select(F.col(id_col).cast("long"), F.col(text_col)).mapInArrow(
-        run, schema="doc_id long, simhash long"
+    toks = _norm_tokens(F.col(text_col))
+    h = F.md5(F.col("tok"))
+    # w=0 rows (empty/null token from empty docs) keep the doc alive
+    # through the groupBy while contributing nothing to any vote.
+    w = F.when(F.col("tok").isNull() | (F.col("tok") == ""), F.lit(0)).otherwise(
+        F.lit(1)
     )
+    rows = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode_outer(toks).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            w.alias("w"),
+            F.when(w == 1, F.conv(F.substring(h, 1, 8), 16, 10).cast("long"))
+            .otherwise(F.lit(0))
+            .alias("hi"),
+            F.when(w == 1, F.conv(F.substring(h, 9, 8), 16, 10).cast("long"))
+            .otherwise(F.lit(0))
+            .alias("lo"),
+        )
+    )
+    aggs = [F.sum("w").alias("W")]
+    for i in range(64):
+        src, sh = ("lo", i) if i < 32 else ("hi", i - 32)
+        bit = F.shiftrightunsigned(F.col(src), sh).bitwiseAND(F.lit(1))
+        # only count set bits on real tokens (w=0 rows have hi=lo=0 so
+        # their bits are already 0, but keep the product for clarity)
+        aggs.append(F.sum(bit * F.col("w")).alias(f"s{i}"))
+    agg = rows.groupBy("doc_id").agg(*aggs)
+    # vote_i = 2*s_i − W > 0  ⇔  2*s_i > W;  signed two's complement:
+    # value = Σ_{i<63} b_i·2^i − b_63·2^63
+    terms = [
+        F.when(2 * F.col(f"s{i}") > F.col("W"), F.lit(v)).otherwise(F.lit(0))
+        for i, v in ((i, -(1 << 63) if i == 63 else 1 << i) for i in range(64))
+    ]
+    return agg.select("doc_id", reduce(add, terms).alias("simhash"))
 
 
 def simhash_near_duplicates(

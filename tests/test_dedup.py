@@ -95,3 +95,50 @@ def test_simhash_properties(spark):
     assert fp[4] == 0
     nd = {(r.a, r.b): r.hamming for r in simhash_near_duplicates(_docs(spark), max_hamming=10).collect()}
     assert nd.get((0, 1)) == 0
+
+
+def _py_simhash(text):
+    """Reference semantics the JVM pipeline must reproduce bit-for-bit:
+    per-occurrence md5-prefix token hashes, vote>0 bit rule, signed
+    reinterpret.  (This was the engine's round-1 mapInArrow body.)"""
+    import hashlib
+
+    votes = [0] * 64
+    for tok in (text or "").lower().split():
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        for i in range(64):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    fp = sum(1 << i for i in range(64) if votes[i] > 0)
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def test_simhash_matches_python_reference(spark):
+    rows = [
+        (0, BASE),
+        (1, ""),
+        (2, "   \t  "),  # whitespace-only → 0 like empty
+        (3, "one"),
+        (4, "repeat repeat repeat unique"),  # occurrence-weighted votes
+        (5, "MiXeD Case TOKENS and  double  spaces"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+    assert len(got) == len(rows)
+    for doc_id, text in rows:
+        assert got[doc_id] == _py_simhash(text), (doc_id, text)
+
+
+def test_lsh_hot_bucket_cap(spark):
+    # 500 docs sharing every band key (identical text) + one near-dup
+    # pair: without the cap the degenerate bucket alone is ~125k pairs;
+    # with the cap those buckets are dropped and the honest pair remains.
+    hot = [(i, "boilerplate header identical on every page of the site x") for i in range(500)]
+    pair = [(1000, BASE), (1001, BASE.replace("fox", "wolf"))]
+    df = spark.createDataFrame(hot + pair, "doc_id long, text string")
+    got = {(r.a, r.b) for r in minhash_lsh_candidates(df, max_bucket=100).collect()}
+    assert all(a >= 1000 for a, _ in got), "hot bucket leaked through the cap"
+    # uncapped recall on the small fixture corpus is unchanged by default cap
+    base = {(r.a, r.b) for r in minhash_lsh_candidates(_docs(spark), max_bucket=None).collect()}
+    capped = {(r.a, r.b) for r in minhash_lsh_candidates(_docs(spark)).collect()}
+    assert base == capped
