@@ -1,14 +1,22 @@
 """Benchmark harness (driver contract + BASELINE.md protocol).
 
-Main mode: three subprocess levels (one fresh JVM each):
+Main mode: PROTOCOLS repetitions of the scaling pair, then one extras
+level (every level a fresh subprocess JVM):
 
-1. **Scaling pair** — ``local[LOW]`` and ``local[HIGH]`` (defaults 2 and
-   8, a 4× core ratio) run the IDENTICAL PageRank job (same Parquet
-   bytes, same partition count = 2×HIGH) and report per-superstep walls;
-   scaling efficiency = (median_low / median_high) / (HIGH/LOW).  Median
-   per-iteration wall (not total) is the throughput estimator because
-   this sandbox is a shared VM with bursty CPU-steal — a single stolen
-   iteration would otherwise dominate the total.
+1. **Scaling pair × PROTOCOLS** — ``local[LOW]`` and ``local[HIGH]``
+   (defaults 2 and 8, a 4× core ratio) run the IDENTICAL PageRank job
+   (same Parquet bytes, same partition count = 2×HIGH) back-to-back and
+   report per-superstep walls; per-protocol efficiency =
+   (median_low / median_high) / (HIGH/LOW).  The recorded
+   ``scaling_efficiency`` is the MEDIAN across protocols: round 1
+   recorded 0.798 from a single protocol while eight full protocols that
+   day spanned 0.67–1.07 — the per-protocol point estimate was the
+   problem (this VM's CPU-steal bursts last minutes and can cover one
+   whole protocol), not the engine.  Adjacent low/high runs inside a
+   protocol see comparable VM conditions; the cross-protocol median
+   rejects a burst that lands on any single protocol.  Median
+   per-iteration wall (not total) is the per-level estimator for the
+   same reason — a single stolen iteration would otherwise dominate.
 2. **Extras** — ``local[CPUS]`` (default 32, all cores): converged PR,
    SpMV-strategy PR, CC, TC, and the sf-dir documents-derived graph —
    operator-coverage timings at full parallelism, not the scaling
@@ -73,15 +81,17 @@ TARGET_EDGES = int(os.environ.get("LINKGRAPH_BENCH_EDGES", "30000000"))
 # Extras run once at CPUS cores on a smaller graph.
 EXTRAS_EDGES = int(os.environ.get("LINKGRAPH_EXTRAS_EDGES", "10000000"))
 FIXED_ITERS = int(os.environ.get("LINKGRAPH_BENCH_ITERS", "6"))
-# Measurement blocks per level.  The per-level throughput is the BEST
-# block's median superstep wall: this VM's CPU-steal bursts last
-# minutes, so a level whose whole measurement window fits inside one
-# burst reads uniformly slow.  Three time-separated blocks make it
-# very unlikely that ALL of a level's blocks land inside bursts (the
-# faster 8-core level has a ~2-minute window per block and is the
-# most exposed; a 2-block run measured efficiency 0.70 purely from a
-# burst covering both of its high-level blocks).
-BLOCKS = int(os.environ.get("LINKGRAPH_BENCH_BLOCKS", "3"))
+# Measurement blocks per level within one protocol.  The per-level
+# throughput is the BEST block's median superstep wall: this VM's
+# CPU-steal bursts last minutes, so a single window can read uniformly
+# slow.  With PROTOCOLS cross-protocol repetitions carrying the
+# robustness (median of per-protocol efficiencies), 2 blocks per level
+# bound the per-protocol cost; 6 total time-separated low-level blocks
+# per bench run is strictly more burst-resistant than round 1's 3.
+BLOCKS = int(os.environ.get("LINKGRAPH_BENCH_BLOCKS", "2"))
+# Full scaling-pair repetitions; recorded efficiency = median across
+# them.  1 reproduces the round-1 single-protocol estimator.
+PROTOCOLS = int(os.environ.get("LINKGRAPH_BENCH_PROTOCOLS", "3"))
 WORK_DIR = os.environ.get("LINKGRAPH_BENCH_DIR", "/tmp/linkgraph_bench")
 REPO = os.path.dirname(os.path.abspath(__file__))
 
@@ -275,18 +285,8 @@ def main() -> int:
     # straggler effects amortize identically at both levels (measured
     # slightly faster at both levels than 2×).
     scale_parts = HIGH_CORES * 8
-    # keyed by ROLE, not core count: under the documented saturated repro
-    # (LINKGRAPH_BENCH_HIGH_CORES=32 == CPUS) a core-count key would let
-    # the extras level overwrite the HIGH scaling level and the reported
-    # efficiency would compare the 30M-edge low run against the 10M-edge
-    # extras run.
-    plan = [
-        ("low", LOW_CORES, edges_path, scale_parts, False),
-        ("high", HIGH_CORES, edges_path, scale_parts, False),
-        ("full", CPUS, extras_path, CPUS * 2, True),
-    ]
-    levels = {}
-    for role, cores, path, parts, extras in plan:
+
+    def run_role(role: str, cores: int, path: str, parts: int, extras: bool):
         cmd = [
             sys.executable, os.path.abspath(__file__),
             "--level", str(cores), "--edges-path", path,
@@ -318,25 +318,61 @@ def main() -> int:
                         "utf-8", "replace"
                     )
                     sys.stderr.write(txt[-3000:] + "\n")
-            return 1
+            return None
         line = next(
             (l for l in r.stdout.splitlines() if l.startswith("LEVELJSON:")),
             None,
         )
         if line is None:
             sys.stderr.write(r.stdout[-2000:] + "\n" + r.stderr[-4000:])
-            return 1
-        levels[role] = json.loads(line[len("LEVELJSON:"):])
+            return None
+        return json.loads(line[len("LEVELJSON:"):])
 
-    lo, hi, full = levels["low"], levels["high"], levels["full"]
+    # scaling protocols: adjacent low/high runs pair comparable VM
+    # conditions; the median across protocols is the number of record
     core_ratio = HIGH_CORES / LOW_CORES
-    speedup = lo["pr_iter_median_s"] / hi["pr_iter_median_s"]
-    efficiency = round(speedup / core_ratio, 3)
+    protocols = []
+    for p in range(PROTOCOLS):
+        if p:
+            time.sleep(15)
+        lo_p = run_role(f"low_p{p}", LOW_CORES, edges_path, scale_parts, False)
+        hi_p = run_role(f"high_p{p}", HIGH_CORES, edges_path, scale_parts, False)
+        if lo_p is None or hi_p is None:
+            return 1
+        eff_p = round(
+            (lo_p["pr_iter_median_s"] / hi_p["pr_iter_median_s"]) / core_ratio, 3
+        )
+        protocols.append({"low": lo_p, "high": hi_p, "efficiency": eff_p})
+        sys.stderr.write(
+            f"protocol {p}: low={lo_p['pr_iter_median_s']}s "
+            f"high={hi_p['pr_iter_median_s']}s eff={eff_p}\n"
+        )
 
+    full = run_role("full", CPUS, extras_path, CPUS * 2, True)
+    if full is None:
+        return 1
+
+    effs = sorted(pr["efficiency"] for pr in protocols)
+    efficiency = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+    )
+    # the pair of record (headline medians/throughputs): the protocol
+    # whose efficiency is the median — keeps low/high/efficiency mutually
+    # consistent instead of mixing best-of across protocols
+    med_proto = min(protocols, key=lambda pr: abs(pr["efficiency"] - efficiency))
+    lo, hi = med_proto["low"], med_proto["high"]
+    speedup = lo["pr_iter_median_s"] / hi["pr_iter_median_s"]
+
+    total_iters = PROTOCOLS * BLOCKS * FIXED_ITERS
     queries = {
-        # role-qualified: LOW/HIGH/CPUS may coincide under env overrides
-        f"pagerank_{BLOCKS*FIXED_ITERS}iter_scale_low_local{LOW_CORES}": lo["pr_fixed_s"],
-        f"pagerank_{BLOCKS*FIXED_ITERS}iter_scale_high_local{HIGH_CORES}": hi["pr_fixed_s"],
+        # role-qualified: LOW/HIGH/CPUS may coincide under env overrides;
+        # scale totals are summed across all protocols
+        f"pagerank_{total_iters}iter_scale_low_local{LOW_CORES}": round(
+            sum(pr["low"]["pr_fixed_s"] for pr in protocols), 2
+        ),
+        f"pagerank_{total_iters}iter_scale_high_local{HIGH_CORES}": round(
+            sum(pr["high"]["pr_fixed_s"] for pr in protocols), 2
+        ),
         f"pagerank_{BLOCKS*FIXED_ITERS}iter_extras_local{CPUS}": full["pr_fixed_s"],
         f"pagerank_converged_local{CPUS}": full.get("pr_converged_s"),
         f"pagerank_spmv_{FIXED_ITERS}iter_local{CPUS}": full.get("pr_spmv_fixed_s"),
@@ -360,10 +396,17 @@ def main() -> int:
         "high_cores": HIGH_CORES,
         "full_cores": CPUS,
         "scaling_efficiency": efficiency,
+        "scaling_efficiency_protocols": [pr["efficiency"] for pr in protocols],
+        "scaling_estimator": "median of %d full low/high protocols" % PROTOCOLS,
         "pr_converged_iters": full.get("pr_converged_iters"),
         "triangles": full.get("triangles"),
     }
 
+    proto_effs = [pr["efficiency"] for pr in protocols]
+    proto_meds = [
+        (pr["low"]["pr_iter_median_s"], pr["high"]["pr_iter_median_s"])
+        for pr in protocols
+    ]
     md = f"""# BENCH/BASELINE.md — measured numbers (deterministic crawl, seed=42)
 
 Scaling input: synthetic web crawl, {hi['edges']:,} edges /
@@ -377,10 +420,17 @@ N-core executor, not a 32-core machine) and shuffle/spill on tmpfs
 on a real cluster — see bench.py module doc for the A/B measurements).
 PageRank α=0.85, probability form.  Convergence stats are observed
 metrics of the superstep job itself (zero extra jobs per iteration).
-Throughput from the MEDIAN per-superstep
-wall over {BLOCKS}×{FIXED_ITERS} timed supersteps (3 warm-up; blocks
-separated by 15 s settle pauses, best block's median) — because
-this shared VM shows bursty CPU-steal; totals also given.
+Per-level throughput = MEDIAN per-superstep wall ({BLOCKS}×{FIXED_ITERS}
+timed supersteps per protocol, 3 warm-up, best block's median); the
+scaling number of record = MEDIAN efficiency across {PROTOCOLS} full
+low→high protocols, because this shared VM shows minutes-long CPU-steal
+bursts — a single protocol is a point estimate that one burst can sink
+(round 1 recorded 0.798 from one protocol while eight protocols that day
+spanned 0.67–1.07).  Adjacent low/high runs inside a protocol see
+comparable VM weather; the cross-protocol median rejects a burst landing
+on any one protocol.
+
+Protocol-of-record pair (the protocol whose efficiency is the median):
 
 | metric | local[{LOW_CORES}] | local[{HIGH_CORES}] |
 |---|---|---|
@@ -390,8 +440,10 @@ this shared VM shows bursty CPU-steal; totals also given.
 | graph build (s) | {lo['graph_build_s']} | {hi['graph_build_s']} |
 
 **Scaling efficiency ({LOW_CORES}→{HIGH_CORES} cores, {core_ratio:.0f}×):**
-speedup {speedup:.2f} / {core_ratio:.0f} = **{efficiency}** (criterion ≥ 0.8 — two-parallelism-level
-proxy for the N→4N executor rule, per driver instruction).
+median of {PROTOCOLS} protocols = **{efficiency}** (criterion ≥ 0.8 —
+two-parallelism-level proxy for the N→4N executor rule, per driver
+instruction).  Per-protocol efficiencies: {proto_effs}; per-protocol
+(low, high) superstep medians (s): {proto_meds}.
 Readings slightly above 1.0 are measurement noise, not magic: the low
 level's longer wall integrates more of this VM's bursty CPU-steal, and
 fewer concurrent tasks at the high level also means less per-task cache
@@ -426,6 +478,32 @@ Per-superstep walls (s):
 One-off measurements that this file's regeneration does NOT repeat —
 run-to-run variance across full protocols, size scaling to 10^8 edges,
 graph-build fusion, 8→32 saturation — live in BENCH/NOTES.md.
+"""
+    # textops section: measured by tools/bench_textops.py (10^6-doc
+    # corpus, minutes of wall) and cached — embedded, not re-run, so the
+    # per-round driver bench stays bounded
+    tx_path = os.path.join(REPO, "BENCH", "textops.json")
+    if os.path.exists(tx_path):
+        with open(tx_path) as f:
+            tx = json.load(f)
+        timings = "\n".join(
+            f"- {k[:-2]}: {tx[k]} s ({tx.get(k[:-2] + '_rows', '?'):,} rows)"
+            for k in sorted(tx)
+            if k.endswith("_s")
+        )
+        md += f"""
+## Text/LLM-pipeline operators at crawl scale (local[{tx['cores']}])
+
+Deterministic synthetic corpus: {tx['docs']:,} docs × ~{tx['tokens_per_doc']}
+tokens (5% exact dups, 5% near dups — see tools/bench_textops.py for the
+construction); embeddings 64-dim.  Measured once by tools/bench_textops.py
+and embedded here (not re-run per round).
+
+{timings}
+
+MinHash-LSH join cost drivers on this corpus: Σ bucket² =
+{tx['lsh_sum_bucket_sq']:,}, max bucket = {tx['lsh_max_bucket']:,}
+(hot-bucket cap default 1000 bounds any degenerate bucket's cost).
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

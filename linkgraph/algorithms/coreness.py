@@ -1,0 +1,175 @@
+"""Full coreness decomposition — core number of every vertex in ONE run.
+
+``k_core(G, k)`` (kcore.py) answers a single-k membership question; the
+common batch-analytics ask is the whole decomposition: ``coreness(v)`` =
+the largest k such that v belongs to the k-core.  Instead of peeling
+once per k (O(k_max) sweeps over the graph), this implements the
+distributed h-index fixpoint (Montresor, De Pellegrini, Miorandi,
+"Distributed k-core decomposition", and Lü et al.'s H-operator result —
+both public):
+
+    c₀(v)    = deg(v)
+    c_{i+1}(v) = min(c_i(v), H({c_i(u) : u ∈ N(v)}))
+
+where ``H`` is the h-index of the neighbor-estimate multiset (the
+largest h such that ≥ h neighbors have estimate ≥ h).  The sequence is
+monotone non-increasing, bounded below by coreness, and its fixpoint IS
+the coreness vector (locality theorem); iteration count is small in
+practice (≤ graph diameter-ish; measured values in the catalog
+docstring).
+
+Spark shape — hub-safe by construction:
+
+- **No per-vertex neighbor arrays.**  A 10^8-degree hub page must not
+  ``collect_list`` its neighbors.  The h-index is computed from the
+  per-vertex HISTOGRAM of neighbor estimates: ``groupBy(v, c_u).count``
+  is decomposable (map-side partial agg bounds a hub at ≤1 row per map
+  partition per distinct estimate), and the per-vertex histogram has at
+  most |distinct estimates| ≤ k_max(v) buckets — degeneracy-bounded, not
+  degree-bounded.  The h-index then folds over the DESC-sorted histogram
+  in one JVM ``aggregate`` expression: h = max over prefixes of
+  min(bucket value, cumulative count).
+- **Delta rounds.**  A vertex needs recomputation only if some
+  neighbor's estimate changed last round (the H-operator is local) —
+  trajectory-identical to full recomputation because an unchanged
+  neighborhood reproduces last round's H and ``c ≤ min(c, H)`` is
+  already merged.  Round cost is ∝ edges incident to changed vertices,
+  like cc.py's delta-frontier gather.
+- The |V|-scale joins carry ``hint("merge")`` against the silent-
+  broadcast pathology (operators/neighbor_reduce.py).
+
+DuckDB twin: the same H-operator unrolled (queries._coreness_sql) with
+the h-index as ``MAX(LEAST(val, row_number DESC))`` — idempotent past
+the fixpoint, so a fixed unroll ≥ convergence rounds matches the
+converge-or-max_iters engine run exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+from linkgraph.superstep import IterationResult, changed_stats, iterate
+
+# h-index of a DESC-sorted histogram array<struct<c, cnt>>: running
+# cumulative count; candidate at each bucket = min(bucket value, cum);
+# the max over prefixes is the h-index.
+_H_FOLD = (
+    "aggregate(_hist, "
+    "named_struct('cum', cast(0 as bigint), 'best', cast(0 as bigint)), "
+    "(acc, x) -> named_struct("
+    "  'cum', acc.cum + x.cnt, "
+    "  'best', greatest(acc.best, least(x.c, acc.cum + x.cnt))), "
+    "acc -> acc.best)"
+)
+
+
+def coreness_round(sym: DataFrame, state: DataFrame) -> DataFrame:
+    """ONE H-operator round over ``(vid, c, _changed)`` state (the
+    production round body :func:`coreness` iterates — exposed so plan
+    tests assert the shipping plan, not a replica)."""
+    changed = state.where(F.col("_changed")).select(F.col("vid").alias("src"))
+    # vertices with ≥1 changed neighbor: sym is symmetric, so the dsts of
+    # changed srcs are exactly the affected set; the semi-join reuses the
+    # persisted hash(src, P) layout exchange-free
+    affected = (
+        sym.join(changed.hint("merge"), "src", "left_semi")
+        .select("dst")
+        .distinct()
+    )
+    # gather ALL neighbor estimates for affected vertices (the h-index
+    # needs the full multiset, unlike min/sum gathers): rows (src=v, dst=u)
+    # for v ∈ affected, then u's estimate.  The affected set arrives
+    # hash(dst,P)-partitioned from the distinct; renaming to src keeps
+    # that layout (same hash family), so this semi-join is exchange-free.
+    edges_aff = sym.join(
+        affected.withColumnRenamed("dst", "src").hint("merge"),
+        "src",
+        "left_semi",
+    )
+    vals = edges_aff.join(
+        state.select(F.col("vid").alias("dst"), F.col("c").alias("_cn")).hint(
+            "merge"
+        ),
+        "dst",
+    )
+    hist = vals.groupBy(F.col("src").alias("vid"), F.col("_cn").alias("c")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    h = (
+        hist.groupBy("vid")
+        .agg(
+            F.reverse(
+                F.array_sort(F.collect_list(F.struct("c", "cnt")))
+            ).alias("_hist")
+        )
+        .select("vid", F.expr(_H_FOLD).alias("_h"))
+    )
+    merged = F.least("c", F.coalesce("_h", F.col("c")))
+    return state.join(h.hint("merge"), "vid", "left").select(
+        "vid",
+        merged.alias("c"),
+        (merged != F.col("c")).alias("_changed"),
+    )
+
+
+def coreness(graph: Graph, max_iters: int = 500) -> IterationResult:
+    """Core number of every vertex: state ``(vid, coreness)``.
+
+    Exact (fixpoint of the H-operator == coreness, Lü et al.); isolated
+    vertices (if the graph has any) get coreness 0.
+    """
+    sym = graph.symmetrized_edges
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    init = (
+        graph.vertices.join(deg.hint("merge"), "vid", "left")
+        .select(
+            "vid",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.lit(True).alias("_changed"),
+        )
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        return coreness_round(sym, state)
+
+    result = iterate(
+        init,
+        step,
+        stats_cols=changed_stats(),
+        converged=lambda s: (s.get("changed") or 0) == 0,
+        max_iters=max_iters,
+    )
+    result.state = result.state.select(
+        "vid", F.col("c").cast("long").alias("coreness")
+    )
+    return result
+
+
+def coreness_rounds(graph: Graph, rounds: int) -> DataFrame:
+    """Exactly ``rounds`` H-operator rounds from c₀ = deg — the
+    deterministic fixed-round form the SQL-oracle harness compares
+    (the DuckDB twin unrolls the same count; past the fixpoint extra
+    rounds are no-ops, so rounds ≥ convergence reproduces
+    :func:`coreness`)."""
+    sym = graph.symmetrized_edges
+    state = (
+        graph.vertices.join(
+            sym.groupBy(F.col("src").alias("vid"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .hint("merge"),
+            "vid",
+            "left",
+        )
+        .select(
+            "vid",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.lit(True).alias("_changed"),
+        )
+    )
+    for i in range(rounds):
+        state = coreness_round(sym, state).localCheckpoint(eager=True)
+    return state.select("vid", F.col("c").cast("long").alias("coreness"))

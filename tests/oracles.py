@@ -258,6 +258,34 @@ def kcore_oracle(edges, k: int) -> dict[int, int]:
     return {v: sum(1 for u in adj[v] if u in alive) for v in sorted(alive)}
 
 
+def coreness_oracle(edges) -> dict[int, int]:
+    """Core number of every vertex (simple min-degree peel; exact)."""
+    e = _normalize(edges)
+    adj: dict[int, set[int]] = defaultdict(set)
+    for s, d in e:
+        adj[int(s)].add(int(d))
+        adj[int(d)].add(int(s))
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core: dict[int, int] = {}
+    alive = set(adj)
+    k = 0
+    while alive:
+        k = max(k, min(deg[v] for v in alive))
+        peel = [v for v in alive if deg[v] <= k]
+        while peel:
+            v = peel.pop()
+            if v not in alive:
+                continue
+            core[v] = k
+            alive.discard(v)
+            for u in adj[v]:
+                if u in alive:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        peel.append(u)
+    return core
+
+
 def spgemm_square_oracle(edges) -> dict[tuple[int, int], int]:
     """A² nonzeros of the directed unweighted adjacency (paths of len 2)."""
     e = _normalize(edges)

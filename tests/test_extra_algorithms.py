@@ -9,6 +9,7 @@ import pytest
 from conftest import edges_df
 from linkgraph.algorithms.bc import betweenness_centrality
 from linkgraph.algorithms.coloring import jpl_coloring
+from linkgraph.algorithms.coreness import coreness, coreness_rounds
 from linkgraph.algorithms.hits import hits
 from linkgraph.algorithms.kcore import k_core
 from linkgraph.algorithms.ppr import personalized_pagerank
@@ -17,6 +18,7 @@ from linkgraph.fixtures import MICRO_GRAPHS, chesapeake_edges
 from linkgraph.graph import Graph
 from oracles import (
     bc_oracle,
+    coreness_oracle,
     hits_oracle,
     kcore_oracle,
     ppr_oracle,
@@ -105,6 +107,54 @@ def test_kcore_chain_unravels(spark):
     # chain: 2-core is empty — peeling must fully cascade (many rounds)
     g = Graph.from_edges(edges_df(spark, MICRO_GRAPHS["chain"]), num_partitions=2)
     assert k_core(g, 2).state.count() == 0
+
+
+# ---------------------------------------------------------- coreness ----
+
+def test_coreness_chesapeake(spark, chesapeake_graph):
+    want = coreness_oracle(chesapeake_edges())
+    res = coreness(chesapeake_graph)
+    got = {r.vid: r.coreness for r in res.state.collect()}
+    assert got == want
+
+
+def test_coreness_matches_kcore_slices(spark, chesapeake_graph):
+    # coreness(v) >= k  ⇔  v ∈ k_core(k): the decomposition must slice
+    # back to the single-k operator for every k present
+    core = {r.vid: r.coreness for r in coreness(chesapeake_graph).state.collect()}
+    for k in (2, 3, max(core.values())):
+        want = {v for v, c in core.items() if c >= k}
+        got = {r.vid for r in k_core(chesapeake_graph, k).state.collect()}
+        assert got == want, k
+
+
+def test_coreness_structures(spark):
+    # 4-clique (coreness 3) + tail (1), chain (all 1), synthetic crawl
+    edges = [(i, j) for i in range(4) for j in range(4) if i < j]
+    edges += [(3, 4), (4, 5)]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
+    got = {r.vid: r.coreness for r in coreness(g).state.collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1}
+
+    from linkgraph.fixtures import synthetic_crawl
+
+    crawl = synthetic_crawl(300, seed=7)
+    g2 = Graph.from_edges(edges_df(spark, crawl), num_partitions=4)
+    got2 = {r.vid: r.coreness for r in coreness(g2).state.collect()}
+    assert got2 == coreness_oracle(crawl)
+
+
+def test_coreness_rounds_converges_to_fixpoint(spark, chesapeake_graph):
+    # fixed-round form (the SQL-oracle twin's counting): enough rounds
+    # reproduce the converged run — extra rounds are no-ops
+    res = coreness(chesapeake_graph)
+    want = {r.vid: r.coreness for r in res.state.collect()}
+    r = res.iterations + 2
+    got = {
+        r_.vid: r_.coreness
+        for r_ in coreness_rounds(chesapeake_graph, r).collect()
+    }
+    assert got == want
 
 
 # ----------------------------------------------------------- coloring ----
