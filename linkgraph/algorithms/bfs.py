@@ -39,9 +39,14 @@ one up-front count job, cached on the Graph).  The visited set and
 depth labels are IDENTICAL in every mode (both compute "has an edge
 from the depth-d frontier"); the differential test pins push vs
 optimized vs pull equality on the synthetic crawl.  Measured on the
-10^7-edge undirected crawl (local[8], interleaved reps): optimized
-25.3/22.3 s vs push-only 41.7/29.5 s to full traversal, pull firing
-in the 4 dense middle rounds — BENCH/NOTES.md.
+10^7-edge undirected crawl (local[8], interleaved reps,
+BENCH/NOTES.md): with the default beta=24 switch-back guard,
+optimized 26.2/29.6 s vs push-only 31.6/30.4 s to full traversal
+(pull fires in the 2 densest rounds); with the guard disabled
+(beta→∞-equivalent, NOT the shipped default) pull fires in 4 rounds
+and measured 25.3/22.3 s vs 41.7/29.5 s — faster on this crawl, but
+the guard is kept because a tiny tail frontier must never pay pull's
+per-round |V|+|E|-scan floor on deeper graphs.
 """
 
 from __future__ import annotations
@@ -143,6 +148,7 @@ def bfs(
         got = checkpoint.latest()
         if got is not None:
             depth, saved, stats = got
+            checkpoint.truncate_metrics(depth)
             state = plain_checkpoint(saved, replaces=state)
             # metadata-only restart: the epoch manifest already stores
             # the size/frontier counts — no |V|-scan jobs on relaunch

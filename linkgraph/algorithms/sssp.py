@@ -65,6 +65,7 @@ def sssp(
         got = checkpoint.latest()
         if got is not None:
             it, saved, stats = got
+            checkpoint.truncate_metrics(it)
             leaf = plain_checkpoint(saved, replaces=leaf)
             state = leaf.select("vid", "dist")
             improved = leaf.where("_improved").select("vid", "dist")

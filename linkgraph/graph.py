@@ -280,7 +280,13 @@ class Graph:
         w.format("parquet").saveAsTable(table)
 
     @classmethod
-    def load_bucketed(cls, spark: SparkSession, table: str, persist: bool = True) -> "Graph":
+    def load_bucketed(
+        cls,
+        spark: SparkSession,
+        table: str,
+        persist: bool = True,
+        strict: bool = True,
+    ) -> "Graph":
         """Rebuild a Graph from a :meth:`save_bucketed` table — no shuffle.
 
         The bucketed scan advertises ``HashPartitioning(src, P)`` (with
@@ -288,14 +294,18 @@ class Graph:
         canonical layout comes back for free; edges were normalized
         before saving, so no dedupe pass either.
 
-        The loading session's ``spark.sql.shuffle.partitions`` MUST equal
-        the table's bucket count (the Graph contract from
+        The loading session's ``spark.sql.shuffle.partitions`` SHOULD
+        equal the table's bucket count (the Graph contract from
         :meth:`from_edges`): on mismatch the state side of every
         superstep join would re-exchange a full |E|-scale side each
         iteration — the exact regression the bucketed snapshot exists to
-        avoid — so this raises instead of silently degrading.  Set the
-        session's shuffle partitions to the bucket count (or re-save the
-        snapshot at the new width) before loading.
+        avoid.  ``strict=True`` (the default, for iterate()-bound loads)
+        raises on mismatch; ``strict=False`` is the read-only/ad-hoc
+        escape hatch (ADVICE r01): it warns and builds the Graph at the
+        TABLE's bucket count, which is still exchange-free for the
+        graph's own derived views — only a superstep runtime using the
+        session width would re-exchange, and such callers should stay
+        strict.
         """
         desc = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
         n_buckets = None
@@ -306,12 +316,22 @@ class Graph:
             raise ValueError(f"{table} is not a bucketed table")
         session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         if session_parts != n_buckets:
-            raise ValueError(
+            msg = (
                 f"bucketed table {table} has {n_buckets} buckets but "
                 f"spark.sql.shuffle.partitions={session_parts}; the "
                 "exchange-free superstep contract requires them equal — "
                 "set the session's shuffle partitions to the bucket "
                 "count before load_bucketed, or rebuild the snapshot"
+            )
+            if strict:
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(
+                msg + " (strict=False: loading at the table's bucket "
+                "count; superstep joins against session-width state "
+                "will re-exchange)",
+                stacklevel=2,
             )
         # The bucketed scan restores HashPartitioning(src, P) but NOT the
         # sort half of the canonical layout (Spark ignores bucket-file

@@ -773,6 +773,77 @@ s{i} AS MATERIALIZED (SELECT * FROM s{i - 1} UNION ALL SELECT * FROM f{i}),"""
     return "\n".join(parts)
 
 
+def _brandes_multi_unrolled_sql(
+    levels: int = 10, num_sources: int = 4, seed: int = 0
+) -> str:
+    """Unrolled MULTI-source Brandes (twin of ``q_bc_sampled``): the same
+    forward/backward chain as :func:`_brandes_unrolled_sql` with a
+    ``root`` column carried through every CTE — the SQL image of the
+    engine's batched runner (bc.bc_batched).  Sources are the
+    deterministic arithmetic sample ``ORDER BY h(h(vid))``,
+    ``h(x) = (x·A + seed) mod P`` (bc.sample_sources — identical
+    constants and double application), and the estimator scale
+    n/s is applied at the end, so this replays ``bc_sampled(g, s,
+    scale=True)`` exactly.  ``levels`` ≥ max eccentricity over sampled
+    sources is exact (measured ecc ≤ 4 at sf0.001–0.1; 10 = margin —
+    rounds past a root's eccentricity are empty no-ops for that root).
+    """
+    from linkgraph.algorithms.bc import BC_SAMPLE_A, BC_SAMPLE_P
+
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        SYM_SQL.strip() + ",",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM "
+        "(SELECT src FROM sym UNION ALL SELECT dst FROM sym) z),",
+        f"sample AS MATERIALIZED (SELECT vid FROM verts "
+        f"ORDER BY (((vid * {BC_SAMPLE_A} + {seed}) % {BC_SAMPLE_P}) "
+        f"* {BC_SAMPLE_A} + {seed}) % {BC_SAMPLE_P}, vid "
+        f"LIMIT {num_sources}),",
+        "s0 AS MATERIALIZED (SELECT vid AS root, vid, 0 AS depth, "
+        "CAST(1 AS DOUBLE) AS sigma FROM sample),",
+    ]
+    for i in range(1, levels + 1):
+        parts.append(
+            f"""f{i} AS MATERIALIZED (
+  SELECT f.root, e.dst AS vid, {i} AS depth, SUM(f.sigma) AS sigma
+  FROM sym e JOIN s{i - 1} f ON f.vid = e.src AND f.depth = {i - 1}
+  WHERE NOT EXISTS (SELECT 1 FROM s{i - 1} p
+                    WHERE p.root = f.root AND p.vid = e.dst)
+  GROUP BY f.root, e.dst
+),
+s{i} AS MATERIALIZED (SELECT * FROM s{i - 1} UNION ALL SELECT * FROM f{i}),"""
+        )
+    parts.append(
+        f"b{levels} AS MATERIALIZED (SELECT root, vid, depth, sigma, "
+        f"CAST(0 AS DOUBLE) AS dep FROM s{levels}),"
+    )
+    for d in range(levels - 1, -1, -1):
+        parts.append(
+            f"""b{d} AS MATERIALIZED (
+  SELECT st.root, st.vid, st.depth, st.sigma,
+         CASE WHEN st.depth = {d} AND c.part IS NOT NULL
+              THEN st.sigma * c.part ELSE st.dep END AS dep
+  FROM b{d + 1} st LEFT JOIN (
+    SELECT u.root, e.src AS vid, SUM((1 + u.dep) / u.sigma) AS part
+    FROM sym e JOIN b{d + 1} u ON u.vid = e.dst AND u.depth = {d + 1}
+    GROUP BY u.root, e.src
+  ) c ON c.root = st.root AND c.vid = st.vid
+),"""
+        )
+    parts.append(
+        "tot AS MATERIALIZED (SELECT vid, SUM(dep) AS dep FROM b0 "
+        "WHERE vid <> root GROUP BY vid),"
+        "nrow AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)"
+    )
+    parts.append(
+        f"SELECT v.vid, ROUND((nrow.n / {num_sources}) * 0.5 * "
+        "COALESCE(t.dep, 0), 6) AS bc6 "
+        "FROM verts v CROSS JOIN nrow LEFT JOIN tot t ON t.vid = v.vid "
+        "ORDER BY v.vid"
+    )
+    return "\n".join(parts)
+
+
 FINGERPRINT_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(list_reduce(
@@ -1307,6 +1378,21 @@ def q_bc_source0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bc_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-sampled BC estimate (4 deterministic arithmetic-sample
+    sources, scale n/s), run by the BATCHED multi-source Brandes
+    (bc.bc_batched — job count independent of sample size); DuckDB twin
+    = the same root-keyed unroll + sample + scale
+    (_brandes_multi_unrolled_sql).  Estimator exactness at s = n and the
+    s < n error bound are pinned in tests/test_extra_algorithms."""
+    from linkgraph.algorithms.bc import bc_sampled
+
+    g = build_graph(spark, sf_dir)
+    return bc_sampled(g, 4, seed=0, scale=True).select(
+        "vid", F.round("bc", 6).alias("bc6")
+    )
+
+
 def q_geolocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial-median spread, DuckDB-oracled by a 20-round unroll
     (_geolocation_unrolled_sql); semantics also pinned vs the NumPy
@@ -1708,6 +1794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spmv_weighted": q_spmv_weighted,
     "jpl_coloring": q_coloring,
     "bc_source0": q_bc_source0,
+    "bc_sampled": q_bc_sampled,
     "mst": q_mst,
     "geolocation": q_geolocation,
     "dedup_exact": q_dedup_exact,
@@ -1753,6 +1840,7 @@ ORACLES: dict[str, str] = {
     "simhash": _simhash_sql(),
     "doc_fingerprint": FINGERPRINT_SQL,
     "bc_source0": _brandes_unrolled_sql(8),
+    "bc_sampled": _brandes_multi_unrolled_sql(10, 4, 0),
     "jpl_coloring": _jpl_unrolled_sql(48),
     "mst": _boruvka_unrolled_sql(16, 12),
     "spgemm_square": SPGEMM_SQUARE_SQL,

@@ -183,6 +183,43 @@ class CheckpointManager:
         with open(os.path.join(self.directory, "metrics.jsonl"), "a") as f:
             f.write(json.dumps(row) + "\n")
 
+    def truncate_metrics(self, resume_iter: int) -> None:
+        """Drop metrics rows from iterations being re-run after a resume.
+
+        A crash between the last durable epoch (iteration k) and the
+        next one leaves metrics rows for iterations > k; the resumed run
+        re-executes and re-appends those iterations, so consumers that
+        count rows or sum ``new_vertices`` would double-count (ADVICE
+        r01).  Called by the resume paths with the epoch iteration:
+        rewrites metrics.jsonl keeping rows with ``iter`` ≤ k (and rows
+        without an ``iter`` key), then appends a ``resume_from`` marker
+        so the restart point stays visible in the log.
+        """
+        path = os.path.join(self.directory, "metrics.jsonl")
+        if not os.path.exists(path):
+            return
+        with open(path) as f:
+            lines = f.readlines()
+        kept, dropped = [], 0
+        for line in lines:
+            try:
+                row = json.loads(line)
+            except json.JSONDecodeError:
+                kept.append(line)
+                continue
+            if isinstance(row.get("iter"), (int, float)) and row["iter"] > resume_iter:
+                dropped += 1
+            else:
+                kept.append(line)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.writelines(kept)
+            f.write(
+                json.dumps({"resume_from": resume_iter, "dropped_rows": dropped})
+                + "\n"
+            )
+        os.replace(tmp, path)
+
     def latest(self) -> tuple[int, DataFrame, dict] | None:
         """Most recent complete epoch → (iteration, state, stats)."""
         if not os.path.isdir(self.directory):
@@ -368,6 +405,7 @@ def iterate(
         found = checkpoint.latest()
         if found is not None:
             start_iter, state, saved_stats = found
+            checkpoint.truncate_metrics(start_iter)
             # A resumed run whose saved stats already satisfy the
             # convergence predicate is a no-op: re-running a superstep
             # would append a spurious epoch + metrics row and inflate

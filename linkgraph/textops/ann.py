@@ -222,6 +222,16 @@ def lsh_bucket_ids_portable(
     )
 
 
+def _resolve_seed(seed: int | None, planes: str) -> int:
+    """Per-family default seed: 42 for gaussian (historical default),
+    0 for arith — the value the arith path effectively used before it
+    honored ``seed``, so un-pinned callers keep their pre-fix buckets
+    (ADVICE r01: breaking-behavior guard)."""
+    if seed is not None:
+        return seed
+    return 0 if planes == "arith" else 42
+
+
 def _bucket_fn(planes: str):
     if planes == "arith":
         return lambda df, dim, nt, bpt, seed, idc, vc: lsh_bucket_ids_portable(
@@ -239,7 +249,7 @@ def lsh_cosine_topk(
     k: int = 10,
     num_tables: int = 4,
     bits_per_table: int = 8,
-    seed: int = 42,
+    seed: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -252,12 +262,14 @@ def lsh_cosine_topk(
     (seeded NumPy, Arrow matmul — default) or "arith" (portable
     Rademacher folds — the DuckDB-oracle path).
 
-    NOTE: since the seed-offset fix, ``planes="arith"`` HONORS ``seed``
-    (plane j uses hash row j+seed); earlier builds silently ignored it.
-    Pass ``seed=0`` to reproduce the documented un-offset formula (what
-    the catalog oracles pin) — the default ``seed=42`` selects a
-    different, equally valid plane family.
+    ``seed=None`` resolves per plane family: 42 for "gaussian" (its
+    historical default) and 0 for "arith" — the arith path's effective
+    value from before it honored ``seed`` at all, so callers who never
+    pinned a seed keep their pre-fix buckets/pairs (and the catalog
+    oracles' un-offset formula).  Pass an explicit seed to select a
+    different plane family on either path.
     """
+    seed = _resolve_seed(seed, planes)
     bucket = _bucket_fn(planes)
     corpus_b = bucket(
         embeddings, dim, num_tables, bits_per_table, seed, id_col, vec_col
@@ -578,7 +590,7 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     num_tables: int = 6,
     bits_per_table: int = 10,
-    seed: int = 42,
+    seed: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: str = "gaussian",
@@ -586,10 +598,11 @@ def embedding_near_duplicates(
     """Corpus near-dup pairs ``(a, b, cosine)`` with cosine ≥ threshold.
 
     LSH-bucketed self-join — quadratic only within buckets.  ``planes``
-    as in :func:`lsh_cosine_topk` — including the note there that
-    ``planes="arith"`` now honors ``seed`` (``seed=0`` = the un-offset
-    oracle formula).
+    and the ``seed=None`` per-family default (42 gaussian / 0 arith,
+    back-compatible with pre-seed-fix arith callers) as in
+    :func:`lsh_cosine_topk`.
     """
+    seed = _resolve_seed(seed, planes)
     b = _bucket_fn(planes)(
         embeddings, dim, num_tables, bits_per_table, seed, id_col, vec_col
     )

@@ -257,3 +257,67 @@ def test_bc_path_graph(spark):
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-9)
     assert got[2] > got[1] > got[0]
+
+
+def test_bc_batched_equals_sequential(spark, chesapeake_graph):
+    """One root-keyed superstep set == the per-source loop, bit-for-bit
+    semantics (float tolerance only for cross-root summation order)."""
+    from linkgraph.algorithms.bc import bc_batched
+
+    sources = [0, 3, 7, 11]
+    seq = {
+        r.vid: r.bc
+        for r in betweenness_centrality(chesapeake_graph, sources).collect()
+    }
+    bat = {
+        r.vid: r.bc for r in bc_batched(chesapeake_graph, sources).collect()
+    }
+    assert set(seq) == set(bat)
+    for v in seq:
+        assert bat[v] == pytest.approx(seq[v], abs=1e-9)
+
+
+def test_bc_sampled_full_sample_is_exact(spark, chesapeake_graph):
+    """s = n ⇒ the estimator's scale factor is 1 and the sample is every
+    vertex: bc_sampled must EQUAL all-sources exact BC."""
+    from linkgraph.algorithms.bc import bc_sampled
+
+    n = chesapeake_graph.num_vertices
+    got = {
+        r.vid: r.bc for r in bc_sampled(chesapeake_graph, n).collect()
+    }
+    all_verts = sorted({v for e in chesapeake_edges() for v in e})
+    want = bc_oracle(chesapeake_edges(), sources=all_verts)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+def test_bc_sampled_error_bound(spark, chesapeake_graph):
+    """Half the sources on chesapeake: the scaled estimate must track the
+    exact values — top-3 exact vertices all land in the estimated top-6,
+    and mean absolute error stays well under the exact mean BC."""
+    import numpy as np
+
+    from linkgraph.algorithms.bc import bc_sampled
+
+    n = chesapeake_graph.num_vertices
+    est = {
+        r.vid: r.bc for r in bc_sampled(chesapeake_graph, n // 2).collect()
+    }
+    all_verts = sorted({v for e in chesapeake_edges() for v in e})
+    want = bc_oracle(chesapeake_edges(), sources=all_verts)
+    exact_top = sorted(want, key=lambda v: -want[v])[:3]
+    est_top6 = set(sorted(est, key=lambda v: -est[v])[:6])
+    assert set(exact_top) <= est_top6
+    errs = np.array([abs(est[v] - want[v]) for v in want])
+    mean_bc = np.mean([want[v] for v in want])
+    assert errs.mean() < mean_bc
+
+
+def test_bc_sample_sources_deterministic(spark, chesapeake_graph):
+    from linkgraph.algorithms.bc import sample_sources
+
+    a = sample_sources(chesapeake_graph, 5)
+    b = sample_sources(chesapeake_graph, 5)
+    assert a == b and len(a) == 5

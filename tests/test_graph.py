@@ -96,3 +96,33 @@ def test_bucketed_snapshot_roundtrip_and_no_shuffle(spark, tmp_path):
         assert all(abs(r1[v] - r2[v]) < 1e-12 for v in r1)
     finally:
         spark.sql("DROP TABLE IF EXISTS snap_edges")
+
+
+def test_load_bucketed_strict_escape_hatch(spark, tmp_path):
+    """Width mismatch: strict=True raises (superstep contract); the
+    strict=False escape hatch (ADVICE r01) warns and loads read-only at
+    the TABLE's bucket count with identical edges."""
+    import warnings
+
+    import pytest
+
+    from linkgraph.fixtures import chesapeake_edges
+
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    g = Graph.from_edges(edges_df(spark, chesapeake_edges()), num_partitions=parts)
+    g.save_bucketed("snap_edges_w", path=str(tmp_path / "snapw"))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts * 2))
+        with pytest.raises(ValueError, match="bucket"):
+            Graph.load_bucketed(spark, "snap_edges_w")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            g2 = Graph.load_bucketed(spark, "snap_edges_w", strict=False)
+        assert any("bucket" in str(w.message) for w in caught)
+        assert g2.num_partitions == parts  # table width, not session width
+        a = {(r.src, r.dst) for r in g.edges.collect()}
+        b = {(r.src, r.dst) for r in g2.edges.collect()}
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        spark.sql("DROP TABLE IF EXISTS snap_edges_w")

@@ -184,3 +184,35 @@ def test_bfs_sssp_converged_resume_is_noop(spark, tmp_path):
         assert sorted(
             d for d in os.listdir(ckdir) if d.startswith("epoch=")
         ) == epochs
+
+
+def test_resume_truncates_rerun_metrics(spark, tmp_path):
+    """Metrics rows from iterations re-run after a crash-resume are
+    dropped (ADVICE r01): consumers summing new_vertices/iter rows see
+    each iteration exactly once, plus an explicit resume marker."""
+    import json
+
+    from linkgraph.algorithms.bfs import bfs
+    from linkgraph.fixtures import synthetic_crawl
+    from linkgraph.graph import Graph
+    from tests.conftest import edges_df
+
+    import shutil
+
+    g = Graph.from_edges(edges_df(spark, synthetic_crawl(200)), num_partitions=4)
+    ckdir = str(tmp_path / "trunc_ck")
+    ck = CheckpointManager(spark, ckdir)
+    bfs(g, 0, directed=False, max_iters=3, checkpoint=ck, checkpoint_every=2)
+    # simulate a crash after the iter-3 metrics row but before its epoch
+    # survived: drop the epoch=3 directory — resume restarts from epoch 2
+    # and RE-RUNS iteration 3
+    shutil.rmtree(ck.epoch_dir(3))
+    res = bfs(g, 0, directed=False, checkpoint=CheckpointManager(spark, ckdir),
+              checkpoint_every=2)
+    assert res.converged
+    with open(f"{ckdir}/metrics.jsonl") as f:
+        rows = [json.loads(line) for line in f]
+    iters = [r["iter"] for r in rows if "iter" in r]
+    assert len(iters) == len(set(iters)), f"duplicate metrics rows: {iters}"
+    assert sorted(iters) == list(range(1, res.iterations + 1))
+    assert any("resume_from" in r for r in rows)
