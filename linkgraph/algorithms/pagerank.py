@@ -97,8 +97,21 @@ def pagerank(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 5,
     resume: bool = True,
+    init_ranks: DataFrame | None = None,
 ) -> IterationResult:
-    """Run PageRank to convergence; result state is ``(vid, rank)``, Σ=1."""
+    """Run PageRank to convergence; result state is ``(vid, rank)``, Σ=1.
+
+    ``init_ranks`` — warm start: a ``(vid, rank)`` table (typically the
+    PREVIOUS crawl epoch's converged state) seeds the iteration instead
+    of the uniform vector.  Vertices absent from it (new pages) start at
+    the uniform prior 1/n; the seeded vector is renormalized to Σ=1 so
+    the probability-form invariant holds from iteration 0.  Power
+    iteration converges to the same unique fixpoint from any
+    non-degenerate start (α < 1 ⇒ the damped operator is a contraction),
+    so a warm start changes ONLY the iteration count — fewer iterations
+    the closer the previous epoch's graph is to the current one
+    (tests/test_streaming.py pins warm < cold on an incremented crawl).
+    """
     n = graph.num_vertices
     if n == 0:
         empty = graph.spark.createDataFrame([], "vid long, rank double")
@@ -106,9 +119,24 @@ def pagerank(
     # State permanently carries outdeg (null for dangling vertices): the
     # degree table is joined ONCE at init, not per superstep — the
     # reference likewise keeps degrees resident next to ranks in problem_t.
-    init = graph.vertices.select(
-        "vid", F.lit(1.0 / n).alias("rank")
-    ).join(graph.out_degrees, "vid", "left")
+    if init_ranks is not None:
+        seeded = graph.vertices.join(
+            init_ranks.select("vid", F.col("rank").alias("_r0")), "vid", "left"
+        ).select(
+            "vid", F.coalesce("_r0", F.lit(1.0 / n)).alias("rank")
+        )
+        total = float(
+            seeded.agg(F.sum("rank").alias("t")).collect()[0]["t"]
+        )
+        if total <= 0:
+            raise ValueError("init_ranks must have positive total mass")
+        init = seeded.select(
+            "vid", (F.col("rank") / F.lit(total)).alias("rank")
+        ).join(graph.out_degrees, "vid", "left")
+    else:
+        init = graph.vertices.select(
+            "vid", F.lit(1.0 / n).alias("rank")
+        ).join(graph.out_degrees, "vid", "left")
 
     if strategy == "spmv":
         from linkgraph.csr import spmv_contrib_sums

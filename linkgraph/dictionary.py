@@ -85,6 +85,33 @@ def encode_urls(urls: DataFrame, num_partitions: int | None = None, col: str = "
     return distinct.mapInArrow(assign, schema="url string, vid long")
 
 
+def extend_urls(
+    existing: DataFrame, urls: DataFrame, col: str = "url"
+) -> DataFrame:
+    """Grow a dictionary with NEW urls only — existing ids never move.
+
+    The incremental-crawl contract: per-vertex state keyed by vid from a
+    previous epoch (ranks, components, checkpoints) stays valid across a
+    dictionary extension, because a url present in ``existing`` keeps its
+    vid verbatim.  Urls of ``urls`` not yet in the dictionary get dense
+    ids starting at ``max(existing.vid) + 1``, assigned by the same
+    deterministic two-pass scheme as :func:`encode_urls` (global sort
+    order among the new urls).  Returns the unioned ``(url, vid)``
+    dictionary.
+    """
+    new_urls = (
+        urls.select(F.col(col).alias("url"))
+        .dropDuplicates(["url"])
+        .join(existing.select("url"), "url", "left_anti")
+    )
+    row = existing.agg(F.max("vid").alias("m")).collect()[0]
+    base = int(row["m"]) + 1 if row["m"] is not None else 0
+    fresh = encode_urls(new_urls).select(
+        "url", (F.col("vid") + F.lit(base)).alias("vid")
+    )
+    return existing.select("url", "vid").unionByName(fresh)
+
+
 def edges_from_url_pairs(
     url_pairs: DataFrame,
     vertices: DataFrame,

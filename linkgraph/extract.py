@@ -169,3 +169,48 @@ def pages_to_edge_urls(pages: DataFrame) -> DataFrame:
         .where(F.col("src_url") != F.col("dst_url"))
         .dropDuplicates(["src_url", "dst_url"])
     )
+
+
+def host_of(col) -> "F.Column":
+    """Host component of an absolute http(s) url, JVM-side.
+
+    ``regexp_extract`` with the simple-subset pattern
+    ``^https?://([^/?#]+)`` — identical semantics in Spark and DuckDB
+    (the host_graph catalog oracle replays it), lowercased (hostnames
+    are case-insensitive, RFC 3986 §3.2.2).  Urls with no match (wrong
+    scheme, relative) yield NULL so callers can drop or bucket them.
+    """
+    h = F.lower(F.regexp_extract(col, r"^https?://([^/?#]+)", 1))
+    return F.when(h != "", h)
+
+
+def host_graph(
+    url_pairs: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    include_self: bool = False,
+) -> DataFrame:
+    """Page-level link pairs → host-level graph
+    ``(src_host, dst_host, weight)``.
+
+    The standard web-graph rollup (Common Crawl publishes exactly this
+    artifact next to its page graph): weight = number of page-level
+    links between the two hosts.  ``include_self=False`` (default)
+    drops intra-host edges — the bulk of raw links are navigation
+    within a site and drown inter-host signal.  Unparseable urls (NULL
+    host) are dropped.
+
+    Scale shape: one JVM regexp pass + one hash aggregation whose key
+    space is |hosts|² ≪ |E| — partial (map-side) aggregation collapses
+    each task's repeats before the shuffle, so shuffled volume is
+    bounded by distinct host pairs per task, not page-level links.
+    """
+    pairs = url_pairs.select(
+        host_of(F.col(src_col)).alias("src_host"),
+        host_of(F.col(dst_col)).alias("dst_host"),
+    ).where(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
+    if not include_self:
+        pairs = pairs.where(F.col("src_host") != F.col("dst_host"))
+    return pairs.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("weight")
+    )

@@ -844,6 +844,75 @@ s{i} AS MATERIALIZED (SELECT * FROM s{i - 1} UNION ALL SELECT * FROM f{i}),"""
     return "\n".join(parts)
 
 
+# Deterministic synthetic multi-capture link log over the derived edges
+# (twin input for q_link_log_compact): capture 1 = every edge at T1;
+# every src ≡ 0 (mod 3) is recrawled at T2 — with its link set SHIFTED
+# ((dst+1) mod n) when src ≢ 0 (mod 9), or with NO links (the NULL
+# marker row stream_link_log would emit) when src ≡ 0 (mod 9).  Runs
+# verbatim in Spark SQL and DuckDB.
+LINK_LOG_SYNTH_SQL = """
+recrawl_src AS (SELECT DISTINCT src FROM edges WHERE src % 3 = 0),
+link_log AS (
+  SELECT src AS src_url, dst AS dst_url,
+         CAST('2024-01-01 00:00:00' AS TIMESTAMP) AS warc_ts,
+         CAST(1 AS BIGINT) AS capture
+  FROM edges
+  UNION ALL
+  SELECT e.src AS src_url, CAST((e.dst + 1) % nn.n AS BIGINT) AS dst_url,
+         CAST('2024-02-01 00:00:00' AS TIMESTAMP) AS warc_ts,
+         CAST(2 AS BIGINT) AS capture
+  FROM edges e CROSS JOIN nn
+  WHERE e.src % 3 = 0 AND e.src % 9 <> 0
+  UNION ALL
+  SELECT r.src AS src_url, CAST(NULL AS BIGINT) AS dst_url,
+         CAST('2024-02-01 00:00:00' AS TIMESTAMP) AS warc_ts,
+         CAST(2 AS BIGINT) AS capture
+  FROM recrawl_src r WHERE r.src % 9 = 0
+)
+"""
+
+# latest-wins compaction replayed in SQL (twin of
+# streaming.compact_link_log): winning (warc_ts, capture) per src by the
+# same total order, join back, drop markers, distinct edges.
+LINK_LOG_COMPACT_SQL_TAIL = """
+best AS (
+  SELECT src_url, warc_ts, capture FROM (
+    SELECT src_url, warc_ts, capture,
+           ROW_NUMBER() OVER (PARTITION BY src_url
+                              ORDER BY warc_ts DESC, capture DESC) AS rn
+    FROM (SELECT DISTINCT src_url, warc_ts, capture FROM link_log) z
+  ) y WHERE rn = 1
+)
+SELECT DISTINCT l.src_url AS src, l.dst_url AS dst
+FROM link_log l
+JOIN best b ON b.src_url = l.src_url AND b.warc_ts = l.warc_ts
+           AND b.capture = l.capture
+WHERE l.dst_url IS NOT NULL
+"""
+
+# Synthetic absolute urls over the derived edges (twin input for
+# q_host_graph): 20 hosts by src/dst mod; runs verbatim in both engines.
+HOST_PAIRS_SQL = """
+pairs AS (
+  SELECT CONCAT('https://site', CAST(src % 20 AS STRING),
+                '.example/d/', CAST(src AS STRING)) AS src_url,
+         CONCAT('https://site', CAST(dst % 20 AS STRING),
+                '.example/d/', CAST(dst AS STRING)) AS dst_url
+  FROM edges
+)
+"""
+
+HOST_GRAPH_SQL_TAIL = """
+SELECT lower(regexp_extract(src_url, '^https?://([^/?#]+)', 1)) AS src_host,
+       lower(regexp_extract(dst_url, '^https?://([^/?#]+)', 1)) AS dst_host,
+       CAST(COUNT(*) AS BIGINT) AS weight
+FROM pairs
+WHERE lower(regexp_extract(src_url, '^https?://([^/?#]+)', 1))
+   <> lower(regexp_extract(dst_url, '^https?://([^/?#]+)', 1))
+GROUP BY 1, 2
+"""
+
+
 FINGERPRINT_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(list_reduce(
@@ -1393,6 +1462,41 @@ def q_bc_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-append link-log compaction (streaming.compact_link_log,
+    the batch half of the incremental ingest loop) over a deterministic
+    synthetic multi-capture log: recrawled pages replace their old link
+    sets, link-less recrawls erase them via the NULL marker row.  Oracle
+    replays the identical window + join + distinct in SQL."""
+    from linkgraph.streaming import compact_link_log
+
+    _load(spark, sf_dir, "documents")
+    log = spark.sql(
+        f"WITH {EDGE_SQL.strip()}, {LINK_LOG_SYNTH_SQL.strip()} "
+        "SELECT * FROM link_log"
+    )
+    return compact_link_log(log).select(
+        F.col("src_url").cast("long").alias("src"),
+        F.col("dst_url").cast("long").alias("dst"),
+    )
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page→host graph rollup (extract.host_graph — the Common-Crawl-
+    style host-level artifact): JVM regexp host extraction + one hash
+    aggregation, intra-host edges dropped.  Urls are synthesized over
+    the derived edges (20 hosts); the oracle replays the same regexp +
+    group-by in DuckDB."""
+    from linkgraph.extract import host_graph
+
+    _load(spark, sf_dir, "documents")
+    pairs = spark.sql(
+        f"WITH {EDGE_SQL.strip()}, {HOST_PAIRS_SQL.strip()} "
+        "SELECT * FROM pairs"
+    )
+    return host_graph(pairs)
+
+
 def q_geolocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial-median spread, DuckDB-oracled by a 20-round unroll
     (_geolocation_unrolled_sql); semantics also pinned vs the NumPy
@@ -1795,6 +1899,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jpl_coloring": q_coloring,
     "bc_source0": q_bc_source0,
     "bc_sampled": q_bc_sampled,
+    "link_log_compact": q_link_log_compact,
+    "host_graph": q_host_graph,
     "mst": q_mst,
     "geolocation": q_geolocation,
     "dedup_exact": q_dedup_exact,
@@ -1841,6 +1947,14 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": FINGERPRINT_SQL,
     "bc_source0": _brandes_unrolled_sql(8),
     "bc_sampled": _brandes_multi_unrolled_sql(10, 4, 0),
+    "link_log_compact": (
+        f"WITH {EDGE_SQL.strip()}, {LINK_LOG_SYNTH_SQL.strip()}, "
+        f"{LINK_LOG_COMPACT_SQL_TAIL.strip()}"
+    ),
+    "host_graph": (
+        f"WITH {EDGE_SQL.strip()}, {HOST_PAIRS_SQL.strip()} "
+        f"{HOST_GRAPH_SQL_TAIL.strip()}"
+    ),
     "jpl_coloring": _jpl_unrolled_sql(48),
     "mst": _boruvka_unrolled_sql(16, 12),
     "spgemm_square": SPGEMM_SQUARE_SQL,

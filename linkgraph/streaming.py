@@ -147,6 +147,47 @@ def compact_link_log(link_log: DataFrame) -> DataFrame:
     )
 
 
+def graph_from_link_log(
+    link_log: DataFrame,
+    vertices: DataFrame | None = None,
+    num_partitions: int | None = None,
+):
+    """Compacted link log → ``(Graph, dictionary)`` — the incremental
+    crawl loop's back half (VERDICT r01 item 6).
+
+    ``vertices`` is the PREVIOUS epoch's ``(url, vid)`` dictionary: urls
+    already in it keep their vid verbatim (``dictionary.extend_urls``),
+    so per-vertex state from the previous epoch — ranks, components,
+    checkpoint epochs — remains valid against the new Graph, which is
+    what makes :func:`linkgraph.pagerank` warm-starts
+    (``init_ranks=prev.state``) correct.  New urls get dense ids above
+    the previous max.  With ``vertices=None`` a fresh dictionary is
+    built (cold start, identical to the batch front end).
+
+    Scale shape: compaction is one window over the log's (src_url,
+    warc_ts, capture) triples + one equi-join; the dictionary extension
+    shuffles only the NEW urls; Graph.from_edges re-keys the |E| edge
+    set once — everything incremental-sized except the final edge
+    layout, which any graph rebuild pays.
+    """
+    from linkgraph.dictionary import (
+        edges_from_url_pairs,
+        encode_urls,
+        extend_urls,
+    )
+    from linkgraph.graph import Graph
+
+    pairs = compact_link_log(link_log)
+    urls = pairs.selectExpr("src_url AS url").unionAll(
+        pairs.selectExpr("dst_url AS url")
+    )
+    verts = (
+        encode_urls(urls) if vertices is None else extend_urls(vertices, urls)
+    )
+    edges = edges_from_url_pairs(pairs, verts)
+    return Graph.from_edges(edges, num_partitions=num_partitions), verts
+
+
 def windowed_link_rates(
     pages_stream: DataFrame,
     window_duration: str = "1 hour",
