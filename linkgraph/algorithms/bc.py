@@ -42,6 +42,51 @@ BC_SAMPLE_A = 1000003
 BC_SAMPLE_P = 2147483647
 
 
+def brandes_backward_round(
+    sym: DataFrame, state: DataFrame, d: int, root_keyed: bool = False
+) -> DataFrame:
+    """ONE backward dependency-accumulation round (the production body —
+    exposed so tests/test_plans.py asserts the physical plan of the code
+    that ships, per the engine's plan-regression convention).
+
+    Key the gather on SRC, not dst: ``sym`` is persisted hash(src, P),
+    so a dst-keyed join would re-exchange the full |E| side every
+    backward round; because sym is symmetric, "edges whose dst is w" ≡
+    "edges whose src is w with the endpoints read swapped" — the join
+    streams on the persisted layout and only the message rows shuffle
+    (for the groupBy), volume ∝ in-edges of the depth-(d+1) slice.  The
+    merge hint pins against Catalyst broadcasting the |V|-scale slice.
+
+    ``root_keyed=True`` is the multi-source (bc_batched) variant: state
+    and messages carry a ``root`` column and every key grows it.
+    """
+    kcols = ["root"] if root_keyed else []
+    upper = state.where(F.col("depth") == d + 1).select(
+        *kcols,
+        F.col("vid").alias("src"),
+        F.col("sigma").alias("_sw"),
+        F.col("dep").alias("_dw"),
+    )
+    contrib = (
+        sym.join(upper.hint("merge"), "src")
+        .groupBy(*kcols, F.col("dst").alias("vid"))
+        # σ(v)/σ(w)·(1+δ(w)) summed over w; σ(v) factored in post-join
+        .agg(F.sum((1.0 + F.col("_dw")) / F.col("_sw")).alias("_part"))
+    )
+    return state.join(contrib, kcols + ["vid"], "left").select(
+        *kcols,
+        "vid",
+        "depth",
+        "sigma",
+        F.when(
+            (F.col("depth") == d) & F.col("_part").isNotNull(),
+            F.col("sigma") * F.col("_part"),
+        )
+        .otherwise(F.col("dep"))
+        .alias("dep"),
+    )
+
+
 def _brandes_single_source(graph: Graph, source: int) -> DataFrame:
     """δ-dependencies of one source: ``(vid, dep)`` (dep = 0 for s itself
     and for vertices unreachable from s)."""
@@ -89,33 +134,8 @@ def _brandes_single_source(graph: Graph, source: int) -> DataFrame:
         settled.withColumn("dep", F.lit(0.0)), replaces=settled
     )
     for d in range(depth - 1, -1, -1):
-        upper = state.where(F.col("depth") == d + 1).select(
-            F.col("vid").alias("dst"),
-            F.col("sigma").alias("_sw"),
-            F.col("dep").alias("_dw"),
-        )
-        msgs = (
-            sym.join(upper, "dst")
-            .select(F.col("src").alias("vid"), "_sw", "_dw")
-        )
-        contrib = (
-            msgs.groupBy("vid")
-            # σ(v)/σ(w)·(1+δ(w)) summed over w; σ(v) factored in post-join
-            .agg(F.sum((1.0 + F.col("_dw")) / F.col("_sw")).alias("_part"))
-        )
         state = plain_checkpoint(
-            state.join(contrib, "vid", "left").select(
-                "vid",
-                "depth",
-                "sigma",
-                F.when(
-                    (F.col("depth") == d) & F.col("_part").isNotNull(),
-                    F.col("sigma") * F.col("_part"),
-                )
-                .otherwise(F.col("dep"))
-                .alias("dep"),
-            ),
-            replaces=state,
+            brandes_backward_round(sym, state, d), replaces=state
         )
     # Materialize the 2-column result and free the 4-column state leaf —
     # the returned leaf is what betweenness_centrality accumulates (and
@@ -221,30 +241,8 @@ def bc_batched(
         settled.withColumn("dep", F.lit(0.0)), replaces=settled
     )
     for d in range(depth - 1, -1, -1):
-        upper = state.where(F.col("depth") == d + 1).select(
-            "root",
-            F.col("vid").alias("dst"),
-            F.col("sigma").alias("_sw"),
-            F.col("dep").alias("_dw"),
-        )
-        contrib = (
-            sym.join(upper, "dst")
-            .groupBy("root", F.col("src").alias("vid"))
-            .agg(F.sum((1.0 + F.col("_dw")) / F.col("_sw")).alias("_part"))
-        )
         state = plain_checkpoint(
-            state.join(contrib, ["root", "vid"], "left").select(
-                "root",
-                "vid",
-                "depth",
-                "sigma",
-                F.when(
-                    (F.col("depth") == d) & F.col("_part").isNotNull(),
-                    F.col("sigma") * F.col("_part"),
-                )
-                .otherwise(F.col("dep"))
-                .alias("dep"),
-            ),
+            brandes_backward_round(sym, state, d, root_keyed=True),
             replaces=state,
         )
     scale = 0.5 if normalize_pairs else 1.0

@@ -245,6 +245,46 @@ def test_coloring_round_plan_no_edge_exchange_no_broadcast(spark, plan_graph):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+def test_bc_backward_round_streams_edges_no_broadcast(spark, plan_graph):
+    """Brandes backward round: the gather is keyed on SRC so the
+    persisted hash(src) symmetrized-edge layout streams exchange-free
+    (a dst-keyed join would re-exchange |E| every one of the D backward
+    rounds); the depth-slice side must never broadcast (at crawl scale a
+    mid-BFS depth slice is |V|-scale).  Live shuffles: the depth-slice
+    re-key into the merge join plus the dst-keyed dependency reduce."""
+    from linkgraph.algorithms.bc import brandes_backward_round
+
+    g = plan_graph
+    parts = g.num_partitions
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sym = g.symmetrized_edges
+        state = strip_origin_stats(
+            g.vertices.select(
+                "vid",
+                F.lit(1).alias("depth"),
+                F.lit(1.0).alias("sigma"),
+                F.lit(0.0).alias("dep"),
+            )
+            .repartition(parts, "vid")
+            .sortWithinPartitions("vid")
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        )
+        # the PRODUCTION round body (not a replica)
+        out = brandes_backward_round(sym, state, d=0)
+        live = live_tree(formatted_plan(out))
+        assert "BroadcastHashJoin" not in live, live
+        assert "BroadcastNestedLoopJoin" not in live, live
+        assert "SortMergeJoin" in live, live
+        # the |E| sym cache streams; depth-slice re-key + dep reduce are
+        # the only live exchanges (both ≤|V|/message-scale, never |E|)
+        assert len(re.findall(r"\bExchange\b", live)) <= 2, live
+        assert "InMemoryTableScan" in live, live
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def test_hits_reversed_view_gather_is_exchange_free(spark, plan_graph):
     """The persisted reversed view (CSC analog) must feed the hub gather
     without re-shuffling |E| — a bare column-swap view would keep the
