@@ -1128,6 +1128,70 @@ WHERE CAST(common.c AS DOUBLE) / (sa.sz + sb.sz - common.c) >= 0.05
 ORDER BY common.a, common.b
 """
 
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {DOCS2_SQL.strip()},
+{_DUCK_SHINGLES.strip()},
+seeds AS (SELECT i AS seed FROM (VALUES (0),(1),(2),(3)) AS t(i)),
+sig AS (
+  SELECT sh.doc_id, seeds.seed,
+         MIN(md5(CAST(seeds.seed AS VARCHAR) || ':' || sh.shingle)) AS minhash
+  FROM sh CROSS JOIN seeds GROUP BY sh.doc_id, seeds.seed
+),
+bands AS (
+  SELECT doc_id, seed AS band,
+         CAST(seed AS VARCHAR) || '=' || minhash AS band_key
+  FROM sig
+),
+kept AS (
+  SELECT b.doc_id, b.band, b.band_key FROM bands b
+  JOIN (SELECT band, band_key FROM bands
+        GROUP BY band, band_key HAVING COUNT(*) <= 1000) ok
+  ON ok.band = b.band AND ok.band_key = b.band_key
+),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM kept x JOIN kept y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+vsz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+comm AS (
+  SELECT c.a, c.b, COUNT(*) AS cc
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b
+),
+near AS (
+  SELECT comm.a, comm.b FROM comm
+  JOIN vsz sa ON sa.doc_id = comm.a
+  JOIN vsz sb ON sb.doc_id = comm.b
+  WHERE CAST(cc AS DOUBLE) / (sa.sz + sb.sz - cc) >= 0.5
+),
+hsh AS (SELECT doc_id, md5(text) AS hh FROM docs2),
+grp AS (SELECT hh, MIN(doc_id) AS gid FROM hsh GROUP BY hh HAVING COUNT(*) >= 2),
+star AS (
+  SELECT grp.gid AS a, hsh.doc_id AS b
+  FROM hsh JOIN grp ON grp.hh = hsh.hh WHERE hsh.doc_id <> grp.gid
+),
+dedges AS (SELECT a, b FROM near UNION SELECT a, b FROM star),
+sym AS (
+  SELECT a AS v, b AS w FROM dedges UNION SELECT b AS v, a AS w FROM dedges
+),
+reach AS (
+  SELECT v, v AS lbl FROM (SELECT DISTINCT v FROM sym)
+  UNION
+  SELECT s.w AS v, r.lbl FROM reach r JOIN sym s ON s.v = r.v
+),
+comp AS (SELECT v, MIN(lbl) AS comp FROM reach GROUP BY v)
+SELECT d.doc_id,
+       CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN COALESCE(c.comp, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM docs2 d LEFT JOIN comp c ON c.v = d.doc_id
+ORDER BY d.doc_id
+"""
+
 TOKEN_STATS_SQL = """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
@@ -1567,6 +1631,24 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LSH→verify→CC dedup pipeline over docs2.
+
+    4 single-hash bands (rows_per_band=1: at a 0.5 threshold the banded
+    miss probability (1−s)⁴ stays low without needing more hashes) +
+    exact-dup star rescue + hash-min CC canonicalization.  The DuckDB
+    twin replays every stage relationally, with the transitive closure
+    as a recursive min-label CTE."""
+    from linkgraph.textops.dedup import dedup_clusters
+
+    return dedup_clusters(
+        _docs2(spark, sf_dir),
+        num_hashes=4,
+        rows_per_band=1,
+        threshold=0.5,
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.textops.quality import token_counts
 
@@ -1906,6 +1988,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash,
     "ngram_jaccard": q_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "token_stats": q_token_stats,
     "quality_scores": q_quality,
     "language_id": q_langid,
@@ -1962,6 +2045,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_signatures": MINHASH_SQL,
     "ngram_jaccard": JACCARD_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "token_stats": TOKEN_STATS_SQL,
     "quality_scores": QUALITY_SQL,
     "language_id": LANGID_SQL,

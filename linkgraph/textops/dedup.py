@@ -322,3 +322,124 @@ def simhash_near_duplicates(
         cands.select("a", "b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for a GIVEN candidate set: ``(a, b, jaccard)``.
+
+    Pair-driven verification: each (a, b) candidate is expanded by doc
+    a's shingles then intersected with doc b's via a (b, shingle)
+    equi-join — cost ∝ |candidates|·|shingles/doc|, never the
+    all-pairs-sharing-a-shingle product that ``jaccard_pairs``'s
+    inverted index pays.  This is the verify stage of the LSH pipeline:
+    candidate generation bounds the pair count, so the expansion is
+    linear in what LSH emitted.  Candidates with zero common shingles
+    drop out of the inner join (their Jaccard is 0 — callers filter by a
+    positive threshold anyway).  Sizes use the FULL shingle sets (no
+    ``max_df`` cap) so the returned Jaccard is exact.
+    """
+    sh = word_shingles(df, text_col, id_col, n=shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    sa = sh.select(F.col(id_col).alias("a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("b"), "shingle")
+    common = (
+        pairs.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("a"), F.col("_sz").alias("_sa")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("_sz").alias("_sb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("_common")
+                / (F.col("_sa") + F.col("_sb") - F.col("_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering — the canonical web-corpus
+    dedup pipeline: ``(doc_id, cluster_id, is_canonical)``.
+
+    Stages (each the bucketed/candidate-bounded scale shape, never
+    all-pairs):
+
+    1. **candidates** — MinHash-LSH banding (``minhash_lsh_candidates``,
+       hot buckets capped at ``max_bucket``);
+    2. **verify** — exact n-gram Jaccard on candidates only
+       (``jaccard_verify``), keep pairs ≥ ``threshold``;
+    3. **exact rescue** — identical-text pairs from
+       ``exact_duplicates`` as star edges onto the group min.
+       Load-bearing, not redundant: exact dups inside a capped hot
+       bucket, and docs shorter than ``shingle_n`` tokens (no
+       shingles ⇒ no signature ⇒ invisible to LSH), are caught here;
+    4. **cluster** — hash-min connected components over the dup-pair
+       graph (the engine's own CC superstep — the dup graph of a real
+       corpus has mega-clusters of boilerplate, so the driver never
+       materializes it; transitive closure stays distributed);
+    5. **canonicalize** — cluster id = min doc_id in the component;
+       ``is_canonical`` = 1 on that doc (the survivor a dedup job
+       keeps), 0 on the rest.  Docs in no dup pair are their own
+       singleton cluster with is_canonical = 1.
+    """
+    from linkgraph.algorithms.cc import connected_components
+    from linkgraph.graph import Graph
+
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, rows_per_band, shingle_n, max_bucket
+    )
+    near = (
+        jaccard_verify(df, cand, text_col, id_col, shingle_n)
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b")
+    )
+    star = (
+        exact_duplicates(df, text_col, id_col)
+        .where(F.col(id_col) != F.col("group_id"))
+        .select(F.col("group_id").alias("a"), F.col(id_col).alias("b"))
+    )
+    edges = near.unionAll(star).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    g = Graph.from_edges(edges)
+    try:
+        comp = connected_components(g).state.select(
+            F.col("vid").alias(id_col), "comp"
+        )
+        out = (
+            df.select(id_col)
+            .join(comp, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("comp", F.col(id_col)).alias("cluster_id"),
+            )
+            .withColumn(
+                "is_canonical",
+                (F.col(id_col) == F.col("cluster_id")).cast("int"),
+            )
+        )
+        # materialize before releasing the dup graph's persisted edges
+        out = out.localCheckpoint(eager=True)
+    finally:
+        g.unpersist()
+    return out

@@ -142,3 +142,94 @@ def test_lsh_hot_bucket_cap(spark):
     base = {(r.a, r.b) for r in minhash_lsh_candidates(_docs(spark), max_bucket=None).collect()}
     capped = {(r.a, r.b) for r in minhash_lsh_candidates(_docs(spark)).collect()}
     assert base == capped
+
+
+def test_jaccard_verify_matches_python(spark):
+    """Pair-driven verify returns the same exact Jaccard as a set-based
+    Python oracle for every candidate pair with ≥1 common shingle."""
+    from linkgraph.textops.dedup import jaccard_verify
+
+    docs = _docs(spark)
+    pairs = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    pdf = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        (r.a, r.b): r.jaccard for r in jaccard_verify(docs, pdf).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for a, b in pairs:
+        sa, sb = _py_shingles(texts[a]), _py_shingles(texts[b])
+        common = len(sa & sb)
+        if common == 0:
+            assert (a, b) not in got
+        else:
+            want = common / len(sa | sb)
+            assert abs(got[(a, b)] - want) < 1e-12, (a, b)
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """End-to-end pipeline vs a pure-Python oracle replaying the SAME
+    stages (md5 minhash bands → shingle Jaccard ≥ t → exact groups →
+    union-find), so LSH's deterministic recall is replayed rather than
+    assumed perfect; plus the structural invariants every clustering
+    must satisfy."""
+    import hashlib
+
+    from linkgraph.textops.dedup import dedup_clusters
+
+    docs = _docs(spark).union(
+        spark.createDataFrame(
+            [(6, "hi"), (7, "hi"), (8, BASE)], "doc_id long, text string"
+        )
+    )
+    out = dedup_clusters(docs, num_hashes=4, rows_per_band=1, threshold=0.5)
+    got = {
+        r.doc_id: (r.cluster_id, r.is_canonical) for r in out.collect()
+    }
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    # -- python twin ---------------------------------------------------
+    def mh(seed, text):
+        sh = _py_shingles(text)
+        if not sh:
+            return None
+        return min(
+            hashlib.md5(f"{seed}:{s}".encode()).hexdigest() for s in sh
+        )
+
+    parent = {d: d for d in texts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    ids = sorted(texts)
+    for a, b in itertools.combinations(ids, 2):
+        lsh_hit = any(
+            mh(s, texts[a]) == mh(s, texts[b]) and mh(s, texts[a])
+            for s in range(4)
+        )
+        if lsh_hit:
+            sa, sb = _py_shingles(texts[a]), _py_shingles(texts[b])
+            if sa | sb and len(sa & sb) / len(sa | sb) >= 0.5:
+                union(a, b)
+        if texts[a] == texts[b]:  # exact rescue
+            union(a, b)
+    want = {d: find(d) for d in ids}
+
+    assert set(got) == set(ids)
+    for d in ids:
+        assert got[d] == (want[d], int(want[d] == d)), d
+    # invariants: canonical doc is the cluster min and appears once
+    clusters = {}
+    for d, (c, canon) in got.items():
+        clusters.setdefault(c, []).append((d, canon))
+    for c, members in clusters.items():
+        assert min(d for d, _ in members) == c
+        assert sum(canon for _, canon in members) == 1

@@ -380,3 +380,21 @@ def test_bfs_pull_round_streams_both_vertex_sides(spark, plan_graph):
         assert len(re.findall(r"\bExchange\b", live)) <= 4, live
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_jaccard_verify_plan_is_pair_driven(spark):
+    """LSH verify stage: candidate expansion must be equi-joins on the
+    pair/doc/shingle keys — never a cartesian or nested-loop product
+    (the whole point of verify-after-LSH is to avoid all-pairs)."""
+    from linkgraph.textops.dedup import jaccard_verify
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common tokens shared by all docs {i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3)], "a long, b long"
+    )
+    plan = formatted_plan(jaccard_verify(docs, pairs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
