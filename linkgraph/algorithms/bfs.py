@@ -148,7 +148,6 @@ def bfs(
         got = checkpoint.latest()
         if got is not None:
             depth, saved, stats = got
-            checkpoint.truncate_metrics(depth)
             state = plain_checkpoint(saved, replaces=state)
             # metadata-only restart: the epoch manifest already stores
             # the size/frontier counts — no |V|-scan jobs on relaunch
@@ -167,6 +166,9 @@ def bfs(
                     state=state, iterations=depth, converged=True,
                     history=[],
                 )
+            # truncate only when levels WILL re-run (a converged no-op
+            # resume must leave metrics.jsonl untouched)
+            checkpoint.truncate_metrics(depth)
     while depth < max_iters:
         if direction == "forward":
             pull = False

@@ -65,7 +65,6 @@ def sssp(
         got = checkpoint.latest()
         if got is not None:
             it, saved, stats = got
-            checkpoint.truncate_metrics(it)
             leaf = plain_checkpoint(saved, replaces=leaf)
             state = leaf.select("vid", "dist")
             improved = leaf.where("_improved").select("vid", "dist")
@@ -79,6 +78,9 @@ def sssp(
                 return IterationResult(
                     state=state, iterations=it, converged=True, history=[],
                 )
+            # truncate only when relax rounds WILL re-run (a converged
+            # no-op resume must leave metrics.jsonl untouched)
+            checkpoint.truncate_metrics(it)
     while it < max_iters:
         it += 1
         relaxed = (

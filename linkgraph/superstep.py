@@ -405,7 +405,6 @@ def iterate(
         found = checkpoint.latest()
         if found is not None:
             start_iter, state, saved_stats = found
-            checkpoint.truncate_metrics(start_iter)
             # A resumed run whose saved stats already satisfy the
             # convergence predicate is a no-op: re-running a superstep
             # would append a spurious epoch + metrics row and inflate
@@ -417,6 +416,10 @@ def iterate(
                     converged=True,
                     history=[],
                 )
+            # Truncate only when supersteps WILL re-run: a converged
+            # no-op resume must leave metrics.jsonl byte-identical (no
+            # spurious resume_from marker per repeat invocation).
+            checkpoint.truncate_metrics(start_iter)
 
     # Per-iteration protocol (measured at 10^7 edges AND 1-edge micro):
     #   1. checkpoint_leaf(step(prev).observe(stats_cols)) — ONE job runs
