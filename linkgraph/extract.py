@@ -214,3 +214,119 @@ def host_graph(
     return pairs.groupBy("src_host", "dst_host").agg(
         F.count(F.lit(1)).alias("weight")
     )
+
+
+# --- anchor text ------------------------------------------------------------
+
+_ANCHOR_RE = re.compile(rb"<a\b([^>]*)>(.*?)</a\s*>", re.S | re.I)
+_HREF_IN_TAG_RE = re.compile(
+    rb"""(?<![\w:-])href\s*=\s*(?:(["'])([^<>]*?)\1|([^\s>"'][^\s>]*))""",
+    re.I,
+)
+_ANY_WS_RE = re.compile(rb"\s+")
+
+
+def extract_anchor_texts(html: bytes) -> list[tuple[str, str]]:
+    """``(href, anchor_text)`` pairs of closed ``<a>`` tags, in document
+    order.
+
+    Same href grammar as ``extract_links`` (quote-backreference +
+    unquoted form, templating-attribute lookbehind), restricted to
+    anchors with a matching ``</a>`` so there is text to pair; anchor
+    text is the inner content with tags dropped and whitespace
+    collapsed — the same cleaning rules as ``extract_text``.  Anchors
+    without an ``href`` (name anchors) are skipped.  Pure function of
+    the bytes, like the other extractors: the (href, anchor) multiset
+    is partition- and parallelism-independent by construction.
+    """
+    if html is None:
+        return []
+    out = []
+    for m in _ANCHOR_RE.finditer(html):
+        href_m = _HREF_IN_TAG_RE.search(m.group(1))
+        if href_m is None:
+            continue
+        href = (
+            href_m.group(2) if href_m.group(2) is not None else href_m.group(3)
+        ).decode("utf-8", errors="replace")
+        inner = _TAG_RE.sub(b" ", m.group(2))
+        inner = _ANY_WS_RE.sub(b" ", inner).strip()
+        out.append((href, inner.decode("utf-8", errors="replace")))
+    return out
+
+
+ANCHOR_SCHEMA = "url string, href string, anchor string"
+
+
+def anchor_pages(pages: DataFrame) -> DataFrame:
+    """One Arrow pass: pages → flat ``(url, href, anchor)`` rows.
+
+    Emits the exploded pair rows directly from the batch loop (a
+    ``mapInArrow`` batch may yield any number of output rows), so no
+    separate array column + explode shuffle stage is needed.
+    """
+    _extract = extract_anchor_texts
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            u_out, h_out, a_out = [], [], []
+            for u, h in zip(urls, htmls):
+                for href, anchor in _extract(h):
+                    u_out.append(u)
+                    h_out.append(href)
+                    a_out.append(anchor)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(u_out, type=pa.string()),
+                    pa.array(h_out, type=pa.string()),
+                    pa.array(a_out, type=pa.string()),
+                ],
+                names=["url", "href", "anchor"],
+            )
+
+    return pages.mapInArrow(run, schema=ANCHOR_SCHEMA)
+
+
+def anchor_index(
+    anchors: DataFrame,
+    by_host: bool = False,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Inverted anchor-text index: what the web calls each target.
+
+    ``(target, anchor, n)`` — n = number of links carrying that anchor
+    text to that target (the classic search-engine ranking/description
+    signal).  ``by_host=True`` rolls targets up to their host.
+    ``top_k`` keeps only each target's k most common anchors
+    (count-desc, anchor-asc tie-break — deterministic), via a window
+    rank AFTER the count aggregation, so the window input is already
+    collapsed to distinct (target, anchor) rows, never raw links.
+
+    Scale shape: one map-side-combined count aggregation (shuffled
+    volume ∝ distinct (target, anchor) pairs per task) + an optional
+    |distinct-pairs| window.  Hub targets with millions of distinct
+    anchors skew the window's partition; at that regime pre-filter with
+    ``HAVING n > 1`` semantics upstream or leave top_k None.
+    """
+    target = (
+        host_of(F.col("href")) if by_host else F.col("href")
+    ).alias("target")
+    counts = (
+        anchors.where(F.col("anchor") != "")
+        .select(target, "anchor")
+        .where(F.col("target").isNotNull())
+        .groupBy("target", "anchor")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if top_k is None:
+        return counts
+    w = Window.partitionBy("target").orderBy(
+        F.desc("n"), F.asc("anchor")
+    )
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= top_k)
+        .drop("_rk")
+    )

@@ -180,6 +180,55 @@ def q_extract_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(did("src_url").alias("src"), did("dst_url").alias("dst"))
 
 
+def q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index under the value-hash gate, with PAIRING power:
+    the synthesized anchor text is a pure function of BOTH endpoints
+    (``a{(src+dst)%7}``), so an extractor that mispairs hrefs with
+    anchor texts — not just one that garbles text — hash-mismatches the
+    arithmetic oracle.  Runs the REAL Arrow anchor pass + the
+    map-side-combined index aggregation."""
+    from linkgraph.extract import anchor_index, anchor_pages
+
+    _load(spark, sf_dir, "documents")
+    links = (
+        spark.sql(f"WITH {EDGE_SQL.strip()} SELECT src, dst FROM edges")
+        .groupBy("src")
+        .agg(F.collect_list("dst").alias("dsts"))
+    )
+    html = F.encode(
+        F.concat(
+            F.lit("<html><body>"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    "dsts",
+                    lambda d: F.concat(
+                        F.lit(f'<a href="{PAGE_URL_PREFIX}'),
+                        d,
+                        F.lit('">a'),
+                        ((F.col("src") + d) % 7).cast("string"),
+                        F.lit("</a>"),
+                    ),
+                ),
+            ),
+            F.lit("</body></html>"),
+        ),
+        "utf-8",
+    )
+    pages = links.select(
+        F.concat(F.lit(PAGE_URL_PREFIX), F.col("src")).alias("url"),
+        html.alias("html"),
+    )
+    idx = anchor_index(anchor_pages(pages))
+    return idx.select(
+        F.regexp_extract(F.col("target"), r"/d/(\d+)$", 1)
+        .cast("long")
+        .alias("target_id"),
+        "anchor",
+        "n",
+    )
+
+
 _GRAPH_CACHE: dict[str, object] = {}
 _GRAPH_CACHE_LOCK = threading.Lock()
 
@@ -1192,6 +1241,16 @@ FROM docs2 d LEFT JOIN comp c ON c.v = d.doc_id
 ORDER BY d.doc_id
 """
 
+ANCHOR_INDEX_SQL = f"""
+WITH {EDGE_SQL.strip()}
+SELECT e.dst AS target_id,
+       'a' || CAST((e.src + e.dst) % 7 AS VARCHAR) AS anchor,
+       COUNT(*) AS n
+FROM edges e
+GROUP BY e.dst, (e.src + e.dst) % 7
+ORDER BY target_id, anchor
+"""
+
 TOKEN_STATS_SQL = """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
@@ -1962,6 +2021,7 @@ ORDER BY media_id, frame_index
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_edges": q_extract_edges,
+    "anchor_index": q_anchor_index,
     "edge_build": q_edge_build,
     "degrees": q_degrees,
     "pagerank10": q_pagerank10,
@@ -2011,6 +2071,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "extract_edges": f"WITH {EDGE_SQL.strip()} SELECT src, dst FROM edges",
+    "anchor_index": ANCHOR_INDEX_SQL,
     "edge_build": f"WITH {EDGE_SQL.strip()} SELECT CAST(COUNT(*) AS BIGINT) AS num_edges, CAST(COUNT(DISTINCT src) AS BIGINT) AS num_sources FROM edges",
     "degrees": DEGREES_SQL,
     "pagerank10": _pagerank_unrolled_sql(10, 0.85),

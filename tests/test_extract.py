@@ -124,3 +124,73 @@ def test_extract_links_ignores_lookalike_attributes():
         b'<a xlink:href=/e3>z</a><a href=/good>k</a><a HREF="/q">q</a>'
     )
     assert extract_links(html) == ["/good", "/q"]
+
+
+def test_extract_anchor_texts_pairing_and_cleaning():
+    from linkgraph.extract import extract_anchor_texts
+
+    html = (
+        b'<html><body>'
+        b'<a href="http://x/a">hello <b>world</b></a>'
+        b"<a href=/rel>unquoted\nhref</a>"
+        b'<a name="t">no href skipped</a>'
+        b'<a data-href="n" href="y">lookalike attr</a>'
+        b"</body></html>"
+    )
+    assert extract_anchor_texts(html) == [
+        ("http://x/a", "hello world"),
+        ("/rel", "unquoted href"),
+        ("y", "lookalike attr"),
+    ]
+    assert extract_anchor_texts(None) == []
+    assert extract_anchor_texts(b"") == []
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_extract_anchor_texts_total_on_arbitrary_bytes(b):
+    from linkgraph.extract import extract_anchor_texts
+
+    for href, anchor in extract_anchor_texts(b):
+        assert isinstance(href, str) and isinstance(anchor, str)
+
+
+def test_anchor_pages_and_index(spark):
+    from linkgraph.extract import anchor_index, anchor_pages
+
+    rows = [
+        (
+            "https://s1.example/p",
+            b'<a href="https://t.example/x">buy now</a>'
+            b'<a href="https://t.example/x">buy now</a>'
+            b'<a href="https://t.example/x">official site</a>'
+            b'<a href="https://other.example/y">misc</a>'
+            b'<a href="https://t.example/x"></a>',  # empty anchor dropped
+        ),
+        (
+            "https://s2.example/p",
+            b'<a href="https://t.example/x">buy now</a>',
+        ),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    anchors = anchor_pages(pages)
+    got = {(r.url, r.href, r.anchor) for r in anchors.collect()}
+    assert ("https://s1.example/p", "https://t.example/x", "buy now") in got
+    assert len([1 for _, h, _ in got if h == "https://other.example/y"]) == 1
+
+    idx = {
+        (r.target, r.anchor): r.n for r in anchor_index(anchors).collect()
+    }
+    assert idx[("https://t.example/x", "buy now")] == 3
+    assert idx[("https://t.example/x", "official site")] == 1
+    assert ("https://t.example/x", "") not in idx
+
+    top = anchor_index(anchors, top_k=1).collect()
+    by_target = {r.target: (r.anchor, r.n) for r in top}
+    assert by_target["https://t.example/x"] == ("buy now", 3)
+
+    host_idx = {
+        (r.target, r.anchor): r.n
+        for r in anchor_index(anchors, by_host=True).collect()
+    }
+    assert host_idx[("t.example", "buy now")] == 3
