@@ -50,6 +50,7 @@ def pagerank_round(
     salted: bool = False,
     salt_buckets: int = 32,
     strategy: str = "join",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """ONE power-iteration superstep over ``(vid, rank, outdeg)`` state.
 
@@ -57,6 +58,13 @@ def pagerank_round(
     so the plan-regression tests (tests/test_plans.py) and the evidence
     tool (tools/explain_plans.py) assert the physical plan of the code
     that actually ships, not a hand-kept replica that could drift.
+
+    ``weight_col`` names an edge-weight column on ``graph.edges`` (e.g.
+    the host graph's link count): the walk follows edge u→v with
+    probability w(u,v)/Σ_out w(u), so ``outdeg`` in the state is the
+    weighted out-STRENGTH and the gathered message is contrib·w — the
+    same exchange-free gather + map-side-combined reduce, with the
+    multiply folded into the message expression (zero extra stages).
     """
     contrib = state.where(F.col("outdeg").isNotNull()).select(
         "vid", (F.col("rank") / F.col("outdeg")).alias("contrib")
@@ -66,10 +74,15 @@ def pagerank_round(
 
         sums = spmv_contrib_sums(graph, contrib)
     else:
+        msg = (
+            F.col("contrib")
+            if weight_col is None
+            else F.col("contrib") * F.col(weight_col)
+        )
         sums = neighbor_reduce(
             graph.edges,
             contrib,
-            F.col("contrib"),
+            msg,
             op="sum",
             out="msum",
             salted=salted,
@@ -98,6 +111,7 @@ def pagerank(
     checkpoint_every: int = 5,
     resume: bool = True,
     init_ranks: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> IterationResult:
     """Run PageRank to convergence; result state is ``(vid, rank)``, Σ=1.
 
@@ -111,7 +125,13 @@ def pagerank(
     so a warm start changes ONLY the iteration count — fewer iterations
     the closer the previous epoch's graph is to the current one
     (tests/test_streaming.py pins warm < cold on an incremented crawl).
+
+    ``weight_col`` — weighted random walk (see :func:`pagerank_round`):
+    ``outdeg`` becomes the out-STRENGTH Σ w per source (so dangling =
+    zero/absent out-strength, handled identically), join strategy only.
     """
+    if weight_col is not None and strategy == "spmv":
+        raise ValueError("weight_col requires strategy='join'")
     n = graph.num_vertices
     if n == 0:
         empty = graph.spark.createDataFrame([], "vid long, rank double")
@@ -119,6 +139,12 @@ def pagerank(
     # State permanently carries outdeg (null for dangling vertices): the
     # degree table is joined ONCE at init, not per superstep — the
     # reference likewise keeps degrees resident next to ranks in problem_t.
+    if weight_col is None:
+        degrees = graph.out_degrees
+    else:
+        degrees = graph.edges.groupBy(F.col("src").alias("vid")).agg(
+            F.sum(F.col(weight_col).cast("double")).alias("outdeg")
+        )
     if init_ranks is not None:
         seeded = graph.vertices.join(
             init_ranks.select("vid", F.col("rank").alias("_r0")), "vid", "left"
@@ -132,11 +158,11 @@ def pagerank(
             raise ValueError("init_ranks must have positive total mass")
         init = seeded.select(
             "vid", (F.col("rank") / F.lit(total)).alias("rank")
-        ).join(graph.out_degrees, "vid", "left")
+        ).join(degrees, "vid", "left")
     else:
         init = graph.vertices.select(
             "vid", F.lit(1.0 / n).alias("rank")
-        ).join(graph.out_degrees, "vid", "left")
+        ).join(degrees, "vid", "left")
 
     if strategy == "spmv":
         from linkgraph.csr import spmv_contrib_sums
@@ -168,6 +194,7 @@ def pagerank(
             salted=salted,
             salt_buckets=salt_buckets,
             strategy=strategy,
+            weight_col=weight_col,
         )
 
     # Observed during the superstep job itself (superstep.py: stats_cols)

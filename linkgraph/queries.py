@@ -300,6 +300,49 @@ def _pagerank_unrolled_sql(iters: int = 10, alpha: float = 0.85) -> str:
     return "\n".join(parts)
 
 
+def _host_pagerank_unrolled_sql(iters: int = 10, alpha: float = 0.85) -> str:
+    """Weighted power iteration over the host rollup, unrolled.
+
+    Twin of ``q_host_pagerank``: host vid = doc_id % 20, edge weight =
+    inter-host link count, walk probability w/Σ_out w, dangling hosts'
+    mass redistributed uniformly each iteration (same probability form
+    as the engine's unweighted PageRank)."""
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        "he AS MATERIALIZED (SELECT src % 20 AS src, dst % 20 AS dst, "
+        "CAST(COUNT(*) AS DOUBLE) AS w FROM edges "
+        "WHERE src % 20 <> dst % 20 GROUP BY src % 20, dst % 20),",
+        "hv AS MATERIALIZED (SELECT DISTINCT v FROM "
+        "(SELECT src AS v FROM he UNION ALL SELECT dst AS v FROM he) u),",
+        "hn AS (SELECT COUNT(*) AS n FROM hv),",
+        "wdeg AS MATERIALIZED (SELECT src AS vid, SUM(w) AS wsum FROM he GROUP BY src),",
+        "p0 AS MATERIALIZED (SELECT hv.v AS vid, 1.0 / hn.n AS r FROM hv CROSS JOIN hn),",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"p{i - 1}"
+        parts.append(
+            f"""dang{i} AS (
+  SELECT COALESCE(SUM(p.r), 0.0) AS d FROM {prev} p
+  LEFT JOIN wdeg ON wdeg.vid = p.vid WHERE wdeg.vid IS NULL
+),
+p{i} AS MATERIALIZED (
+  SELECT v.vid,
+         {1 - alpha} / hn.n + {alpha} * (COALESCE(s.m, 0.0) + dd.d / hn.n) AS r
+  FROM {prev} v CROSS JOIN hn CROSS JOIN dang{i} dd
+  LEFT JOIN (
+    SELECT he.dst AS vid, SUM(p.r * he.w / wdeg.wsum) AS m
+    FROM he JOIN {prev} p ON p.vid = he.src JOIN wdeg ON wdeg.vid = he.src
+    GROUP BY he.dst
+  ) s ON s.vid = v.vid
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid AS host_id, ROUND(r, 6) AS rank6 FROM p{iters} ORDER BY host_id"
+    )
+    return "\n".join(parts)
+
+
 def _labelprop_unrolled_sql(iters: int = 3) -> str:
     parts = [
         "WITH " + EDGE_SQL.strip() + ",",
@@ -1620,6 +1663,40 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_graph(pairs)
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the host-graph rollup (the Common-Crawl
+    host-ranking artifact): walk probability ∝ inter-host link count.
+    Hosts are synthesized arithmetically (vid = doc_id % 20) so the
+    DuckDB twin unrolls the same weighted power iteration, dangling
+    hosts included."""
+    from linkgraph.algorithms.pagerank import pagerank
+    from linkgraph.extract import host_graph
+    from linkgraph.graph import Graph
+
+    _load(spark, sf_dir, "documents")
+    pairs = spark.sql(
+        f"WITH {EDGE_SQL.strip()}, {HOST_PAIRS_SQL.strip()} "
+        "SELECT * FROM pairs"
+    )
+    hg = host_graph(pairs)
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    hvid = lambda c: F.regexp_extract(F.col(c), r"^site(\d+)\.", 1).cast("long")  # noqa: E731
+    e = (
+        hg.select(
+            hvid("src_host").alias("src"),
+            hvid("dst_host").alias("dst"),
+            F.col("weight").cast("double").alias("w"),
+        )
+        .repartition(parts, "src")
+        .sortWithinPartitions("src", "dst")
+    )
+    g = Graph(e, parts)
+    res = pagerank(g, alpha=0.85, tol=0.0, max_iters=10, weight_col="w")
+    return res.state.select(
+        F.col("vid").alias("host_id"), F.round("rank", 6).alias("rank6")
+    )
+
+
 def q_geolocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial-median spread, DuckDB-oracled by a 20-round unroll
     (_geolocation_unrolled_sql); semantics also pinned vs the NumPy
@@ -2043,6 +2120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bc_sampled": q_bc_sampled,
     "link_log_compact": q_link_log_compact,
     "host_graph": q_host_graph,
+    "host_pagerank": q_host_pagerank,
     "mst": q_mst,
     "geolocation": q_geolocation,
     "dedup_exact": q_dedup_exact,
@@ -2075,6 +2153,7 @@ ORACLES: dict[str, str] = {
     "edge_build": f"WITH {EDGE_SQL.strip()} SELECT CAST(COUNT(*) AS BIGINT) AS num_edges, CAST(COUNT(DISTINCT src) AS BIGINT) AS num_sources FROM edges",
     "degrees": DEGREES_SQL,
     "pagerank10": _pagerank_unrolled_sql(10, 0.85),
+    "host_pagerank": _host_pagerank_unrolled_sql(10, 0.85),
     "connected_components": CC_SQL,
     "labelprop3": _labelprop_unrolled_sql(3),
     "bfs_depths": BFS_SQL,

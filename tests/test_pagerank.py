@@ -65,3 +65,70 @@ def test_unsalted_matches_salted(spark, chesapeake_graph):
     db = {r.vid: r.rank for r in b}
     for v in da:
         assert abs(da[v] - db[v]) < 1e-9
+
+
+def _weighted_oracle(edges_w, n_iters, alpha=0.85, tol=0.0):
+    """NumPy weighted power iteration in the engine's probability form."""
+    verts = sorted({v for e in edges_w for v in e[:2]})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    wsum = np.zeros(n)
+    for s, d, w in edges_w:
+        wsum[idx[s]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iters):
+        nxt = np.zeros(n)
+        for s, d, w in edges_w:
+            nxt[idx[d]] += r[idx[s]] * w / wsum[idx[s]]
+        dangling = r[wsum == 0].sum()
+        nxt = (1 - alpha) / n + alpha * (nxt + dangling / n)
+        delta = np.abs(nxt - r).max()
+        r = nxt
+        if tol and delta < tol:
+            break
+    return {v: r[idx[v]] for v in verts}
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    edges_w = [
+        (0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0),
+        (3, 0, 5.0), (1, 3, 0.5), (4, 2, 1.0),  # 4 has out, 5 below dangling
+        (2, 5, 1.0),
+    ]
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = spark.createDataFrame(edges_w, "src long, dst long, w double")
+    g = Graph(
+        df.repartition(parts, "src").sortWithinPartitions("src", "dst"),
+        parts,
+    )
+    res = pagerank(g, alpha=0.85, tol=0.0, max_iters=12, weight_col="w")
+    got = {r.vid: r.rank for r in res.state.collect()}
+    want = _weighted_oracle(edges_w, 12)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_weighted_pagerank_unit_weights_equals_unweighted(spark):
+    edges = chesapeake_edges()[:60]
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    g_plain = Graph.from_edges(edges_df(spark, edges), num_partitions=parts)
+    import pyspark.sql.functions as F
+
+    gw = Graph(g_plain.edges.withColumn("w", F.lit(1.0)), parts)
+    plain = pagerank(g_plain, tol=0.0, max_iters=8)
+    weighted = pagerank(gw, tol=0.0, max_iters=8, weight_col="w")
+    p = {r.vid: r.rank for r in plain.state.collect()}
+    w = {r.vid: r.rank for r in weighted.state.collect()}
+    assert set(p) == set(w)
+    for v in p:
+        assert abs(p[v] - w[v]) < 1e-12
+
+
+def test_weighted_pagerank_rejects_spmv(spark):
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, w double")
+    g = Graph(df.repartition(parts, "src"), parts)
+    with pytest.raises(ValueError):
+        pagerank(g, weight_col="w", strategy="spmv")
