@@ -1,0 +1,144 @@
+"""Deterministic distributed random walks (training-data sampling).
+
+The sampling front end for graph-embedding pipelines (DeepWalk/node2vec
+family, public knowledge: Perozzi et al. 2014, Grover & Leskovec 2016):
+emit fixed-length walks from a start set; downstream treats each walk as
+a "sentence" over vertex tokens.
+
+Spark-first shape — every step is ONE hub-safe equi-join, never an
+explode of the neighbor list:
+
+1. **edge index (once, persisted)**: rank each source's out-edges by dst
+   (`row_number` over ``partitionBy(src).orderBy(dst)`` − 1) → ``(src,
+   idx, dst)`` with ``idx ∈ [0, outdeg)``; ``(src, idx)`` is a unique
+   key.  Build cost is one |E| window sort — the walk analog of the CSR
+   build, amortized over all steps and walks.
+2. **choice**: the walker at ``v`` on step ``t`` picks
+   ``idx = ((walk_id·A₁ + t·A₂ + seed) mod P) mod outdeg(v)`` — the same
+   public multiplicative-hash family as the engine's BC source sampling
+   and ANN arith planes (pure int64 arithmetic ⇒ the DuckDB oracle
+   replays the walk bit-for-bit).  Seeded per (walk, step): two walkers
+   meeting at the same hub diverge.
+3. **step**: state ``(walk_id, vid)`` joins the degree table (compute
+   the choice), then equi-joins the index on ``(src, idx)`` — a 10⁸-
+   out-link hub costs one probe per visiting walker, not a 10⁸-row
+   expansion.  Walks reaching a dangling vertex terminate (inner join
+   drops them — the standard truncation semantics).
+
+State per step is ``plain_checkpoint``-ed like every engine iteration
+(flat plans, freed generations); emitted path rows accumulate as a
+union of per-step leaves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from linkgraph.graph import Graph
+from linkgraph.superstep import plain_checkpoint
+
+#: multiplicative-hash constants (same public family as bc.py's source
+#: sample): int64-safe for walk_id up to ~9·10^12 at A₁ ≈ 10^6.
+WALK_A1 = 1000003
+WALK_A2 = 10007
+WALK_P = 2147483647
+
+
+def indexed_edges(graph: Graph) -> DataFrame:
+    """``(src, idx, dst)`` with idx = dense rank of dst within src.
+
+    One |E| window pass over the persisted hash(src) layout (the
+    partitionBy matches the edge partitioning, so no extra exchange);
+    callers should persist the result when walking multiple steps.
+    """
+    w = Window.partitionBy("src").orderBy("dst")
+    return graph.edges.select(
+        "src", (F.row_number().over(w) - 1).alias("idx"), "dst"
+    )
+
+
+def walk_choice(walk_id, step: int, outdeg, seed: int):
+    """The portable neighbor-choice expression (see module docstring)."""
+    h = (walk_id * F.lit(WALK_A1) + F.lit(step * WALK_A2 + seed)) % F.lit(
+        WALK_P
+    )
+    return h % outdeg
+
+
+def random_walks(
+    graph: Graph,
+    num_steps: int,
+    starts: DataFrame | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Fixed-length deterministic walks → ``(walk_id, step, vid)``.
+
+    ``starts``: one walk per row of a ``(vid)`` DataFrame (walk_id =
+    start vid); default = every vertex.  Step 0 rows are the starts;
+    a walk truncated at a dangling vertex simply has no later rows.
+    """
+    if num_steps < 0:
+        raise ValueError("num_steps must be >= 0")
+    if starts is None:
+        starts = graph.vertices
+    # disambiguating rename: idx and deg both derive from graph.edges
+    # (a self-join from Catalyst's perspective) — unique names sidestep
+    # the ambiguous-attribute analysis failure
+    idx = indexed_edges(graph).select(
+        F.col("src").alias("_isrc"),
+        F.col("idx").alias("_idx"),
+        F.col("dst").alias("_idst"),
+    ).persist()
+    deg = graph.out_degrees  # (vid, outdeg)
+
+    # One cumulative (walk_id, step, vid) leaf per round — the settled-set
+    # shape (bc.py forward phase): the frontier is the step == t−1 slice,
+    # so superseded generations can be freed safely (no dangling lazy
+    # references into freed checkpoint blocks) and the plan stays flat.
+    state = plain_checkpoint(
+        starts.select(
+            F.col("vid").alias("walk_id"),
+            F.lit(0).alias("step"),
+            F.col("vid").alias("vid"),
+        )
+    )
+    try:
+        for t in range(1, num_steps + 1):
+            frontier = state.where(F.col("step") == t - 1).select(
+                "walk_id", "vid"
+            )
+            with_deg = frontier.join(
+                deg.withColumnRenamed("vid", "_dv"),
+                frontier["vid"] == F.col("_dv"),
+            ).select(
+                "walk_id",
+                "vid",
+                walk_choice(F.col("walk_id"), t, F.col("outdeg"), seed).alias(
+                    "_choice"
+                ),
+            )
+            nxt = with_deg.join(
+                idx,
+                (with_deg["vid"] == idx["_isrc"])
+                & (with_deg["_choice"] == idx["_idx"]),
+            ).select(
+                "walk_id", F.lit(t).alias("step"), idx["_idst"].alias("vid")
+            )
+            # repartition the cumulative leaf: a bare union concatenates
+            # partition lists, so P grows every round and each frontier
+            # slice re-scans them all — pin the leaf at the graph's count
+            new_state = plain_checkpoint(
+                state.unionAll(nxt).repartition(
+                    graph.num_partitions, "walk_id"
+                ),
+                replaces=state,
+            )
+            grew = new_state.where(F.col("step") == t).isEmpty() is False
+            state = new_state
+            if not grew:
+                break
+        return state
+    finally:
+        idx.unpersist()

@@ -300,6 +300,39 @@ def _pagerank_unrolled_sql(iters: int = 10, alpha: float = 0.85) -> str:
     return "\n".join(parts)
 
 
+def _random_walks_unrolled_sql(steps: int = 5, seed: int = 0) -> str:
+    """Twin of ``q_random_walks``: same edge index (dense dst-rank per
+    src), same multiplicative-hash neighbor pick, one CTE per step;
+    walks truncate at dangling vertices via the inner join."""
+    from linkgraph.algorithms.walks import WALK_A1, WALK_A2, WALK_P
+
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        "ie AS MATERIALIZED (SELECT src, ROW_NUMBER() OVER "
+        "(PARTITION BY src ORDER BY dst) - 1 AS idx, dst FROM edges),",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),",
+        "w0 AS MATERIALIZED (SELECT d.doc_id AS walk_id, d.doc_id AS vid "
+        "FROM documents d WHERE d.doc_id % 10 = 0),",
+    ]
+    for t in range(1, steps + 1):
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT w.walk_id, ie.dst AS vid
+  FROM w{t - 1} w
+  JOIN deg ON deg.src = w.vid
+  JOIN ie ON ie.src = w.vid
+         AND ie.idx = ((w.walk_id * {WALK_A1} + {t * WALK_A2 + seed}) % {WALK_P}) % deg.outdeg
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    selects = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({t} AS INT) AS step, vid FROM w{t}"
+        for t in range(steps + 1)
+    )
+    parts.append(selects + " ORDER BY walk_id, step")
+    return "\n".join(parts)
+
+
 def _host_pagerank_unrolled_sql(iters: int = 10, alpha: float = 0.85) -> str:
     """Weighted power iteration over the host rollup, unrolled.
 
@@ -1663,6 +1696,22 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_graph(pairs)
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-step random walks from every 10th vertex
+    (algorithms/walks.py — the DeepWalk-family sampling front end).
+    The arithmetic neighbor choice makes the whole trajectory DuckDB-
+    replayable: the twin unrolls one CTE per step with the same
+    ``((walk_id·A₁ + t·A₂) mod P) mod outdeg`` pick over the same
+    dst-ranked edge index."""
+    from linkgraph.algorithms.walks import random_walks
+
+    g = build_graph(spark, sf_dir)
+    starts = g.vertices.where(F.col("vid") % 10 == 0)
+    return random_walks(g, num_steps=5, starts=starts, seed=0).select(
+        "walk_id", F.col("step").cast("int").alias("step"), "vid"
+    )
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the host-graph rollup (the Common-Crawl
     host-ranking artifact): walk probability ∝ inter-host link count.
@@ -2121,6 +2170,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_log_compact": q_link_log_compact,
     "host_graph": q_host_graph,
     "host_pagerank": q_host_pagerank,
+    "random_walks5": q_random_walks,
     "mst": q_mst,
     "geolocation": q_geolocation,
     "dedup_exact": q_dedup_exact,
@@ -2154,6 +2204,7 @@ ORACLES: dict[str, str] = {
     "degrees": DEGREES_SQL,
     "pagerank10": _pagerank_unrolled_sql(10, 0.85),
     "host_pagerank": _host_pagerank_unrolled_sql(10, 0.85),
+    "random_walks5": _random_walks_unrolled_sql(5, 0),
     "connected_components": CC_SQL,
     "labelprop3": _labelprop_unrolled_sql(3),
     "bfs_depths": BFS_SQL,

@@ -321,3 +321,57 @@ def test_bc_sample_sources_deterministic(spark, chesapeake_graph):
     a = sample_sources(chesapeake_graph, 5)
     b = sample_sources(chesapeake_graph, 5)
     assert a == b and len(a) == 5
+
+
+def test_random_walks_match_python_twin(spark):
+    """Deterministic walks: exact per-step trajectory equality against a
+    pure-Python replay of the arithmetic choice, including dangling-
+    vertex truncation."""
+    import collections
+
+    from linkgraph.algorithms.walks import (
+        WALK_A1,
+        WALK_A2,
+        WALK_P,
+        random_walks,
+    )
+    from linkgraph.graph import Graph
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 4), (1, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(df, num_partitions=4)
+    got = {
+        (r.walk_id, r.step): r.vid
+        for r in random_walks(g, num_steps=6, seed=7).collect()
+    }
+
+    adj = collections.defaultdict(list)
+    for s, d in sorted(set(edges)):
+        if s != d:
+            adj[s].append(d)
+    want = {}
+    for w in sorted({v for e in edges for v in e}):
+        cur = w
+        want[(w, 0)] = cur
+        for t in range(1, 7):
+            outs = sorted(adj.get(cur, []))
+            if not outs:
+                break
+            cur = outs[((w * WALK_A1 + t * WALK_A2 + 7) % WALK_P) % len(outs)]
+            want[(w, t)] = cur
+
+    assert got == want
+    # vertex 4 is dangling: its walk has only the step-0 row
+    assert (4, 0) in got and (4, 1) not in got
+
+
+def test_random_walks_custom_starts_and_zero_steps(spark):
+    from linkgraph.algorithms.walks import random_walks
+    from linkgraph.graph import Graph
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    g = Graph.from_edges(df, num_partitions=4)
+    starts = g.vertices.where(F.col("vid") == 0)
+    out = random_walks(g, num_steps=0, starts=starts).collect()
+    assert [(r.walk_id, r.step, r.vid) for r in out] == [(0, 0, 0)]
