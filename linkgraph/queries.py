@@ -300,6 +300,31 @@ def _pagerank_unrolled_sql(iters: int = 10, alpha: float = 0.85) -> str:
     return "\n".join(parts)
 
 
+def _katz_unrolled_sql(iters: int = 8, alpha: float = 0.05, beta: float = 1.0) -> str:
+    """Twin of ``q_katz``: K chained ``x' = α·Aᵀx + β`` rounds."""
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        "e2 AS MATERIALIZED (SELECT src, dst FROM edges),",
+        f"k0 AS MATERIALIZED (SELECT d.doc_id AS vid, CAST({beta} AS DOUBLE) AS x FROM documents d),",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"k{i - 1}"
+        parts.append(
+            f"""k{i} AS MATERIALIZED (
+  SELECT v.vid, {beta} + {alpha} * COALESCE(s.m, 0.0) AS x
+  FROM {prev} v
+  LEFT JOIN (
+    SELECT e.dst AS vid, SUM({prev}.x) AS m
+    FROM e2 e JOIN {prev} ON {prev}.vid = e.src
+    GROUP BY e.dst
+  ) s ON s.vid = v.vid
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT vid, ROUND(x, 6) AS katz6 FROM k{iters} ORDER BY vid")
+    return "\n".join(parts)
+
+
 def _random_walks_unrolled_sql(steps: int = 5, seed: int = 0) -> str:
     """Twin of ``q_random_walks``: same edge index (dense dst-rank per
     src), same multiplicative-hash neighbor pick, one CTE per step;
@@ -1696,6 +1721,18 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_graph(pairs)
 
 
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality, 8 rounds of x' = 0.05·Aᵀx + 1 from
+    x₀ = 1 (algorithms/katz.py); the DuckDB twin unrolls the same
+    rounds — no normalization, no dangling term, so the twin is a plain
+    chained aggregation."""
+    from linkgraph.algorithms.katz import katz
+
+    g = build_graph(spark, sf_dir)
+    res = katz(g, alpha=0.05, beta=1.0, tol=0.0, max_iters=8)
+    return res.state.select("vid", F.round("score", 6).alias("katz6"))
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5-step random walks from every 10th vertex
     (algorithms/walks.py — the DeepWalk-family sampling front end).
@@ -2171,6 +2208,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_graph": q_host_graph,
     "host_pagerank": q_host_pagerank,
     "random_walks5": q_random_walks,
+    "katz8": q_katz,
     "mst": q_mst,
     "geolocation": q_geolocation,
     "dedup_exact": q_dedup_exact,
@@ -2205,6 +2243,7 @@ ORACLES: dict[str, str] = {
     "pagerank10": _pagerank_unrolled_sql(10, 0.85),
     "host_pagerank": _host_pagerank_unrolled_sql(10, 0.85),
     "random_walks5": _random_walks_unrolled_sql(5, 0),
+    "katz8": _katz_unrolled_sql(8, 0.05, 1.0),
     "connected_components": CC_SQL,
     "labelprop3": _labelprop_unrolled_sql(3),
     "bfs_depths": BFS_SQL,

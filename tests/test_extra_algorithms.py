@@ -375,3 +375,40 @@ def test_random_walks_custom_starts_and_zero_steps(spark):
     starts = g.vertices.where(F.col("vid") == 0)
     out = random_walks(g, num_steps=0, starts=starts).collect()
     assert [(r.walk_id, r.step, r.vid) for r in out] == [(0, 0, 0)]
+
+
+def test_katz_matches_numpy(spark):
+    import numpy as np
+
+    from conftest import edges_df
+    from linkgraph.algorithms.katz import katz
+    from linkgraph.fixtures import chesapeake_edges
+    from linkgraph.graph import Graph
+
+    edges = chesapeake_edges()
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+    res = katz(g, alpha=0.05, beta=1.0, tol=0.0, max_iters=8)
+    got = {r.vid: r.score for r in res.state.collect()}
+
+    verts = sorted({v for e in set(edges) for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    es = {(s, d) for s, d in edges if s != d}
+    x = np.ones(len(verts))
+    for _ in range(8):
+        nxt = np.ones(len(verts))
+        for s, d in es:
+            nxt[idx[d]] += 0.05 * x[idx[s]]
+        x = nxt
+    for v in verts:
+        assert abs(got[v] - x[idx[v]]) < 1e-9, v
+
+
+def test_katz_converges_with_tol(spark):
+    from conftest import edges_df
+    from linkgraph.algorithms.katz import katz
+    from linkgraph.fixtures import chesapeake_edges
+    from linkgraph.graph import Graph
+
+    g = Graph.from_edges(edges_df(spark, chesapeake_edges()), num_partitions=4)
+    res = katz(g, alpha=0.01, tol=1e-9, max_iters=100)
+    assert res.converged and res.iterations < 100

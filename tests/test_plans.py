@@ -398,3 +398,63 @@ def test_jaccard_verify_plan_is_pair_driven(spark):
     plan = formatted_plan(jaccard_verify(docs, pairs))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_katz_round_plan_single_live_shuffle(spark, plan_graph):
+    """Katz superstep keeps the PageRank contract: exchange-free gather
+    on the persisted edges, one live shuffle (the dst reduce), both
+    |V| sides streamed."""
+    from linkgraph.algorithms.katz import katz_round
+    from linkgraph.superstep import strip_origin_stats
+
+    g = plan_graph
+    parts = g.num_partitions
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        state = strip_origin_stats(
+            g.vertices.select("vid", F.lit(1.0).alias("score"))
+            .repartition(parts, "vid")
+            .sortWithinPartitions("vid")
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        )
+        out = katz_round(g, state, alpha=0.05, beta=1.0)
+        live = assert_superstep_plan(out, max_exchanges=1)
+        assert "SortMergeJoin" in live, live
+        assert "BroadcastHashJoin" not in live, live
+        assert "InMemoryTableScan" in live, live
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_walk_step_plan_is_keyed_probe(spark, plan_graph):
+    """Random-walk step: the neighbor pick must be an equi-join on the
+    (src, idx) key of the persisted edge index — never a cartesian or
+    per-neighbor expansion filtered afterwards."""
+    from linkgraph.algorithms.walks import indexed_edges, walk_choice
+
+    g = plan_graph
+    idx = indexed_edges(g).select(
+        F.col("src").alias("_isrc"),
+        F.col("idx").alias("_idx"),
+        F.col("dst").alias("_idst"),
+    )
+    frontier = g.vertices.select(
+        F.col("vid").alias("walk_id"), F.col("vid").alias("vid")
+    )
+    with_deg = frontier.join(
+        g.out_degrees.withColumnRenamed("vid", "_dv"),
+        frontier["vid"] == F.col("_dv"),
+    ).select(
+        "walk_id",
+        "vid",
+        walk_choice(F.col("walk_id"), 1, F.col("outdeg"), 0).alias("_choice"),
+    )
+    nxt = with_deg.join(
+        idx,
+        (with_deg["vid"] == idx["_isrc"]) & (with_deg["_choice"] == idx["_idx"]),
+    )
+    plan = formatted_plan(nxt)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"keys \[\d+\]: \[", plan), plan
