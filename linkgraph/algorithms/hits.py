@@ -99,6 +99,7 @@ def hits(
         converged=lambda s: s.get("delta") is not None and s["delta"] < tol,
         max_iters=max_iters, checkpoint=checkpoint,
         checkpoint_every=checkpoint_every, resume=resume,
+        ephemeral_cols=("_delta",),
     )
     result.state = result.state.select("vid", "hub", "auth")
     return result

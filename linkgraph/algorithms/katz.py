@@ -77,6 +77,7 @@ def katz(
         checkpoint=checkpoint,
         checkpoint_every=checkpoint_every,
         resume=resume,
+        ephemeral_cols=("_delta",),
     )
     result.state = result.state.select("vid", "score")
     return result

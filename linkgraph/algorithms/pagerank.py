@@ -222,6 +222,7 @@ def pagerank(
         checkpoint=checkpoint,
         checkpoint_every=checkpoint_every,
         resume=resume,
+        ephemeral_cols=("_delta",),
     )
     result.state = result.state.select("vid", "rank")
     return result

@@ -99,6 +99,7 @@ def personalized_pagerank(
         init, step, stats_cols=stats_cols, converged=converged,
         max_iters=max_iters, checkpoint=checkpoint,
         checkpoint_every=checkpoint_every, resume=resume,
+        ephemeral_cols=("_delta",),
     )
     result.state = result.state.select("vid", "rank")
     return result
