@@ -1,0 +1,219 @@
+"""Approximate neighborhood function / effective diameter — FM sketches.
+
+Public-knowledge formulation: ANF (Palmer, Gibbons, Faloutsos, KDD 2002)
+estimates ``N(v, t) = |{u : dist(u → v) ≤ t}|`` for every vertex with k
+Flajolet-Martin bitmask sketches; HyperBall (Boldi & Vigna 2013) is the
+same iteration with HyperLogLog registers.  The FM variant maps EXACTLY
+onto the engine's superstep dataflow because the sketch union is a
+bitwise OR — a decomposable aggregation Spark executes JVM-side with
+map-side partial combine (``F.bit_or``), so each round is the standard
+one-live-|V|-shuffle superstep: exchange-free gather join on the
+persisted hash(src) edge layout + ``groupBy(dst).agg(bit_or)`` + merge.
+
+Direction: the gather joins state on ``src`` and reduces by ``dst``, so
+after t rounds vertex v's sketch covers ``{u : u →* v within t hops}``
+— the IN-ball ("how many pages can reach v"), the natural web-graph
+form.  For out-balls run on ``graph.reversed()``-style edges.
+
+Determinism / oracle replay: register j of vertex v is initialized to
+the isolated lowest set bit of ``h_j(v)`` where ``h_j(v)`` = first 8
+hex chars of ``md5(f"{j}:{v}")`` — trailing-zero rank r occurs with
+the FM-required geometric probability 2^-(r+1), and the whole pipeline
+is md5 + integer bit ops, replayable bit-for-bit in DuckDB
+(queries._anf_unrolled_sql).  No float appears anywhere in the sketch
+state; rank extraction avoids ``log2`` (whose exactness on powers of
+two is not guaranteed identical across engines) via the exact
+``2^m mod 37`` perfect-hash CASE (all residues distinct for m ≤ 35).
+
+Scale shape at 10^12 documents: state is (vid, k longs) — 8k bytes per
+vertex; each round shuffles ≤ one partially-OR'd row per (dst,
+partition), so a 10^8-in-link hub costs P rows, not 10^8 (same argument
+as neighbor_reduce's skew note).  Rounds needed = graph diameter
+(web graphs: ~16-20 effective).  k controls variance (stderr ≈
+0.78/√k per vertex; sums over |V| concentrate much tighter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+from linkgraph.operators.neighbor_reduce import neighbor_reduce_multi
+from linkgraph.superstep import CheckpointManager, IterationResult, iterate
+
+# Flajolet-Martin bias correction: E[2^R] ≈ φ · n  ⇒  n̂ = 2^R / φ
+FM_PHI = 0.77351
+
+# exact power-of-two → exponent mapping: 2^m mod 37 is injective for
+# m ∈ [0, 35] (37 is prime with multiplicative order 36 for 2)
+_POW2_MOD37 = {pow(2, m) % 37: m for m in range(34)}
+
+
+def _fm_init_col(vid: Column, j: int) -> Column:
+    """Register j's initial sketch: 1 << (trailing zeros of h_j(vid)).
+
+    ``h & -h`` isolates the lowest set bit — which IS ``1 << r`` — so no
+    rank extraction is needed at init.  h = 0 (probability 2^-32) maps
+    to the top bit of the 32-bit register window.
+    """
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), vid.cast("string"))), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    return F.when(h == 0, F.lit(1 << 31)).otherwise(h.bitwiseAND(-h))
+
+
+def _lowest_zero_rank(sk: Column) -> Column:
+    """Index of the lowest ZERO bit of a sketch (int) — FM's R statistic.
+
+    ``(s | (s+1)) ^ s`` isolates the lowest zero bit exactly; the
+    exponent comes from the 2^m mod 37 CASE (exact integer arithmetic,
+    engine-portable — see module doc).
+    """
+    z = (sk.bitwiseOR(sk + 1)).bitwiseXOR(sk)
+    expr: Column = F.lit(None).cast("int")
+    residue = z % 37
+    for res, m in _POW2_MOD37.items():
+        expr = F.when(residue == res, F.lit(m)).otherwise(expr)
+    return expr
+
+
+def rank_sum_col(k: int) -> Column:
+    """Σ_j lowest-zero-rank(sk_j) — the exact-integer per-vertex
+    statistic the catalog entry exposes (the float estimate is a pure
+    function of it: n̂ = 2^(rsum/k)/φ)."""
+    total = _lowest_zero_rank(F.col("sk0"))
+    for j in range(1, k):
+        total = total + _lowest_zero_rank(F.col(f"sk{j}"))
+    return total.cast("int")
+
+
+def ball_estimate_col(k: int) -> Column:
+    """Per-vertex in-ball size estimate n̂(v) = 2^(mean rank)/φ."""
+    return F.pow(F.lit(2.0), rank_sum_col(k).cast("double") / k) / FM_PHI
+
+
+def anf_round(graph: Graph, state: DataFrame, k: int) -> DataFrame:
+    """ONE sketch-propagation superstep over ``(vid, sk0..sk{k-1})``.
+
+    All k registers ride a single gather + a single bit_or shuffle
+    (neighbor_reduce_multi); the merge join is exchange-free on the
+    checkpoint leaves.  Emits ephemerals ``_changed`` (1 iff any
+    register gained a bit — drives convergence) and ``_est`` (per-vertex
+    ball estimate — observed to give NF(t) with zero extra jobs).
+    """
+    sums = neighbor_reduce_multi(
+        graph.edges,
+        state,
+        [(F.col(f"sk{j}"), "bit_or", f"m{j}") for j in range(k)],
+    )
+    merged = state.join(sums.hint("merge"), "vid", "left")
+    new_sks = [
+        F.col(f"sk{j}")
+        .bitwiseOR(F.coalesce(F.col(f"m{j}"), F.lit(0)))
+        .alias(f"sk{j}")
+        for j in range(k)
+    ]
+    changed = F.lit(False)
+    for j in range(k):
+        changed = changed | (
+            F.col(f"sk{j}").bitwiseOR(F.coalesce(F.col(f"m{j}"), F.lit(0)))
+            != F.col(f"sk{j}")
+        )
+    out = merged.select(
+        "vid", *new_sks, F.when(changed, 1).otherwise(0).alias("_changed")
+    )
+    return out.withColumn("_est", ball_estimate_col(k))
+
+
+def anf(
+    graph: Graph,
+    k: int = 8,
+    max_iters: int = 32,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = True,
+) -> IterationResult:
+    """Run sketch propagation until no register changes (≈ diameter
+    rounds) or ``max_iters``.
+
+    Result state: ``(vid, sk0..sk{k-1})``.  ``history[t-1]["nf"]`` is
+    the estimated neighborhood function NF(t) = Σ_v n̂(v, t) after round
+    t (observed metric of the superstep job itself)."""
+    init = graph.vertices.select(
+        "vid", *[_fm_init_col(F.col("vid"), j).alias(f"sk{j}") for j in range(k)]
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        return anf_round(graph, state, k)
+
+    stats_cols = [
+        F.sum("_changed").alias("changed"),
+        F.sum("_est").alias("nf"),
+    ]
+
+    def converged(s: dict) -> bool:
+        return s.get("changed") is not None and s["changed"] == 0
+
+    result = iterate(
+        init,
+        step,
+        stats_cols=stats_cols,
+        converged=converged,
+        max_iters=max_iters,
+        checkpoint=checkpoint,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+        ephemeral_cols=("_changed", "_est"),
+    )
+    result.state = result.state.select("vid", *[f"sk{j}" for j in range(k)])
+    return result
+
+
+def effective_diameter(
+    graph: Graph,
+    q: float = 0.9,
+    k: int = 8,
+    max_iters: int = 64,
+    checkpoint: CheckpointManager | None = None,
+) -> dict:
+    """q-effective diameter: smallest t such that NF(t) ≥ q·NF(∞),
+    linearly interpolated between rounds (ANF §3.3 convention).
+
+    Returns ``{"diameter": float, "nf": [NF(0), NF(1), ...],
+    "rounds": int, "converged": bool}``.  One extra small job computes
+    NF(0) from the init sketches; every other point rides the
+    superstep jobs as observed metrics."""
+    res = anf(graph, k=k, max_iters=max_iters, checkpoint=checkpoint)
+    nf0_df = graph.vertices.select(
+        "vid", *[_fm_init_col(F.col("vid"), j).alias(f"sk{j}") for j in range(k)]
+    )
+    nf0 = nf0_df.select(F.sum(ball_estimate_col(k)).alias("nf")).collect()[0]["nf"]
+    nfs = [float(nf0)] + [float(h["nf"]) for h in res.history]
+    # ORed sketches only grow, but the ESTIMATE of a later round can
+    # dip below an earlier one's bias noise; clamp to non-decreasing so
+    # the quantile crossing is well-defined
+    for i in range(1, len(nfs)):
+        nfs[i] = max(nfs[i], nfs[i - 1])
+    target = q * nfs[-1]
+    d = float(len(nfs) - 1)
+    for t in range(len(nfs)):
+        if nfs[t] >= target:
+            if t == 0:
+                d = 0.0
+            else:
+                lo, hi = nfs[t - 1], nfs[t]
+                frac = 0.0 if hi == lo else (target - lo) / (hi - lo)
+                d = (t - 1) + frac
+            break
+    return {
+        "diameter": d,
+        "nf": nfs,
+        "rounds": res.iterations,
+        "converged": res.converged,
+    }

@@ -27,6 +27,9 @@ _MERGE = {
     "sum": F.sum,
     "min": F.min,
     "max": F.max,
+    # bitwise-OR union: decomposable (map-side combinable) like sum/min,
+    # the reduce step of FM/HyperBall sketch propagation (algorithms/anf.py)
+    "bit_or": F.bit_or,
     # phase-2 merge for count is sum of partial counts
 }
 
@@ -117,3 +120,30 @@ def neighbor_reduce(
         .agg(agg_fn("_v").alias(out))
         .withColumnRenamed("dst", "vid")
     )
+
+
+def neighbor_reduce_multi(
+    edges: DataFrame,
+    state: DataFrame,
+    aggs: list[tuple[Column, str, str]],
+) -> DataFrame:
+    """:func:`neighbor_reduce` for SEVERAL reductions in ONE gather pass.
+
+    ``aggs`` is a list of ``(value, op, out)`` triples; all reductions
+    share the single exchange-free gather join and the single
+    shuffle-reduce by ``dst`` (one |V|-row exchange total, not one per
+    reduction) — the dataflow of a multi-register sketch superstep
+    (algorithms/anf.py propagates k FM registers per round this way).
+    Every op must be decomposable (map-side combinable): sum/min/max/
+    count/bit_or.
+    """
+    gathered = edges.join(
+        state.withColumnRenamed("vid", "src").hint("merge"),
+        on="src",
+        how="inner",
+    )
+    exprs = []
+    for value, op, out in aggs:
+        agg_fn = F.count if op == "count" else _MERGE[op]
+        exprs.append(agg_fn(value).alias(out))
+    return gathered.groupBy("dst").agg(*exprs).withColumnRenamed("dst", "vid")

@@ -325,6 +325,66 @@ def _katz_unrolled_sql(iters: int = 8, alpha: float = 0.05, beta: float = 1.0) -
     return "\n".join(parts)
 
 
+def _anf_unrolled_sql(iters: int = 4, k: int = 4) -> str:
+    """Twin of ``q_anf4`` (algorithms/anf.py): FM sketch propagation
+    unrolled — same md5-derived init bit (``h & -h``), same per-round
+    ``bit_or`` union over in-edges, same exact ``2^m mod 37`` rank CASE
+    (no floats anywhere; see anf.py module doc for why log2 is avoided)."""
+    from linkgraph.algorithms.anf import _POW2_MOD37
+
+    def init(j: int) -> str:
+        h = (
+            f"CAST(concat('0x', substr(md5('{j}:' || "
+            f"CAST(v.vid AS VARCHAR)), 1, 8)) AS BIGINT)"
+        )
+        return (
+            f"(CASE WHEN {h} = 0 THEN CAST({1 << 31} AS BIGINT) "
+            f"ELSE {h} & (-{h}) END) AS sk{j}"
+        )
+
+    whens = " ".join(f"WHEN {res} THEN {m}" for res, m in _POW2_MOD37.items())
+
+    def rank(j: int) -> str:
+        return f"(CASE (xor(sk{j} | (sk{j} + 1), sk{j}) % 37) {whens} END)"
+
+    inits = ",\n         ".join(init(j) for j in range(k))
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        "e2 AS MATERIALIZED (SELECT src, dst FROM edges),",
+        f"""a0 AS MATERIALIZED (
+  SELECT v.vid,
+         {inits}
+  FROM (SELECT d.doc_id AS vid FROM documents d) v
+),""",
+    ]
+    news = ",\n         ".join(
+        f"v.sk{j} | COALESCE(s.m{j}, 0) AS sk{j}" for j in range(k)
+    )
+    ors = ", ".join(f"bit_or(p.sk{j}) AS m{j}" for j in range(k))
+    for i in range(1, iters + 1):
+        prev = f"a{i - 1}"
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT v.vid,
+         {news}
+  FROM {prev} v
+  LEFT JOIN (
+    SELECT e.dst AS vid, {ors}
+    FROM e2 e JOIN {prev} p ON p.vid = e.src
+    GROUP BY e.dst
+  ) s ON s.vid = v.vid
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    sks = ", ".join(f"sk{j}" for j in range(k))
+    rsum = " + ".join(rank(j) for j in range(k))
+    parts.append(
+        f"SELECT vid, {sks}, CAST({rsum} AS INT) AS rsum "
+        f"FROM a{iters} ORDER BY vid"
+    )
+    return "\n".join(parts)
+
+
 def _random_walks_unrolled_sql(steps: int = 5, seed: int = 0) -> str:
     """Twin of ``q_random_walks``: same edge index (dense dst-rank per
     src), same multiplicative-hash neighbor pick, one CTE per step;
@@ -1733,6 +1793,21 @@ def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("vid", F.round("score", 6).alias("katz6"))
 
 
+def q_anf4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighborhood function (ANF/HyperBall family,
+    algorithms/anf.py): 4 FM registers propagated 4 rounds over
+    in-edges — per-vertex sketches + the exact-integer rank sum (the
+    in-ball estimate is 2^(rsum/4)/φ).  All-integer md5-derived state,
+    so the DuckDB twin replays it bit-for-bit."""
+    from linkgraph.algorithms.anf import anf, rank_sum_col
+
+    g = build_graph(spark, sf_dir)
+    res = anf(g, k=4, max_iters=4)
+    return res.state.select(
+        "vid", "sk0", "sk1", "sk2", "sk3", rank_sum_col(4).alias("rsum")
+    )
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5-step random walks from every 10th vertex
     (algorithms/walks.py — the DeepWalk-family sampling front end).
@@ -2209,6 +2284,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_pagerank": q_host_pagerank,
     "random_walks5": q_random_walks,
     "katz8": q_katz,
+    "anf4": q_anf4,
     "mst": q_mst,
     "geolocation": q_geolocation,
     "dedup_exact": q_dedup_exact,
@@ -2244,6 +2320,7 @@ ORACLES: dict[str, str] = {
     "host_pagerank": _host_pagerank_unrolled_sql(10, 0.85),
     "random_walks5": _random_walks_unrolled_sql(5, 0),
     "katz8": _katz_unrolled_sql(8, 0.05, 1.0),
+    "anf4": _anf_unrolled_sql(4, 4),
     "connected_components": CC_SQL,
     "labelprop3": _labelprop_unrolled_sql(3),
     "bfs_depths": BFS_SQL,

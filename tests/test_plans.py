@@ -458,3 +458,39 @@ def test_walk_step_plan_is_keyed_probe(spark, plan_graph):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert re.search(r"keys \[\d+\]: \[", plan), plan
+
+
+def test_anf_round_plan_single_live_shuffle(spark, plan_graph):
+    """ANF sketch superstep keeps the PageRank contract with k registers:
+    ONE gather join (exchange-free on the persisted edges), ONE live
+    shuffle carrying ALL k bit_or reductions (neighbor_reduce_multi),
+    map-side partial aggregation before it, no broadcast."""
+    import re
+
+    from linkgraph.algorithms.anf import _fm_init_col, anf_round
+    from linkgraph.superstep import strip_origin_stats
+
+    g = plan_graph
+    parts = g.num_partitions
+    k = 4
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        state = strip_origin_stats(
+            g.vertices.select(
+                "vid",
+                *[_fm_init_col(F.col("vid"), j).alias(f"sk{j}") for j in range(k)],
+            )
+            .repartition(parts, "vid")
+            .sortWithinPartitions("vid")
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        )
+        out = anf_round(g, state, k=k)
+        live = assert_superstep_plan(out, max_exchanges=1)
+        assert "SortMergeJoin" in live, live
+        assert "BroadcastHashJoin" not in live, live
+        # partial + final hash aggregation around the single exchange:
+        # a hub destination enters the shuffle as <=1 row per map partition
+        assert len(re.findall(r"HashAggregate", live)) >= 2, live
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

@@ -243,6 +243,34 @@ def main() -> int:
         "LIVE TREE (per-round work):\n" + live8 + "\n\nFULL PLAN:\n" + plan8,
     ))
 
+    # -- 8. ANF multi-register sketch round ---------------------------------
+    from linkgraph.algorithms.anf import _fm_init_col, anf_round
+
+    with _aqe_disabled(spark):
+        astate = leaf(
+            g.vertices.select(
+                "vid",
+                *[_fm_init_col(F.col("vid"), j).alias(f"sk{j}") for j in range(4)],
+            )
+        )
+        # the PRODUCTION round body (not a replica)
+        plan9 = formatted(anf_round(g, astate, k=4))
+    live9 = live_tree(plan9)
+    n_ex9 = len(re.findall(r"\bExchange\b", live9))
+    assert n_ex9 == 1, f"ANF round must have exactly 1 live shuffle, got {n_ex9}:\n{live9}"
+    assert "BroadcastHashJoin" not in live9, live9
+    assert len(re.findall(r"HashAggregate", live9)) >= 2, live9
+    sections.append((
+        "ANF sketch superstep (k FM registers, one round)",
+        "All k bit_or register unions ride ONE exchange-free gather join "
+        "and ONE shuffle-reduce by destination (neighbor_reduce_multi) — "
+        "k registers cost the same exchange count as PageRank's single "
+        "rank column.  bit_or is decomposable, so HashAggregate appears "
+        "as map-side partial + final reduce: a 10^8-in-link hub enters "
+        "the shuffle as ≤1 partially-OR'd row per map partition.",
+        "LIVE TREE (per-round work):\n" + live9 + "\n\nFULL PLAN:\n" + plan9,
+    ))
+
     out = ["# BENCH/PLANS.md — physical-plan evidence (asserted, not aspirational)\n"]
     out.append(
         "Generated by `python tools/explain_plans.py` on a 5,000-page "
