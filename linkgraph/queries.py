@@ -522,6 +522,64 @@ def _ppr_unrolled_sql(
     return "\n".join(parts)
 
 
+def _spam_mass_sql(
+    iters: int = 10,
+    alpha: float = 0.85,
+    seed_mod: int = 100,
+    seed_cap: int = 64,
+) -> str:
+    """Twin of ``q_spam_mass`` (algorithms/trustrank.py): the ordinary
+    power iteration AND the trust-restricted one unrolled side by side
+    (same α, same rounds, same no-dangling derived graph), then the
+    Gyöngyi mass estimator (p − t)/p joined per vertex."""
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        "e2 AS MATERIALIZED (SELECT src, dst FROM edges),",
+        "deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS outdeg FROM e2 GROUP BY src),",
+        f"seeds AS MATERIALIZED (SELECT d.doc_id AS vid FROM documents d "
+        f"WHERE d.doc_id % {seed_mod} = 0 ORDER BY d.doc_id LIMIT {seed_cap}),",
+        "ns AS (SELECT COUNT(*) AS k FROM seeds),",
+        "p0 AS MATERIALIZED (SELECT d.doc_id AS vid, 1.0 / nn.n AS r "
+        "FROM documents d CROSS JOIN nn),",
+        "t0 AS MATERIALIZED (SELECT d.doc_id AS vid, CASE WHEN d.doc_id IN "
+        "(SELECT vid FROM seeds) THEN 1.0 / ns.k ELSE 0.0 END AS r "
+        "FROM documents d CROSS JOIN ns),",
+    ]
+    tele = (
+        "(CASE WHEN v.vid IN (SELECT vid FROM seeds) THEN 1.0 / ns.k "
+        "ELSE 0.0 END)"
+    )
+    for i in range(1, iters + 1):
+        pp, tp = f"p{i - 1}", f"t{i - 1}"
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT v.vid, {1 - alpha} / nn.n + {alpha} * COALESCE(s.m, 0.0) AS r
+  FROM {pp} v CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS vid, SUM({pp}.r / deg.outdeg) AS m
+    FROM e2 e JOIN {pp} ON {pp}.vid = e.src JOIN deg ON deg.vid = e.src
+    GROUP BY e.dst
+  ) s ON s.vid = v.vid
+),
+t{i} AS MATERIALIZED (
+  SELECT v.vid, {1 - alpha} * {tele} + {alpha} * COALESCE(s.m, 0.0) AS r
+  FROM {tp} v CROSS JOIN ns
+  LEFT JOIN (
+    SELECT e.dst AS vid, SUM({tp}.r / deg.outdeg) AS m
+    FROM e2 e JOIN {tp} ON {tp}.vid = e.src JOIN deg ON deg.vid = e.src
+    GROUP BY e.dst
+  ) s ON s.vid = v.vid
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"""SELECT p.vid, ROUND(p.r, 6) AS rank6, ROUND(t.r, 6) AS trust6,
+       ROUND(CASE WHEN p.r > 0 THEN (p.r - t.r) / p.r ELSE 0.0 END, 6) AS mass6
+FROM p{iters} p JOIN t{iters} t ON t.vid = p.vid ORDER BY p.vid"""
+    )
+    return "\n".join(parts)
+
+
 def _hits_unrolled_sql(iters: int = 5) -> str:
     """HITS unrolled: auth from old hubs, L2-normalize, hubs from new
     auths, L2-normalize — the exact engine/oracle ordering."""
@@ -1647,6 +1705,30 @@ def q_ppr10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("vid", F.round("rank", 6).alias("rank6"))
 
 
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank + relative spam mass (algorithms/trustrank.py): trusted
+    seeds = every 100th vid (first 64), 10 fixed rounds of both the
+    ordinary and the trust-restricted power iteration, mass =
+    (rank − trust)/rank.  The DuckDB twin unrolls both chains."""
+    from linkgraph.algorithms.trustrank import spam_mass
+
+    g = build_graph(spark, sf_dir)
+    seeds = [
+        int(r.vid)
+        for r in g.vertices.where(F.col("vid") % 100 == 0)
+        .orderBy("vid")
+        .limit(64)
+        .collect()
+    ]
+    out = spam_mass(g, seeds, alpha=0.85, tol=0.0, max_iters=10)
+    return out.select(
+        "vid",
+        F.round("rank", 6).alias("rank6"),
+        F.round("trust", 6).alias("trust6"),
+        F.round("mass", 6).alias("mass6"),
+    )
+
+
 def q_hits5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algorithms.hits import hits
 
@@ -2271,6 +2353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_total": q_triangle_total,
     "triangle_per_vertex": q_triangle_per_vertex,
     "ppr10": q_ppr10,
+    "spam_mass10": q_spam_mass,
     "hits5": q_hits5,
     "kcore3_peel8": q_kcore3,
     "coreness": q_coreness,
@@ -2329,6 +2412,7 @@ ORACLES: dict[str, str] = {
     "triangle_total": TRI_TOTAL_SQL,
     "triangle_per_vertex": TRI_PER_VERTEX_SQL,
     "ppr10": _ppr_unrolled_sql(10, 0.85, (0, 1, 2)),
+    "spam_mass10": _spam_mass_sql(10, 0.85, 100, 64),
     "hits5": _hits_unrolled_sql(5),
     "kcore3_peel8": _kcore_peel_sql(3, 8),
     "coreness": _coreness_sql(56),

@@ -51,6 +51,14 @@ def get_spark(
         # Iterative engines churn checkpoint/cache blocks; reap weak refs
         # promptly so executor storage holds ~2 generations, not dozens.
         .config("spark.cleaner.periodicGC.interval", "1min")
+        # lz4-compress serialized RDD blocks — the superstep state leaves
+        # (eager localCheckpoint, MEMORY_AND_DISK) are written + re-read
+        # every iteration, and on a bandwidth-bound box the compressed
+        # form is a measured 12-13% per-superstep win at local[4]
+        # (12.3 s → 10.7 s median, 3×10^7-edge crawl; BENCH/NOTES.md) at
+        # ~1% decode CPU on the 1-core level.  On a cluster this also
+        # shrinks what spills and what replicates.
+        .config("spark.rdd.compress", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
