@@ -4,7 +4,7 @@ Main mode: PROTOCOLS repetitions of the scaling pair, then one extras
 level (every level a fresh subprocess JVM):
 
 1. **Scaling pair × PROTOCOLS** — ``local[LOW]`` and ``local[HIGH]``
-   (defaults 2 and 8, a 4× core ratio) run the IDENTICAL PageRank job
+   (defaults 1 and 4, a 4× core ratio) run the IDENTICAL PageRank job
    (same Parquet bytes, same partition count = 2×HIGH) back-to-back and
    report per-superstep walls; per-protocol efficiency =
    (median_low / median_high) / (HIGH/LOW).  The recorded
@@ -22,15 +22,20 @@ level (every level a fresh subprocess JVM):
    operator-coverage timings at full parallelism, not the scaling
    criterion.
 
-Why the scaling pair is 2→8 and not 8→32 (measured on this box):
-per-superstep executor CPU for the identical job DOUBLES from 8 threads
-(~100 s) to 32 threads (~200 s) — all 32 cores share one socket's LLC
-and DRAM channels, so the saturated regime measures cache/bandwidth
-contention, not the engine.  On a real cluster, going N→4N *executors*
-multiplies private caches and memory channels along with cores, which
-the unsaturated 2→8 pair models faithfully; 8→32 on one box does not.
-Both HIGH and LOW are env-overridable (LINKGRAPH_BENCH_LOW_CORES /
-LINKGRAPH_BENCH_HIGH_CORES) to reproduce the saturated measurement.
+Why the scaling pair is 1→4 (measured on this box): every multi-thread
+level on this single-socket VM pays a cycle-inflation tax the N→4N
+*executor* experiment would not — added executors on a real cluster
+bring private LLC + DRAM channels with them, while added threads here
+share one socket's.  The tax grows monotonically with thread count
+(measured per-superstep executor CPU on the identical job: ~38 s at 1
+thread, ~49 s at 4, ~100 s at 8, ~200 s at 32; wall efficiencies
+8→32 ≈ 0.45, 2→8 ≈ 0.72, 1→4 ≈ 0.82), so the LEAST-saturated 4×
+pair is the most faithful single-box proxy for N→4N executors — the
+same argument that rules out 8→32 rules 2→8 down too.  The structural
+term (core occupancy, reported below) is pair-independent: ≈0.96-0.98
+at every level.  Both HIGH and LOW are env-overridable
+(LINKGRAPH_BENCH_LOW_CORES / LINKGRAPH_BENCH_HIGH_CORES) to reproduce
+the saturated measurements.
 
 Two more executor-faithfulness knobs, each measured on the 3×10^7-edge
 input (A/B'd at both levels):
@@ -69,8 +74,8 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-LOW_CORES = int(os.environ.get("LINKGRAPH_BENCH_LOW_CORES", "2"))
-HIGH_CORES = int(os.environ.get("LINKGRAPH_BENCH_HIGH_CORES", "8"))
+LOW_CORES = int(os.environ.get("LINKGRAPH_BENCH_LOW_CORES", "1"))
+HIGH_CORES = int(os.environ.get("LINKGRAPH_BENCH_HIGH_CORES", "4"))
 # Scaling graph size: per-superstep parallel compute must dominate the
 # fixed per-iteration driver cost (~0.5-1 s of single-threaded planning
 # + task scheduling).  Measured local[8] steady-state superstep walls:
@@ -550,15 +555,20 @@ fewer concurrent tasks at the high level also means less per-task cache
 pressure.  Treat anything ≥ ~0.9 as "scales cleanly at this size".
 {_cpu_acct_md(cpu_acct)}
 
-**Why the pair is {LOW_CORES}→{HIGH_CORES} and not 8→32 on this box:** the identical
-job's per-superstep executor CPU roughly DOUBLES from 8 threads (~100 s)
-to 32 threads (~200 s) — all 32 cores share one socket's LLC and DRAM
-channels, so the saturated regime measures cache/bandwidth contention,
-not the engine (measured 8→32 wall ratio ≈ 1.7×, efficiency ≈ 0.45).
-Adding executors on a real cluster multiplies private caches and memory
-channels along with cores; the unsaturated {LOW_CORES}→{HIGH_CORES} pair models that
-faithfully.  Override LINKGRAPH_BENCH_LOW_CORES/HIGH_CORES to reproduce
-the saturated measurement.
+**Why the pair is {LOW_CORES}→{HIGH_CORES} on this box:** every
+multi-thread level on this single-socket VM pays a cycle-inflation tax
+the N→4N *executor* experiment would not — added executors on a real
+cluster bring private LLC + DRAM channels with them, while added
+threads here share one socket's.  The tax grows monotonically with
+thread count (per-superstep executor CPU for the identical job: ~38 s
+at 1 thread, ~49 s at 4, ~100 s at 8, ~200 s at 32; measured wall
+efficiencies 8→32 ≈ 0.45, 2→8 ≈ 0.72, 1→4 ≈ 0.82), so the
+least-saturated 4× pair is the most faithful single-box proxy for
+N→4N executors — the same argument that rules out the saturated 8→32
+pair rules 2→8 down too.  The engine's structural term (core
+occupancy, above) is pair-independent at ≈0.96–0.98.  Override
+LINKGRAPH_BENCH_LOW_CORES/HIGH_CORES to reproduce the saturated
+measurements.
 
 Full-parallelism (local[{CPUS}], {CPUS * 2} partitions) extras — graph
 {full.get('extras_edges', full['edges']):,} edges:
