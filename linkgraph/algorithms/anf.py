@@ -68,37 +68,81 @@ def _fm_init_col(vid: Column, j: int) -> Column:
     return F.when(h == 0, F.lit(1 << 31)).otherwise(h.bitwiseAND(-h))
 
 
+# residue → exponent as a 37-slot lookup table (None on the 3 residues
+# 2^m never hits for m ≤ 33)
+_RANK_BY_RESIDUE = [_POW2_MOD37.get(r) for r in range(37)]
+
+
 def _lowest_zero_rank(sk: Column) -> Column:
     """Index of the lowest ZERO bit of a sketch (int) — FM's R statistic.
 
     ``(s | (s+1)) ^ s`` isolates the lowest zero bit exactly; the
-    exponent comes from the 2^m mod 37 CASE (exact integer arithmetic,
-    engine-portable — see module doc).
-    """
+    exponent comes from the 2^m mod 37 perfect hash (exact integer
+    arithmetic, engine-portable — see module doc), realized as ONE
+    constant-folded array index rather than a nested WHEN chain: each
+    ``when().otherwise()`` level is a separate CaseWhen that re-embeds
+    the whole ``z % 37`` subtree, so the chain form duplicates the
+    sketch expression 34× per register and overflows janino's 64 KB
+    method limit (→ interpreted fallback) once k·34 copies fuse into
+    one whole-stage method.  The DuckDB twin keeps the textual CASE —
+    identical integer values either way (queries._anf_rank_sql)."""
     z = (sk.bitwiseOR(sk + 1)).bitwiseXOR(sk)
-    expr: Column = F.lit(None).cast("int")
-    residue = z % 37
-    for res, m in _POW2_MOD37.items():
-        expr = F.when(residue == res, F.lit(m)).otherwise(expr)
-    return expr
+    arr = F.array(
+        *[
+            F.lit(m).cast("int") if m is not None else F.lit(None).cast("int")
+            for m in _RANK_BY_RESIDUE
+        ]
+    )
+    return F.element_at(arr, (z % 37).cast("int") + 1)
 
 
-def rank_sum_col(k: int) -> Column:
+def rank_sum_col(k: int, cols: list[Column] | None = None) -> Column:
     """Σ_j lowest-zero-rank(sk_j) — the exact-integer per-vertex
     statistic the catalog entry exposes (the float estimate is a pure
     function of it: n̂ = 2^(rsum/k)/φ)."""
-    total = _lowest_zero_rank(F.col("sk0"))
+    cols = cols or [F.col(f"sk{j}") for j in range(k)]
+    total = _lowest_zero_rank(cols[0])
     for j in range(1, k):
-        total = total + _lowest_zero_rank(F.col(f"sk{j}"))
+        total = total + _lowest_zero_rank(cols[j])
     return total.cast("int")
 
 
-def ball_estimate_col(k: int) -> Column:
-    """Per-vertex in-ball size estimate n̂(v) = 2^(mean rank)/φ."""
-    return F.pow(F.lit(2.0), rank_sum_col(k).cast("double") / k) / FM_PHI
+# 2^m as exact double literals (m ≤ 34 = max rank 33 + 1 headroom) and
+# the fractional-power constants 2^(j/k): pow() with a non-integer
+# exponent is only 1-ulp-accurate and NOT guaranteed identical across
+# engines, so the estimate 2^(rsum/k) is decomposed into an exact CASE
+# on the integer part times a literal constant for the fraction —
+# bit-identical in Spark and DuckDB (queries._harmonic_unrolled_sql
+# builds the same expression textually).
+_POW2_FLOAT = {m: float(1 << m) for m in range(35)}
 
 
-def anf_round(graph: Graph, state: DataFrame, k: int) -> DataFrame:
+def frac_pow2_consts(k: int) -> list[float]:
+    return [2.0 ** (j / k) for j in range(k)]
+
+
+def ball_estimate_col(k: int, cols: list[Column] | None = None) -> Column:
+    """Per-vertex in-ball size estimate n̂(v) = 2^(rsum/k)/φ, computed
+    engine-portably: exact 2^⌊rsum/k⌋ × literal 2^((rsum mod k)/k) / φ —
+    no fractional pow anywhere.  Both constants are selected by ARRAY
+    INDEX (element_at on literal arrays), not nested WHEN chains: each
+    WHEN level would re-embed the whole k-register rank-sum expression,
+    and at k=64 that ~100× tree blowup OOMs the driver during codegen
+    (the rsum subtree appears exactly 3× here — measured safe at k=64)."""
+    rsum = rank_sum_col(k, cols)
+    whole = F.floor(rsum / F.lit(k)).cast("int")
+    pow2 = F.element_at(
+        F.array(*[F.lit(_POW2_FLOAT[m]) for m in range(35)]), whole + 1
+    )
+    qf = F.element_at(
+        F.array(*[F.lit(v) for v in frac_pow2_consts(k)]), (rsum % k) + 1
+    )
+    return pow2 * qf / FM_PHI
+
+
+def anf_round(
+    graph: Graph, state: DataFrame, k: int, t: int | None = None
+) -> DataFrame:
     """ONE sketch-propagation superstep over ``(vid, sk0..sk{k-1})``.
 
     All k registers ride a single gather + a single bit_or shuffle
@@ -106,35 +150,63 @@ def anf_round(graph: Graph, state: DataFrame, k: int) -> DataFrame:
     checkpoint leaves.  Emits ephemerals ``_changed`` (1 iff any
     register gained a bit — drives convergence) and ``_est`` (per-vertex
     ball estimate — observed to give NF(t) with zero extra jobs).
+
+    With ``t`` (the 1-based round number) the state also carries ``est``
+    (last round's ball estimate) and ``hc``, the running harmonic-
+    centrality accumulator (HyperBall's headline application, Boldi &
+    Vigna 2013): ``hc += (n̂_t − n̂_{t−1})/t`` — each newly reached
+    vertex at distance t contributes 1/t.  Carrying ``est`` in state
+    means the k-register estimate expression is built ONCE per round
+    (over the new sketches) instead of 3× (old + delta + metric) — the
+    3× form overflows janino's 64 KB method limit at k≥16 and falls
+    back to interpreted eval.
     """
+    new_sk_exprs = [
+        F.col(f"sk{j}").bitwiseOR(F.coalesce(F.col(f"m{j}"), F.lit(0)))
+        for j in range(k)
+    ]
     sums = neighbor_reduce_multi(
         graph.edges,
         state,
         [(F.col(f"sk{j}"), "bit_or", f"m{j}") for j in range(k)],
     )
     merged = state.join(sums.hint("merge"), "vid", "left")
-    new_sks = [
-        F.col(f"sk{j}")
-        .bitwiseOR(F.coalesce(F.col(f"m{j}"), F.lit(0)))
-        .alias(f"sk{j}")
-        for j in range(k)
-    ]
     changed = F.lit(False)
     for j in range(k):
-        changed = changed | (
-            F.col(f"sk{j}").bitwiseOR(F.coalesce(F.col(f"m{j}"), F.lit(0)))
-            != F.col(f"sk{j}")
+        changed = changed | (new_sk_exprs[j] != F.col(f"sk{j}"))
+    cols = ["vid"] + [e.alias(f"sk{j}") for j, e in enumerate(new_sk_exprs)]
+    if t is None:
+        out = merged.select(
+            *cols, F.when(changed, 1).otherwise(0).alias("_changed")
         )
-    out = merged.select(
-        "vid", *new_sks, F.when(changed, 1).otherwise(0).alias("_changed")
+        return out.withColumn("_est", ball_estimate_col(k))
+    # harmonic: estimate the new ball size once, in its own projection
+    # (Catalyst's CollapseProject keeps a 3-referenced expensive
+    # expression in its own node rather than re-inlining it)
+    mid = merged.select(
+        *cols,
+        "hc",
+        "est",
+        F.when(changed, 1).otherwise(0).alias("_changed"),
+        ball_estimate_col(k, new_sk_exprs).alias("_estnew"),
     )
-    return out.withColumn("_est", ball_estimate_col(k))
+    return mid.select(
+        "vid",
+        *[f"sk{j}" for j in range(k)],
+        (F.col("hc") + (F.col("_estnew") - F.col("est")) / F.lit(float(t))).alias(
+            "hc"
+        ),
+        F.col("_estnew").alias("est"),
+        "_changed",
+        F.col("_estnew").alias("_est"),
+    )
 
 
 def anf(
     graph: Graph,
     k: int = 8,
     max_iters: int = 32,
+    harmonic: bool = False,
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 5,
     resume: bool = True,
@@ -142,15 +214,21 @@ def anf(
     """Run sketch propagation until no register changes (≈ diameter
     rounds) or ``max_iters``.
 
-    Result state: ``(vid, sk0..sk{k-1})``.  ``history[t-1]["nf"]`` is
-    the estimated neighborhood function NF(t) = Σ_v n̂(v, t) after round
-    t (observed metric of the superstep job itself)."""
-    init = graph.vertices.select(
-        "vid", *[_fm_init_col(F.col("vid"), j).alias(f"sk{j}") for j in range(k)]
-    )
+    Result state: ``(vid, sk0..sk{k-1})`` (plus ``hc`` — the harmonic
+    centrality Σ_u 1/d(u→v) estimate — when ``harmonic=True``; early
+    stability stop never changes hc, because stable sketches make every
+    later delta exactly 0).  ``history[t-1]["nf"]`` is the estimated
+    neighborhood function NF(t) = Σ_v n̂(v, t) after round t (observed
+    metric of the superstep job itself)."""
+    init_exprs = [_fm_init_col(F.col("vid"), j) for j in range(k)]
+    init_cols = [e.alias(f"sk{j}") for j, e in enumerate(init_exprs)]
+    if harmonic:
+        init_cols.append(F.lit(0.0).alias("hc"))
+        init_cols.append(ball_estimate_col(k, init_exprs).alias("est"))
+    init = graph.vertices.select("vid", *init_cols)
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        return anf_round(graph, state, k)
+        return anf_round(graph, state, k, t=(i + 1) if harmonic else None)
 
     stats_cols = [
         F.sum("_changed").alias("changed"),
@@ -171,8 +249,26 @@ def anf(
         resume=resume,
         ephemeral_cols=("_changed", "_est"),
     )
-    result.state = result.state.select("vid", *[f"sk{j}" for j in range(k)])
+    keep = ["vid"] + [f"sk{j}" for j in range(k)] + (["hc"] if harmonic else [])
+    result.state = result.state.select(*keep)
     return result
+
+
+def harmonic_centrality(
+    graph: Graph,
+    k: int = 8,
+    max_iters: int = 32,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """Approximate in-harmonic centrality ``H(v) = Σ_{u≠v} 1/d(u→v)``
+    per vertex — the HyperBall application (Boldi & Vigna, "In-Core
+    Computation of Geometric Centralities with HyperBall", 2013):
+    run sketch propagation to stability, accumulating
+    ``(n̂_t − n̂_{t−1})/t`` per round.  Returns ``(vid, harmonic)``."""
+    res = anf(
+        graph, k=k, max_iters=max_iters, harmonic=True, checkpoint=checkpoint
+    )
+    return res.state.select("vid", F.col("hc").alias("harmonic"))
 
 
 def effective_diameter(

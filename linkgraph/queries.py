@@ -325,12 +325,22 @@ def _katz_unrolled_sql(iters: int = 8, alpha: float = 0.05, beta: float = 1.0) -
     return "\n".join(parts)
 
 
-def _anf_unrolled_sql(iters: int = 4, k: int = 4) -> str:
-    """Twin of ``q_anf4`` (algorithms/anf.py): FM sketch propagation
-    unrolled — same md5-derived init bit (``h & -h``), same per-round
-    ``bit_or`` union over in-edges, same exact ``2^m mod 37`` rank CASE
-    (no floats anywhere; see anf.py module doc for why log2 is avoided)."""
+def _anf_rank_sql(k: int) -> str:
+    """``rsum`` expression over sk0..sk{k-1}: Σ_j lowest-zero-bit rank,
+    via the same exact 2^m mod 37 CASE as anf.rank_sum_col (no log2 —
+    see anf.py module doc)."""
     from linkgraph.algorithms.anf import _POW2_MOD37
+
+    whens = " ".join(f"WHEN {res} THEN {m}" for res, m in _POW2_MOD37.items())
+    return " + ".join(
+        f"(CASE (xor(sk{j} | (sk{j} + 1), sk{j}) % 37) {whens} END)"
+        for j in range(k)
+    )
+
+
+def _anf_cte_parts(iters: int, k: int) -> list[str]:
+    """Shared CTE chain for the ANF twins: a0 = md5-derived init bit
+    (``h & -h``), a{i} = bit_or union over in-edges of a{i-1}."""
 
     def init(j: int) -> str:
         h = (
@@ -341,11 +351,6 @@ def _anf_unrolled_sql(iters: int = 4, k: int = 4) -> str:
             f"(CASE WHEN {h} = 0 THEN CAST({1 << 31} AS BIGINT) "
             f"ELSE {h} & (-{h}) END) AS sk{j}"
         )
-
-    whens = " ".join(f"WHEN {res} THEN {m}" for res, m in _POW2_MOD37.items())
-
-    def rank(j: int) -> str:
-        return f"(CASE (xor(sk{j} | (sk{j} + 1), sk{j}) % 37) {whens} END)"
 
     inits = ",\n         ".join(init(j) for j in range(k))
     parts = [
@@ -375,12 +380,73 @@ def _anf_unrolled_sql(iters: int = 4, k: int = 4) -> str:
   ) s ON s.vid = v.vid
 ),"""
         )
+    return parts
+
+
+def _anf_unrolled_sql(iters: int = 4, k: int = 4) -> str:
+    """Twin of ``q_anf4`` (algorithms/anf.py): FM sketch propagation
+    unrolled — same md5-derived init bit (``h & -h``), same per-round
+    ``bit_or`` union over in-edges, same exact ``2^m mod 37`` rank CASE
+    (no floats anywhere; see anf.py module doc for why log2 is avoided)."""
+    parts = _anf_cte_parts(iters, k)
     parts[-1] = parts[-1].rstrip(",")
     sks = ", ".join(f"sk{j}" for j in range(k))
-    rsum = " + ".join(rank(j) for j in range(k))
     parts.append(
-        f"SELECT vid, {sks}, CAST({rsum} AS INT) AS rsum "
+        f"SELECT vid, {sks}, CAST({_anf_rank_sql(k)} AS INT) AS rsum "
         f"FROM a{iters} ORDER BY vid"
+    )
+    return "\n".join(parts)
+
+
+def _harmonic_unrolled_sql(iters: int = 8, k: int = 4) -> str:
+    """Twin of ``q_harmonic8`` (anf.harmonic_centrality): the same
+    sketch CTE chain, a per-round rsum level, then the HyperBall
+    accumulation ``Σ_t (n̂_t − n̂_{t−1})/t`` summed LEFT-ASSOCIATIVELY
+    from 0.0 — the exact float-op order of the engine's per-round
+    ``hc += Δ/t`` — with the estimate decomposed as exact 2^⌊rsum/k⌋
+    (integer CASE) × literal 2^((rsum mod k)/k) / φ, never a fractional
+    pow (1-ulp pow differences across engines would break the hash
+    match; see anf.ball_estimate_col)."""
+    from linkgraph.algorithms.anf import _POW2_FLOAT, FM_PHI, frac_pow2_consts
+
+    parts = _anf_cte_parts(iters, k)
+    rsum = _anf_rank_sql(k)
+    for i in range(0, iters + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT vid, CAST({rsum} AS INT) "
+            f"AS rsum FROM a{i}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+
+    # literals go through CAST(... AS DOUBLE): DuckDB parses a bare
+    # 17-digit decimal literal as DECIMAL and overflows the CASE
+    # multiplication; the cast is the correctly-rounded nearest double —
+    # the identical bits Spark's F.lit(float) carries
+    def dbl(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    pw = " ".join(f"WHEN {m} THEN {dbl(v)}" for m, v in _POW2_FLOAT.items())
+    qw = " ".join(
+        f"WHEN {j} THEN {dbl(v)}" for j, v in enumerate(frac_pow2_consts(k))
+    )
+
+    def est(tbl: str) -> str:
+        rs = f"{tbl}.rsum"
+        whole = f"CAST(({rs} - ({rs} % {k})) / {k} AS INT)"
+        return (
+            f"(CASE {whole} {pw} END) * (CASE ({rs} % {k}) {qw} END) "
+            f"/ {dbl(FM_PHI)}"
+        )
+
+    hc = dbl(0.0)
+    for t in range(1, iters + 1):
+        hc = f"({hc} + (({est(f'r{t}')}) - ({est(f'r{t - 1}')})) / {dbl(float(t))})"
+    joins = " ".join(
+        f"JOIN r{i} ON r{i}.vid = r0.vid" for i in range(1, iters + 1)
+    )
+    parts.append(
+        f"SELECT r0.vid, ROUND({hc}, 6) AS harmonic6 "
+        f"FROM r0 {joins} ORDER BY r0.vid"
     )
     return "\n".join(parts)
 
@@ -1890,6 +1956,19 @@ def q_anf4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_harmonic8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate in-harmonic centrality via HyperBall accumulation
+    over the ANF sketches (anf.harmonic_centrality): 4 FM registers,
+    8 rounds, hc += (n̂_t − n̂_{t−1})/t.  The estimate is engine-exact
+    (integer CASE × literal fraction constants), so the DuckDB twin
+    replays the float trajectory bit-for-bit."""
+    from linkgraph.algorithms.anf import harmonic_centrality
+
+    g = build_graph(spark, sf_dir)
+    out = harmonic_centrality(g, k=4, max_iters=8)
+    return out.select("vid", F.round("harmonic", 6).alias("harmonic6"))
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 5-step random walks from every 10th vertex
     (algorithms/walks.py — the DeepWalk-family sampling front end).
@@ -2368,6 +2447,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "random_walks5": q_random_walks,
     "katz8": q_katz,
     "anf4": q_anf4,
+    "harmonic8": q_harmonic8,
     "mst": q_mst,
     "geolocation": q_geolocation,
     "dedup_exact": q_dedup_exact,
@@ -2404,6 +2484,7 @@ ORACLES: dict[str, str] = {
     "random_walks5": _random_walks_unrolled_sql(5, 0),
     "katz8": _katz_unrolled_sql(8, 0.05, 1.0),
     "anf4": _anf_unrolled_sql(4, 4),
+    "harmonic8": _harmonic_unrolled_sql(8, 4),
     "connected_components": CC_SQL,
     "labelprop3": _labelprop_unrolled_sql(3),
     "bfs_depths": BFS_SQL,

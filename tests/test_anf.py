@@ -18,9 +18,12 @@ import pytest
 from conftest import edges_df
 from linkgraph.algorithms.anf import (
     FM_PHI,
+    _POW2_FLOAT,
     anf,
     ball_estimate_col,
     effective_diameter,
+    frac_pow2_consts,
+    harmonic_centrality,
     rank_sum_col,
 )
 from linkgraph.graph import Graph
@@ -117,6 +120,47 @@ def test_estimate_accuracy_on_known_ball_sizes(spark):
     # singleton balls: rank sum is tiny, estimate ≈ 2^r̄/φ with r̄ ≈ ~1
     assert max(others) < 8.0
     assert float(np.mean(others)) == pytest.approx(1.0 / FM_PHI * 2**0.5, rel=0.6)
+
+
+def _py_est(rsum: int, k: int) -> float:
+    # same decomposition as ball_estimate_col: exact 2^whole literal ×
+    # precomputed 2^(frac/k) constant / φ — pure IEEE-double ops, so the
+    # Python replay is bit-identical to the engine (and the DuckDB twin)
+    return _POW2_FLOAT[(rsum - rsum % k) // k] * frac_pow2_consts(k)[rsum % k] / FM_PHI
+
+
+def test_harmonic_exact_vs_python_twin(spark, rand_graph):
+    g, edges = rand_graph
+    k, rounds = 4, 5
+    got = {
+        r.vid: r.harmonic
+        for r in harmonic_centrality(g, k=k, max_iters=rounds).collect()
+    }
+    vids = sorted({v for e in edges for v in e})
+    exp = {}
+    for v in vids:
+        hc, prev = 0.0, None
+        for t in range(rounds + 1):
+            sk = _py_anf(edges, vids, k, t)
+            est = _py_est(sum(_py_lzr(x) for x in sk[v]), k)
+            if t > 0:
+                hc = hc + (est - prev) / float(t)
+            prev = est
+        exp[v] = hc
+    # exact float equality: the engine's trajectory is engine-portable
+    # by construction (no fractional pow, left-associative accumulation)
+    assert got == exp
+
+
+def test_harmonic_star_center_dominates(spark):
+    # directed star 1..n → 0: in-harmonic of 0 is exactly n (all at
+    # distance 1); leaves receive nothing, so their hc is ~0
+    n = 200
+    star = [(i, 0) for i in range(1, n + 1)]
+    g = Graph.from_edges(edges_df(spark, star), num_partitions=2)
+    got = {r.vid: r.harmonic for r in harmonic_centrality(g, k=64, max_iters=4).collect()}
+    assert got[0] == pytest.approx(n, rel=0.35)
+    assert max(abs(got[v]) for v in got if v != 0) < 8.0
 
 
 def test_effective_diameter_path(spark):
