@@ -1604,6 +1604,92 @@ FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
 ORDER BY d.doc_id
 """
 
+# Shared token expression for the corpus-curation twins: split on single
+# spaces, drop empties — the exact twin of textops.corpus._tokens.
+_CORPUS_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_CORPUS_TOKS} AS tok, len({_CORPUS_TOKS}) AS n FROM documents
+),
+bipos AS (SELECT doc_id, tok, UNNEST(generate_series(1, n-1)) AS i FROM base WHERE n >= 2),
+bi AS (SELECT doc_id, tok[i] || ' ' || tok[i+1] AS gram FROM bipos),
+tripos AS (SELECT doc_id, tok, UNNEST(generate_series(1, n-2)) AS i FROM base WHERE n >= 3),
+tri AS (SELECT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram FROM tripos),
+bic AS (SELECT doc_id, MAX(c) AS maxbi FROM (SELECT doc_id, gram, COUNT(*) c FROM bi GROUP BY 1,2) GROUP BY 1),
+tric AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, SUM(c) AS tot
+         FROM (SELECT doc_id, gram, COUNT(*) c FROM tri GROUP BY 1,2) GROUP BY 1),
+dis AS (SELECT doc_id, len(list_distinct(tok)) AS nd FROM base)
+SELECT b.doc_id,
+  CAST(b.n AS BIGINT) AS n_tokens,
+  ROUND(CASE WHEN b.n > 0 THEN nd * 1.0 / b.n ELSE 0 END, 6) AS distinct_ratio,
+  ROUND(COALESCE(maxbi * 2.0 / b.n, 0), 6) AS top_bigram_frac,
+  ROUND(COALESCE(dup * 1.0 / tot, 0), 6) AS dup_trigram_frac
+FROM base b JOIN dis USING(doc_id) LEFT JOIN bic USING(doc_id) LEFT JOIN tric USING(doc_id)
+ORDER BY b.doc_id
+"""
+
+# Trigram CTE shared by the boilerplate and contamination twins.
+_CORPUS_TRI_SQL = f"""
+grams AS (
+  SELECT doc_id, tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram
+  FROM (
+    SELECT doc_id, tok, UNNEST(generate_series(1, n-2)) AS i
+    FROM (SELECT doc_id, {_CORPUS_TOKS} AS tok, len({_CORPUS_TOKS}) AS n FROM documents)
+    WHERE n >= 3
+  )
+),
+totals AS (
+  SELECT doc_id, GREATEST(len({_CORPUS_TOKS}) - 2, 0) AS n_ngrams FROM documents
+)
+"""
+
+BOILERPLATE_SQL = f"""
+WITH {_CORPUS_TRI_SQL.strip()},
+dfreq AS (
+  SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY gram)
+  WHERE df >= 3
+),
+matched AS (
+  SELECT g.doc_id, COUNT(*) AS n_boiler FROM grams g JOIN dfreq USING(gram) GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+  CAST(t.n_ngrams AS BIGINT) AS n_ngrams,
+  ROUND(CASE WHEN t.n_ngrams > 0 THEN COALESCE(m.n_boiler, 0) * 1.0 / t.n_ngrams ELSE 0 END, 6) AS boiler_frac
+FROM totals t LEFT JOIN matched m USING(doc_id) ORDER BY t.doc_id
+"""
+
+CONTAMINATION_SQL = f"""
+WITH {_CORPUS_TRI_SQL.strip()},
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+matched AS (
+  SELECT g.doc_id, COUNT(*) AS n_hit FROM grams g JOIN bench USING(gram) GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+  CAST(t.n_ngrams AS BIGINT) AS n_ngrams,
+  ROUND(CASE WHEN t.n_ngrams > 0 THEN COALESCE(m.n_hit, 0) * 1.0 / t.n_ngrams ELSE 0 END, 6) AS contam_frac
+FROM totals t LEFT JOIN matched m USING(doc_id) ORDER BY t.doc_id
+"""
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_CORPUS_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, ROUND(tf.tf * LN(nn.n * 1.0 / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING(term) CROSS JOIN nn
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 1 ORDER BY doc_id
+"""
+
 ANN_SQL = """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
@@ -2138,6 +2224,45 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition stats (textops/corpus.py:64)."""
+    from linkgraph.textops.corpus import repetition_stats
+
+    _load(spark, sf_dir, "documents")
+    return repetition_stats(spark.table("documents"))
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc boilerplate trigram coverage (textops/corpus.py:162)."""
+    from linkgraph.textops.corpus import boilerplate_ngrams
+
+    _load(spark, sf_dir, "documents")
+    return boilerplate_ngrams(spark.table("documents"), n=3, min_df=3)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination overlap (textops/corpus.py:218).
+
+    The "benchmark" is the deterministic doc_id % 50 == 0 slice of the
+    corpus itself — a synthetic eval set that guarantees non-trivial
+    overlap fractions without external data.
+    """
+    from linkgraph.textops.corpus import contamination
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return contamination(docs, bench, n=3)
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 TF-IDF term per document (textops/corpus.py:265)."""
+    from linkgraph.textops.corpus import tfidf_terms
+
+    _load(spark, sf_dir, "documents")
+    return tfidf_terms(spark.table("documents"), k=1)
+
+
 def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.textops.ann import cosine_topk
 
@@ -2457,6 +2582,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "quality_scores": q_quality,
     "language_id": q_langid,
+    "repetition_stats": q_repetition,
+    "boilerplate_ngrams": q_boilerplate,
+    "contamination": q_contamination,
+    "tfidf_top1": q_tfidf,
     "ann_cosine": q_ann,
     "events_top_type": q_events_top_type,
     "events_latest": q_events_latest,
@@ -2521,6 +2650,10 @@ ORACLES: dict[str, str] = {
     "token_stats": TOKEN_STATS_SQL,
     "quality_scores": QUALITY_SQL,
     "language_id": LANGID_SQL,
+    "repetition_stats": REPETITION_SQL,
+    "boilerplate_ngrams": BOILERPLATE_SQL,
+    "contamination": CONTAMINATION_SQL,
+    "tfidf_top1": TFIDF_SQL,
     "ann_cosine": ANN_SQL,
     "events_top_type": EVENTS_TOP_TYPE_SQL,
     "events_latest": EVENTS_LATEST_SQL,

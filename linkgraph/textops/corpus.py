@@ -1,0 +1,300 @@
+"""Corpus-level text statistics and filters for training-data curation:
+Gopher-style repetition stats, cross-document boilerplate n-grams,
+benchmark-contamination overlap, and TF-IDF term ranking.
+
+These are the standard corpus-curation passes published for web-scale
+LLM training pipelines (Rae et al., *Scaling Language Models: Methods,
+Analysis & Insights from Training Gopher*, 2021 — repetition filters;
+Wenzek et al., *CCNet*, 2020 — cross-document boilerplate removal;
+Brown et al., *GPT-3*, 2020 — n-gram decontamination against eval
+benchmarks).  Reference: none (upstream essentials is a graph-kernel
+library); these extend the engine per the task brief's training-data
+mandate, alongside textops/dedup.py and textops/quality.py.
+
+All four operators stay JVM-side (built-in ``pyspark.sql.functions``
+only — no Python UDFs anywhere): n-grams are built NARROW with
+``slice``+``arrays_zip`` over the token array (no per-token shuffle; the
+only shuffles are the count aggregations, which map-side combine), and
+every expression has an exact DuckDB twin in linkgraph/queries.py so the
+driver's value-hash gate replays them.
+
+Scale shapes (the 100 TB story):
+
+- :func:`repetition_stats` is embarrassingly parallel — zero shuffles
+  beyond the scan; every stat is computed per-row with higher-order
+  array functions inside whole-stage codegen.
+- :func:`boilerplate_ngrams` shuffles (ngram → doc-frequency) pairs
+  AFTER an in-doc ``array_distinct``, so a hot boilerplate n-gram
+  contributes one row per map partition into the count (partial agg),
+  never |docs| rows to one reducer; the join back to docs is an equi-join
+  on the n-gram key that AQE turns into a broadcast when the boilerplate
+  set is small (it is, by definition: df ≥ min_df survivors).
+- :func:`contamination` keeps the benchmark side tiny by construction
+  (an eval set, thousands of docs at most) — ``F.broadcast`` pins the
+  replicated side so the corpus never shuffles.
+- :func:`tfidf_terms` is two map-side-combined aggregations (term-in-doc
+  tf, term df) plus one join keyed on the term; the per-doc top-k is a
+  window over doc_id — the same bounded-group shape as labelprop's mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str) -> F.Column:
+    """Token array: split on single spaces, drop empties (matches the
+    DuckDB twin's ``string_split(text, ' ')`` + empty filter)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return F.filter(F.split(t, " "), lambda x: x != "")
+
+
+def _ngrams(tok: F.Column, n: int) -> F.Column:
+    """n-gram array (space-joined) built narrow from the token array:
+    zip n shifted slices — no explode, no shuffle, pure codegen."""
+    cnt = F.greatest(F.size(tok) - F.lit(n - 1), F.lit(0))
+    slices = [F.slice(tok, i + 1, cnt) for i in range(n)]
+    zipped = F.arrays_zip(*slices)
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition features, one row per doc:
+
+    ``(doc_id, n_tokens, distinct_ratio, top_bigram_frac,
+    dup_trigram_frac)``
+
+    - ``distinct_ratio`` — distinct tokens / tokens (low = degenerate
+      repetition, the classic spam signal);
+    - ``top_bigram_frac`` — fraction of tokens covered by the single
+      most frequent bigram (count × 2 / n_tokens), Gopher's
+      "top n-gram fraction" at n=2;
+    - ``dup_trigram_frac`` — fraction of trigram positions whose trigram
+      occurs more than once in the doc, Gopher's "duplicate n-gram
+      fraction" at n=3.
+
+    Zero-shuffle: every stat folds over per-row arrays with
+    ``aggregate``/``transform`` (whole-stage codegen); short docs
+    (< n tokens) report 0 for the n-gram stats.
+    """
+    tok = _tokens(text_col)
+    n_tok = F.size(tok)
+
+    def _max_count(arr: F.Column) -> F.Column:
+        # max multiplicity over the array: sort, then a single run-length
+        # fold — O(n log n) per row (a naive count-per-distinct fold is
+        # O(distinct × n), quadratic on long web pages), stays in codegen
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, g: F.struct(
+                g.alias("prev"),
+                F.when(g == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+
+    def _dup_positions(arr: F.Column) -> F.Column:
+        # positions inside runs of length ≥ 2 over the sorted array: a
+        # run's 2nd element retro-credits the 1st (+2), later ones +1 —
+        # same single-pass fold, O(n log n) per row
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("dup"),
+            ),
+            lambda acc, g: F.struct(
+                g.alias("prev"),
+                F.when(g == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                (
+                    acc["dup"]
+                    + F.when(
+                        g == acc["prev"],
+                        F.when(acc["run"] == 1, F.lit(2)).otherwise(F.lit(1)),
+                    ).otherwise(F.lit(0))
+                ).alias("dup"),
+            ),
+            lambda acc: acc["dup"],
+        )
+
+    bi = _ngrams(tok, 2)
+    tri = _ngrams(tok, 3)
+    top_bi_frac = F.when(
+        n_tok > 0,
+        (_max_count(bi) * F.lit(2)).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    dup_tri_frac = F.when(
+        F.size(tri) > 0,
+        _dup_positions(tri).cast("double") / F.size(tri),
+    ).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(
+        n_tok > 0,
+        F.size(F.array_distinct(tok)).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(top_bi_frac, 6).alias("top_bigram_frac"),
+        F.round(dup_tri_frac, 6).alias("dup_trigram_frac"),
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate measurement (CCNet-style, n-gram
+    granularity): an n-gram is *boilerplate* when it appears in at least
+    ``min_df`` distinct documents; each doc reports the fraction of its
+    n-gram positions covered by boilerplate.
+
+    Returns ``(doc_id, n_ngrams, boiler_frac)`` for every doc.
+
+    Physical shape: per-doc ``array_distinct`` BEFORE the explode bounds
+    the df-count input at one row per (doc, distinct n-gram); the count
+    aggregation map-side combines, so a corpus-wide boilerplate n-gram
+    (the hot key) reaches the reducer once per map partition.  The match
+    count joins doc n-grams to the survivor set on the n-gram key — AQE
+    broadcasts the survivor side when small.
+    """
+    grams = df.select(
+        F.col(id_col), _ngrams(_tokens(text_col), n).alias("grams")
+    )
+    per_doc = grams.select(
+        id_col, F.explode_outer("grams").alias("gram")
+    )
+    dfreq = (
+        grams.select(
+            id_col, F.explode(F.array_distinct("grams")).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("gram")
+    )
+    matched = per_doc.join(dfreq, "gram", "left_semi").groupBy(id_col).agg(
+        F.count("*").alias("n_boiler")
+    )
+    totals = grams.select(
+        id_col, F.size("grams").alias("n_ngrams")
+    )
+    return totals.join(matched, id_col, "left").select(
+        id_col,
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.round(
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
+                / F.col("n_ngrams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("boiler_frac"),
+    )
+
+
+def contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination check (GPT-3 appendix-C style): for each
+    corpus doc, the fraction of its n-gram positions that appear anywhere
+    in the benchmark set's n-grams.
+
+    ``benchmark`` is any DataFrame with the same ``text_col`` (the eval
+    set).  Returns ``(doc_id, n_ngrams, contam_frac)``; docs above a
+    threshold get dropped/flagged by the caller.
+
+    The benchmark n-gram set is distinct-ed and **broadcast** — eval sets
+    are thousands of docs, the corpus is the 100 TB side and never moves.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(_ngrams(_tokens(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    per_doc = df.select(
+        F.col(id_col), F.explode_outer(_ngrams(_tokens(text_col), n)).alias("gram")
+    )
+    matched = (
+        per_doc.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = df.select(
+        F.col(id_col), F.size(_ngrams(_tokens(text_col), n)).alias("n_ngrams")
+    )
+    return totals.join(matched, id_col, "left").select(
+        id_col,
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.round(
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_ngrams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("contam_frac"),
+    )
+
+
+def tfidf_terms(
+    df: DataFrame,
+    k: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: ``(doc_id, term, tfidf)``.
+
+    ``tfidf = tf × ln(N / df)`` (raw term count × inverse document
+    frequency, natural log — the textbook form).  Deterministic total
+    order: rank by (rounded tfidf DESC, term ASC), so ties and cross-
+    engine last-ulp float noise cannot reorder the survivors.
+
+    Two map-side-combined aggregations (per-doc tf, corpus df) + one
+    equi-join on the term + a bounded per-doc window — the same shapes
+    the engine's labelprop mode uses, all hub-safe.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        id_col,
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select(id_col, "term", "tfidf")
+    )

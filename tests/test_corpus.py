@@ -1,0 +1,109 @@
+"""Corpus-curation operators: repetition stats, boilerplate n-grams,
+benchmark contamination, TF-IDF (linkgraph/textops/corpus.py).
+
+Hand-computable fixtures pin the semantics; the catalog sweep
+(test_catalog.py entries repetition_stats / boilerplate_ngrams /
+contamination / tfidf_top1) replays the same ops against DuckDB twins
+on the sf tables.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from linkgraph.textops.corpus import (
+    boilerplate_ngrams,
+    contamination,
+    repetition_stats,
+    tfidf_terms,
+)
+
+
+def test_repetition_stats_hand_computed(spark):
+    # doc 0: "a b a b a" — tokens=5, distinct=2, bigrams: ab ba ab ba
+    #   → top bigram count 2 → frac 2*2/5 = 0.8
+    #   trigrams: aba bab aba → 'aba' occurs twice → dup positions 2/3
+    # doc 1: all-distinct — no repetition anywhere
+    # doc 2: empty; doc 3: too short for trigrams
+    df = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "w x y z"), (2, ""), (3, "p q")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert got[0].n_tokens == 5
+    assert got[0].distinct_ratio == round(2 / 5, 6)
+    assert got[0].top_bigram_frac == round(4 / 5, 6)
+    assert got[0].dup_trigram_frac == round(2 / 3, 6)
+    assert got[1].distinct_ratio == 1.0
+    assert got[1].dup_trigram_frac == 0.0
+    assert got[2].n_tokens == 0 and got[2].distinct_ratio == 0.0
+    assert got[3].dup_trigram_frac == 0.0  # no trigrams → 0, not NaN
+
+
+def test_boilerplate_min_df_gate(spark):
+    # trigram "x y z" appears in docs 0,1,2 (df=3 → boilerplate at
+    # min_df=3); "a b c" only in doc 0 (df=1 → not boilerplate).
+    df = spark.createDataFrame(
+        [
+            (0, "x y z a b c"),
+            (1, "x y z q"),
+            (2, "r x y z"),
+            (3, "u v w t"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in boilerplate_ngrams(df, n=3, min_df=3).collect()}
+    # doc 0 trigrams: xyz yza zab abc → 1 of 4 boilerplate
+    assert got[0].n_ngrams == 4 and got[0].boiler_frac == 0.25
+    assert got[1].boiler_frac == 0.5  # xyz yzq → 1 of 2
+    assert got[2].boiler_frac == 0.5  # rxy xyz → 1 of 2
+    assert got[3].boiler_frac == 0.0
+    # raising min_df past the df kills the match
+    got4 = {r.doc_id: r for r in boilerplate_ngrams(df, n=3, min_df=4).collect()}
+    assert all(r.boiler_frac == 0.0 for r in got4.values())
+
+
+def test_contamination_against_benchmark(spark):
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps"), (1, "lorem ipsum dolor sit amet")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox runs")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in contamination(corpus, bench, n=3).collect()}
+    # doc 0 trigrams: tqb qbf bfj — bench has tqb qbf bfr → 2/3 hit
+    assert got[0].n_ngrams == 3
+    assert got[0].contam_frac == round(2 / 3, 6)
+    assert got[1].contam_frac == 0.0
+
+
+def test_tfidf_ranking_and_value(spark):
+    # 'rare' appears once, in 1 of 4 docs → tfidf = 1 * ln(4/1)
+    # 'common' appears in all docs → idf = ln(1) = 0
+    df = spark.createDataFrame(
+        [
+            (0, "common rare"),
+            (1, "common"),
+            (2, "common"),
+            (3, "common"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {r.doc_id: r for r in tfidf_terms(df, k=1).collect()}
+    assert top[0].term == "rare"
+    assert top[0].tfidf == round(math.log(4.0), 6)
+    # docs 1-3: only 'common' with tfidf 0; deterministic tie-break keeps it
+    assert top[1].term == "common" and top[1].tfidf == 0.0
+
+
+def test_tfidf_k_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(0, "b b a a c"), (1, "d")], "doc_id long, text string"
+    )
+    rows = tfidf_terms(df, k=2).where(F.col("doc_id") == 0).collect()
+    assert len(rows) == 2
+    # equal tfidf for a and b (both tf=2, same df) → term ASC breaks tie
+    assert [r.term for r in rows] == ["a", "b"] or rows[0].tfidf > rows[1].tfidf
