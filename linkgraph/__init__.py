@@ -83,6 +83,24 @@ from linkgraph.algorithms.spgemm import spgemm, square_counts
 from linkgraph.algorithms.bc import betweenness_centrality
 from linkgraph.algorithms.mst import minimum_spanning_forest
 from linkgraph.algorithms.geolocation import geolocate
+from linkgraph.algorithms.katz import katz
+from linkgraph.algorithms.anf import anf, effective_diameter, harmonic_centrality
+from linkgraph.algorithms.trustrank import trustrank, spam_mass
+from linkgraph.algorithms.walks import random_walks
+from linkgraph.algorithms.coreness import coreness
+from linkgraph.algorithms.scc import (
+    strongly_connected_components,
+    bowtie_decomposition,
+)
+from linkgraph.algorithms.salsa import salsa
+from linkgraph.algorithms.eigen import eigenvector_centrality
+from linkgraph.algorithms.ktruss import k_truss
+from linkgraph.algorithms.graphstats import (
+    reciprocity,
+    degree_assortativity,
+    clustering_coefficients,
+    global_clustering,
+)
 
 __all__ = [
     "Graph",
@@ -102,6 +120,23 @@ __all__ = [
     "betweenness_centrality",
     "minimum_spanning_forest",
     "geolocate",
+    "katz",
+    "anf",
+    "effective_diameter",
+    "harmonic_centrality",
+    "trustrank",
+    "spam_mass",
+    "random_walks",
+    "coreness",
+    "strongly_connected_components",
+    "bowtie_decomposition",
+    "salsa",
+    "eigenvector_centrality",
+    "k_truss",
+    "reciprocity",
+    "degree_assortativity",
+    "clustering_coefficients",
+    "global_clustering",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,145 @@
+"""Scalar / per-vertex web-graph statistics: reciprocity, degree
+assortativity, clustering coefficients.
+
+Reference: none — upstream essentials carries no summary-statistics
+kernels; these are the standard link-graph health metrics (Newman,
+*Assortative mixing in networks*, PRL 2002; Watts & Strogatz clustering,
+Nature 1998; reciprocity as used in every web-graph characterization
+since Broder et al. 2000) added per the task brief's link-graph mandate.
+
+All three are one-pass aggregations over edge/degree DataFrames —
+map-side combined, no iteration, no driver loops.  The assortativity
+moments are INTEGER sums (degrees are integers), so Spark and the
+DuckDB twin compute bit-identical intermediates; the single final
+floating-point expression is evaluated once on each side, making the
+value-hash gate exact rather than tolerance-based.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+from linkgraph.algorithms.triangles import triangle_counts_per_vertex
+
+
+def reciprocity(graph: Graph) -> DataFrame:
+    """Fraction of directed (non-loop, deduped) edges whose reverse edge
+    also exists: 1-row ``(n_edges, n_reciprocal, reciprocity)``.
+
+    Physical shape: one left_semi self-join of the edge set against its
+    transpose on the (dst, src) key + one count — both sides are the
+    same persisted DataFrame, and the semi-join shuffles keys only.
+    """
+    e = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    stats = e.agg(F.count("*").alias("n_edges")).crossJoin(
+        recip.agg(F.count("*").alias("n_reciprocal"))
+    )
+    return stats.select(
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_reciprocal").cast("long").alias("n_reciprocal"),
+        F.round(
+            F.when(
+                F.col("n_edges") > 0,
+                F.col("n_reciprocal").cast("double") / F.col("n_edges"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("reciprocity"),
+    )
+
+
+def degree_assortativity(graph: Graph) -> DataFrame:
+    """Directed out-in degree assortativity (Newman 2002): the Pearson
+    correlation, over directed edges u→v, between outdeg(u) and
+    indeg(v).  Returns 1 row ``(n_edges, assortativity)``.
+
+    Moments Σx, Σy, Σxy, Σx², Σy² are exact integer sums (bit-stable
+    across engines); only the final r = (nΣxy − ΣxΣy) /
+    √((nΣx²−(Σx)²)(nΣy²−(Σy)²)) touches floats.
+    """
+    e = graph.edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    x = graph.out_degrees.withColumnRenamed("vid", "src")
+    y = graph.in_degrees.withColumnRenamed("vid", "dst")
+    xy = e.join(x, "src").join(y, "dst").select(
+        F.col("outdeg").alias("x"), F.col("indeg").alias("y")
+    )
+    m = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = m["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (m["n"] * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (m["n"] * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.round(
+            F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+        ).alias("assortativity"),
+    )
+
+
+def clustering_coefficients(graph: Graph) -> DataFrame:
+    """Per-vertex local clustering coefficient over the undirected
+    simple graph: ``(vid, deg, triangles, lcc)`` with
+    ``lcc = triangles / C(deg, 2)`` (0 for deg < 2).
+
+    Reuses the degree-ordered triangle kernel (triangles.py — hub-safe
+    wedge join bounded at O(√|E|) oriented out-degree) plus the persisted
+    degree view; the combine is a co-keyed |V| join.
+    """
+    tri = triangle_counts_per_vertex(graph)
+    deg = graph.degrees
+    pairs = (F.col("deg") * (F.col("deg") - 1) / 2).cast("double")
+    return tri.join(deg, "vid", "left").select(
+        "vid",
+        F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+        F.col("triangles").cast("long").alias("triangles"),
+        F.round(
+            F.when(
+                F.coalesce("deg", F.lit(0)) >= 2,
+                F.col("triangles").cast("double") / pairs,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("lcc"),
+    )
+
+
+def global_clustering(graph: Graph) -> DataFrame:
+    """Global (transitivity) clustering coefficient: 1 row
+    ``(triangles, wedges, transitivity)`` with transitivity =
+    3 × triangles / wedges, wedges = Σ_v C(deg(v), 2)."""
+    from linkgraph.algorithms.triangles import triangles as _tris
+
+    tri_n = _tris(graph).agg(F.count("*").alias("triangles"))
+    # Σ deg(deg−1) is an exact integer sum; halving it afterwards keeps
+    # the whole wedge count integer-exact (deg(deg−1) is always even),
+    # so the DuckDB twin reproduces it bit-for-bit
+    wedge_n = graph.degrees.agg(
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / F.lit(2))
+        .cast("long")
+        .alias("wedges")
+    )
+    return tri_n.crossJoin(wedge_n).select(
+        F.col("triangles").cast("long").alias("triangles"),
+        F.col("wedges").cast("long").alias("wedges"),
+        F.round(
+            F.when(
+                F.col("wedges") > 0,
+                F.lit(3.0) * F.col("triangles") / F.col("wedges"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("transitivity"),
+    )

@@ -681,6 +681,116 @@ h{i} AS MATERIALIZED (SELECT vid, CASE WHEN n > 0 THEN h / n ELSE h END AS h FRO
     return "\n".join(parts)
 
 
+def _eigen_unrolled_sql(iters: int = 6) -> str:
+    """Eigenvector-centrality power iteration unrolled (algorithms/
+    eigen.py): gather-sum from in-neighbors, L2 normalize, repeat."""
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        "e2 AS MATERIALIZED (SELECT src, dst FROM edges),",
+        "verts AS MATERIALIZED (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e2 UNION ALL SELECT dst FROM e2) t),",
+        "x0 AS MATERIALIZED (SELECT vid, 1.0 AS x FROM verts),",
+    ]
+    for i in range(1, iters + 1):
+        xp = f"x{i - 1}"
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(s.x, 0.0) AS x FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, SUM({xp}.x) AS x FROM e2 e JOIN {xp} ON {xp}.vid = e.src GROUP BY e.dst
+  ) s ON s.vid = v.vid
+),
+n{i} AS MATERIALIZED (SELECT sqrt(SUM(x * x)) AS n FROM r{i}),
+x{i} AS MATERIALIZED (SELECT vid, CASE WHEN n > 0 THEN x / n ELSE x END AS x FROM r{i} CROSS JOIN n{i}),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid, ROUND(x, 6) AS score6 FROM x{iters} ORDER BY vid"
+    )
+    return "\n".join(parts)
+
+
+def _salsa_unrolled_sql(iters: int = 5) -> str:
+    """SALSA unrolled (Lempel & Moran): HITS with row/column-stochastic
+    weights and L1 norms — auth from old hubs via h·(1/outdeg), then
+    hubs from new auths via a·(1/indeg), exactly the engine's folded
+    edge-weight form (algorithms/salsa.py) so the float ops replay."""
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        "e2 AS MATERIALIZED (SELECT src, dst FROM edges),",
+        "verts AS MATERIALIZED (SELECT DISTINCT vid FROM (SELECT src AS vid FROM e2 UNION ALL SELECT dst FROM e2) t),",
+        "nv AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),",
+        "od AS MATERIALIZED (SELECT src AS vid, 1.0 / COUNT(*) AS w FROM e2 GROUP BY src),",
+        "idg AS MATERIALIZED (SELECT dst AS vid, 1.0 / COUNT(*) AS w FROM e2 GROUP BY dst),",
+        "h0 AS MATERIALIZED (SELECT vid, 1.0 / nv.n AS h FROM verts CROSS JOIN nv),",
+    ]
+    for i in range(1, iters + 1):
+        hp = f"h{i - 1}"
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(s.x, 0.0) AS a FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, SUM({hp}.h * od.w) AS x FROM e2 e
+    JOIN {hp} ON {hp}.vid = e.src JOIN od ON od.vid = e.src GROUP BY e.dst
+  ) s ON s.vid = v.vid
+),
+an{i} AS MATERIALIZED (SELECT SUM(a) AS n FROM ar{i}),
+a{i} AS MATERIALIZED (SELECT vid, CASE WHEN n > 0 THEN a / n ELSE a END AS a FROM ar{i} CROSS JOIN an{i}),
+hr{i} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(s.x, 0.0) AS h FROM verts v LEFT JOIN (
+    SELECT e.src AS vid, SUM(a{i}.a * idg.w) AS x FROM e2 e
+    JOIN a{i} ON a{i}.vid = e.dst JOIN idg ON idg.vid = e.dst GROUP BY e.src
+  ) s ON s.vid = v.vid
+),
+hn{i} AS MATERIALIZED (SELECT SUM(h) AS n FROM hr{i}),
+h{i} AS MATERIALIZED (SELECT vid, CASE WHEN n > 0 THEN h / n ELSE h END AS h FROM hr{i} CROSS JOIN hn{i}),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT h{iters}.vid, ROUND(h{iters}.h, 6) AS hub6, ROUND(a{iters}.a, 6) AS auth6 "
+        f"FROM h{iters} JOIN a{iters} ON a{iters}.vid = h{iters}.vid ORDER BY h{iters}.vid"
+    )
+    return "\n".join(parts)
+
+
+def _ktruss_peel_sql(k: int = 3, rounds: int = 4) -> str:
+    """k-truss fixed-round partial peel twin (truss_peel_rounds):
+    ``rounds`` support filters then one final support recomputation.
+    Naive x<y<z triangle enumeration — support counts are a set-level
+    quantity, so the engine's degree-ordered kernel matches exactly."""
+    thr = k - 2
+
+    def tri_sup(i: int, src: str) -> str:
+        return f"""t{i} AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM {src} e1
+  JOIN {src} e2 ON e2.a = e1.b
+  JOIN {src} e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+s{i} AS (
+  SELECT a, b, COUNT(*) AS sup FROM (
+    SELECT x AS a, y AS b FROM t{i}
+    UNION ALL SELECT y, z FROM t{i}
+    UNION ALL SELECT x, z FROM t{i}
+  ) u GROUP BY a, b
+)"""
+
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        CANON_SQL.strip() + ",",
+        "c0 AS MATERIALIZED (SELECT a, b FROM canon),",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(tri_sup(i, f"c{i - 1}") + ",")
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT c.a, c.b FROM c{i - 1} c "
+            f"JOIN s{i} s ON s.a = c.a AND s.b = c.b WHERE s.sup >= {thr}),"
+        )
+    parts.append(tri_sup(rounds + 1, f"c{rounds}"))
+    parts.append(
+        f"SELECT c.a, c.b, CAST(COALESCE(s.sup, 0) AS BIGINT) AS support "
+        f"FROM c{rounds} c LEFT JOIN s{rounds + 1} s ON s.a = c.a AND s.b = c.b "
+        f"ORDER BY c.a, c.b"
+    )
+    return "\n".join(parts)
+
+
 def _kcore_peel_sql(k: int = 3, rounds: int = 8) -> str:
     """Fixed-round peel (deterministic partial peel, twin of
     k_core_peel_rounds — both sides run exactly ``rounds`` rounds)."""
@@ -1407,6 +1517,164 @@ WITH {EDGE_SQL.strip()}
 SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src ORDER BY vid
 """
 
+# SCC/bow-tie entries run on a deterministically THINNED edge set
+# (src % 5 <> 0): the full derived crawl is a single giant SCC (a
+# degenerate test — any labeling algorithm that outputs one label
+# passes); dropping every 5th source's out-links yields real structure
+# at sf0.001 (114 SCCs, largest 387; bow-tie: CORE/OUT/IN/TENDRIL all
+# non-empty).  Vertex set = endpoints of the thinned edges, matching
+# Graph.vertices on the engine side.
+SCC_THIN_PRED = "src % 5 <> 0"
+_SCC_BASE_SQL = f"""
+te AS (SELECT src, dst FROM edges WHERE {SCC_THIN_PRED}),
+tverts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM te UNION ALL SELECT dst FROM te) t),
+reach(vid, m) AS (
+  SELECT vid, vid FROM tverts
+  UNION
+  SELECT e.dst, r.m FROM reach r JOIN te e ON e.src = r.vid
+),
+sccs AS (
+  SELECT r1.vid, MIN(r1.m) AS scc
+  FROM reach r1 JOIN reach r2 ON r2.vid = r1.m AND r2.m = r1.vid
+  GROUP BY r1.vid
+)
+"""
+
+# SCC oracle: algorithm-independent mutual-reachability closure — m and
+# vid are in the same SCC iff m reaches vid AND vid reaches m; the SCC
+# label is the minimum such m.  Pins the SEMANTICS of the engine's
+# coloring/FW-BW multistep (algorithms/scc.py), not its trajectory.
+SCC_SQL = f"""
+WITH RECURSIVE {EDGE_SQL.strip()},
+{_SCC_BASE_SQL.strip()}
+SELECT vid, CAST(scc AS BIGINT) AS scc FROM sccs ORDER BY vid
+"""
+
+# Bow-tie oracle (Broder et al. regions from the same closure): CORE =
+# largest SCC (min-scc tie-break), IN/OUT = backward/forward reach of
+# CORE, TUBE/TENDRIL from core-free reachability of IN → / → OUT.
+BOWTIE_SQL = f"""
+WITH RECURSIVE {EDGE_SQL.strip()},
+{_SCC_BASE_SQL.strip()},
+core_id AS (
+  SELECT scc FROM (SELECT scc, COUNT(*) AS n FROM sccs GROUP BY scc)
+  ORDER BY n DESC, scc ASC LIMIT 1
+),
+core AS (SELECT vid FROM sccs WHERE scc = (SELECT scc FROM core_id)),
+fwd AS (SELECT DISTINCT r.vid FROM reach r JOIN core c ON r.m = c.vid),
+bwd AS (SELECT DISTINCT r.m AS vid FROM reach r JOIN core c ON r.vid = c.vid),
+inr AS (SELECT vid FROM bwd b WHERE NOT EXISTS (SELECT 1 FROM core c WHERE c.vid = b.vid)),
+outr AS (SELECT vid FROM fwd f WHERE NOT EXISTS (SELECT 1 FROM core c WHERE c.vid = f.vid)),
+nca AS (SELECT vid FROM tverts v WHERE NOT EXISTS (SELECT 1 FROM core c WHERE c.vid = v.vid)),
+nce AS (
+  SELECT e.src, e.dst FROM te e
+  JOIN nca a ON a.vid = e.src JOIN nca b ON b.vid = e.dst
+),
+reach2(vid, m) AS (
+  SELECT vid, vid FROM nca
+  UNION
+  SELECT e.dst, r.m FROM reach2 r JOIN nce e ON e.src = r.vid
+),
+from_in AS (SELECT DISTINCT r.vid FROM reach2 r JOIN inr i ON r.m = i.vid),
+to_out AS (SELECT DISTINCT r.m AS vid FROM reach2 r JOIN outr o ON r.vid = o.vid)
+SELECT v.vid,
+  CASE WHEN c.vid IS NOT NULL THEN 'CORE'
+       WHEN i.vid IS NOT NULL THEN 'IN'
+       WHEN o.vid IS NOT NULL THEN 'OUT'
+       WHEN fi.vid IS NOT NULL AND t2.vid IS NOT NULL THEN 'TUBE'
+       WHEN fi.vid IS NOT NULL OR t2.vid IS NOT NULL THEN 'TENDRIL'
+       ELSE 'DISCONNECTED' END AS region
+FROM tverts v
+LEFT JOIN core c ON c.vid = v.vid
+LEFT JOIN inr i ON i.vid = v.vid
+LEFT JOIN outr o ON o.vid = v.vid
+LEFT JOIN from_in fi ON fi.vid = v.vid
+LEFT JOIN to_out t2 ON t2.vid = v.vid
+ORDER BY v.vid
+"""
+
+RECIPROCITY_SQL = f"""
+WITH {EDGE_SQL.strip()},
+r AS (
+  SELECT COUNT(*) AS n_reciprocal FROM edges e
+  WHERE EXISTS (SELECT 1 FROM edges e2 WHERE e2.src = e.dst AND e2.dst = e.src)
+),
+n AS (SELECT COUNT(*) AS n_edges FROM edges)
+SELECT CAST(n.n_edges AS BIGINT) AS n_edges,
+       CAST(r.n_reciprocal AS BIGINT) AS n_reciprocal,
+       ROUND(CASE WHEN n.n_edges > 0
+             THEN CAST(r.n_reciprocal AS DOUBLE) / n.n_edges
+             ELSE 0 END, 6) AS reciprocity
+FROM n CROSS JOIN r
+"""
+
+ASSORTATIVITY_SQL = f"""
+WITH {EDGE_SQL.strip()},
+od AS (SELECT src AS vid, COUNT(*) AS d FROM edges GROUP BY src),
+idg AS (SELECT dst AS vid, COUNT(*) AS d FROM edges GROUP BY dst),
+xy AS (
+  SELECT o.d AS x, i.d AS y FROM edges e
+  JOIN od o ON o.vid = e.src JOIN idg i ON i.vid = e.dst
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+  FROM xy
+)
+SELECT n AS n_edges,
+       ROUND(CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE) > 0
+             THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                  / SQRT(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+             ELSE 0 END, 6) AS assortativity
+FROM m
+"""
+
+CLUSTERING_SQL = f"""
+WITH {EDGE_SQL.strip()},
+{SYM_SQL.strip()},
+{CANON_SQL.strip()},
+tris AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM canon e1
+  JOIN canon e2 ON e1.b = e2.a
+  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT a AS vid FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+),
+cnt AS (SELECT vid, COUNT(*) AS c FROM corners GROUP BY vid),
+sdeg AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src),
+verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM edges UNION ALL SELECT dst FROM edges) v)
+SELECT v.vid,
+       CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg,
+       CAST(COALESCE(cnt.c, 0) AS BIGINT) AS triangles,
+       ROUND(CASE WHEN COALESCE(d.deg, 0) >= 2
+             THEN CAST(COALESCE(cnt.c, 0) AS DOUBLE) / (d.deg * (d.deg - 1) / 2.0)
+             ELSE 0 END, 6) AS lcc
+FROM verts v LEFT JOIN sdeg d ON d.vid = v.vid LEFT JOIN cnt ON cnt.vid = v.vid
+ORDER BY v.vid
+"""
+
+TRANSITIVITY_SQL = f"""
+WITH {EDGE_SQL.strip()},
+{SYM_SQL.strip()},
+{CANON_SQL.strip()},
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+  FROM canon e1
+  JOIN canon e2 ON e1.b = e2.a
+  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+sdeg AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src),
+w AS (SELECT CAST(SUM(deg * (deg - 1)) AS BIGINT) // 2 AS wedges FROM sdeg)
+SELECT t.triangles, CAST(w.wedges AS BIGINT) AS wedges,
+       ROUND(CASE WHEN w.wedges > 0
+             THEN 3.0 * t.triangles / w.wedges ELSE 0 END, 6) AS transitivity
+FROM t CROSS JOIN w
+"""
+
 EDGE_COUNT_SQL = f"""
 WITH {EDGE_SQL.strip()}
 SELECT CAST(COUNT(*) AS BIGINT) AS num_edges,
@@ -1891,6 +2159,80 @@ def q_hits5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hub", 6).alias("hub6"),
         F.round("auth", 6).alias("auth6"),
     )
+
+
+def q_eigen6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.eigen import eigenvector_centrality
+
+    g = build_graph(spark, sf_dir)
+    res = eigenvector_centrality(g, tol=0.0, max_iters=6)
+    return res.state.select("vid", F.round("score", 6).alias("score6"))
+
+
+def q_salsa5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.salsa import salsa
+
+    g = build_graph(spark, sf_dir)
+    res = salsa(g, tol=0.0, max_iters=5)
+    return res.state.select(
+        "vid",
+        F.round("hub", 6).alias("hub6"),
+        F.round("auth", 6).alias("auth6"),
+    )
+
+
+def _thinned_graph(spark: SparkSession, sf_dir: str):
+    """Deterministically thinned subgraph for the SCC/bow-tie entries
+    (the full derived crawl is a single giant SCC — degenerate; see
+    SCC_SQL's comment).  Mirrors SCC_THIN_PRED exactly."""
+    from linkgraph.graph import Graph
+
+    g = build_graph(spark, sf_dir)
+    sub = g.edges.where(F.col("src") % 5 != 0)
+    return Graph.from_edges(sub, num_partitions=g.num_partitions)
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.scc import strongly_connected_components
+
+    return strongly_connected_components(_thinned_graph(spark, sf_dir))
+
+
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.scc import bowtie_decomposition
+
+    return bowtie_decomposition(_thinned_graph(spark, sf_dir))
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.graphstats import reciprocity
+
+    return reciprocity(build_graph(spark, sf_dir))
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.graphstats import degree_assortativity
+
+    return degree_assortativity(build_graph(spark, sf_dir))
+
+
+def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.graphstats import clustering_coefficients
+
+    return clustering_coefficients(build_graph(spark, sf_dir))
+
+
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.graphstats import global_clustering
+
+    return global_clustering(build_graph(spark, sf_dir))
+
+
+def q_ktruss3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.ktruss import truss_peel_rounds
+
+    g = build_graph(spark, sf_dir)
+    return truss_peel_rounds(g, k=3, rounds=4)
 
 
 def q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2559,7 +2901,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ppr10": q_ppr10,
     "spam_mass10": q_spam_mass,
     "hits5": q_hits5,
+    "salsa5": q_salsa5,
+    "eigen6": q_eigen6,
+    "scc": q_scc,
+    "bowtie": q_bowtie,
+    "reciprocity": q_reciprocity,
+    "assortativity": q_assortativity,
+    "clustering_local": q_clustering,
+    "transitivity": q_transitivity,
     "kcore3_peel8": q_kcore3,
+    "ktruss3_peel4": q_ktruss3,
     "coreness": q_coreness,
     "spgemm_square": q_spgemm_square,
     "spmv_weighted": q_spmv_weighted,
@@ -2624,7 +2975,16 @@ ORACLES: dict[str, str] = {
     "ppr10": _ppr_unrolled_sql(10, 0.85, (0, 1, 2)),
     "spam_mass10": _spam_mass_sql(10, 0.85, 100, 64),
     "hits5": _hits_unrolled_sql(5),
+    "salsa5": _salsa_unrolled_sql(5),
+    "eigen6": _eigen_unrolled_sql(6),
+    "scc": SCC_SQL,
+    "bowtie": BOWTIE_SQL,
+    "reciprocity": RECIPROCITY_SQL,
+    "assortativity": ASSORTATIVITY_SQL,
+    "clustering_local": CLUSTERING_SQL,
+    "transitivity": TRANSITIVITY_SQL,
     "kcore3_peel8": _kcore_peel_sql(3, 8),
+    "ktruss3_peel4": _ktruss_peel_sql(3, 4),
     "coreness": _coreness_sql(56),
     "geolocation": _geolocation_unrolled_sql(20),
     "simhash": _simhash_sql(),

@@ -1,0 +1,159 @@
+"""SALSA + scalar graph statistics (salsa.py, graphstats.py) on
+hand-computable fixtures with NumPy differential checks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from conftest import edges_df
+
+from linkgraph.algorithms.graphstats import (
+    clustering_coefficients,
+    degree_assortativity,
+    global_clustering,
+    reciprocity,
+)
+from linkgraph.algorithms.salsa import salsa
+from linkgraph.graph import Graph
+
+
+def _graph(spark, edges):
+    return Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+
+
+def test_reciprocity_hand(spark):
+    # 0↔1 reciprocal pair (2 reciprocal edges), 1→2 and 2→3 one-way
+    g = _graph(spark, [(0, 1), (1, 0), (1, 2), (2, 3)])
+    row = reciprocity(g).collect()[0]
+    assert row.n_edges == 4
+    assert row.n_reciprocal == 2
+    assert row.reciprocity == 0.5
+
+
+def test_reciprocity_none_and_all(spark):
+    r0 = reciprocity(_graph(spark, [(0, 1), (1, 2)])).collect()[0]
+    assert r0.reciprocity == 0.0
+    r1 = reciprocity(_graph(spark, [(0, 1), (1, 0)])).collect()[0]
+    assert r1.reciprocity == 1.0
+
+
+def test_assortativity_numpy_differential(spark):
+    import random
+
+    rng = random.Random(3)
+    edges = sorted({(rng.randrange(25), rng.randrange(25)) for _ in range(80)})
+    edges = [(s, d) for s, d in edges if s != d]
+    g = _graph(spark, edges)
+    row = degree_assortativity(g).collect()[0]
+
+    out_d, in_d = {}, {}
+    for s, d in edges:
+        out_d[s] = out_d.get(s, 0) + 1
+        in_d[d] = in_d.get(d, 0) + 1
+    x = np.array([out_d[s] for s, d in edges], dtype=float)
+    y = np.array([in_d[d] for s, d in edges], dtype=float)
+    expect = np.corrcoef(x, y)[0, 1]
+    assert row.n_edges == len(edges)
+    assert row.assortativity == pytest.approx(expect, abs=1e-6)
+
+
+def test_clustering_triangle_plus_tail(spark):
+    # triangle {0,1,2} plus a tail 2-3: deg(2)=3 → lcc(2)=1/3
+    g = _graph(spark, [(0, 1), (1, 2), (2, 0), (2, 3)])
+    got = {r.vid: r for r in clustering_coefficients(g).collect()}
+    assert got[0].lcc == 1.0 and got[1].lcc == 1.0
+    assert got[2].deg == 3 and got[2].triangles == 1
+    assert got[2].lcc == round(1 / 3, 6)
+    assert got[3].lcc == 0.0
+
+
+def test_global_clustering_hand(spark):
+    # one triangle, wedges = C(2,2)*2 + C(3,2) = 1+1+3 = 5 → 3/5
+    g = _graph(spark, [(0, 1), (1, 2), (2, 0), (2, 3)])
+    row = global_clustering(g).collect()[0]
+    assert row.triangles == 1
+    assert row.wedges == 1 + 1 + 3 + 0
+    assert row.transitivity == 0.6
+
+
+def test_salsa_stationary_semantics(spark):
+    # star: hub 0 points at 1,2,3 — authorities split evenly, hub 0
+    # takes all hub mass
+    g = _graph(spark, [(0, 1), (0, 2), (0, 3)])
+    res = salsa(g, tol=1e-12, max_iters=30)
+    got = {r.vid: r for r in res.state.collect()}
+    assert got[1].auth == pytest.approx(1 / 3, abs=1e-9)
+    assert got[2].auth == pytest.approx(1 / 3, abs=1e-9)
+    assert got[0].hub == pytest.approx(1.0, abs=1e-9)
+    assert got[0].auth == pytest.approx(0.0, abs=1e-12)
+
+
+def test_salsa_numpy_differential(spark):
+    import random
+
+    rng = random.Random(5)
+    edges = sorted({(rng.randrange(12), rng.randrange(12)) for _ in range(30)})
+    edges = [(s, d) for s, d in edges if s != d]
+    g = _graph(spark, edges)
+    res = salsa(g, tol=0.0, max_iters=6)
+    got = {r.vid: (r.hub, r.auth) for r in res.state.collect()}
+
+    verts = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    out_d = np.zeros(n)
+    in_d = np.zeros(n)
+    for s, d in edges:
+        out_d[idx[s]] += 1
+        in_d[idx[d]] += 1
+    h = np.full(n, 1.0 / n)
+    for _ in range(6):
+        a = np.zeros(n)
+        for s, d in edges:
+            a[idx[d]] += h[idx[s]] / out_d[idx[s]]
+        if a.sum() > 0:
+            a = a / a.sum()
+        h2 = np.zeros(n)
+        for s, d in edges:
+            h2[idx[s]] += a[idx[d]] / in_d[idx[d]]
+        if h2.sum() > 0:
+            h2 = h2 / h2.sum()
+        h = h2
+    for v in verts:
+        assert got[v][0] == pytest.approx(h[idx[v]], abs=1e-9)
+        assert got[v][1] == pytest.approx(a[idx[v]], abs=1e-9)
+
+
+def test_eigen_numpy_differential(spark):
+    import random
+
+    from linkgraph.algorithms.eigen import eigenvector_centrality
+
+    rng = random.Random(9)
+    edges = sorted({(rng.randrange(15), rng.randrange(15)) for _ in range(45)})
+    edges = [(s, d) for s, d in edges if s != d]
+    g = _graph(spark, edges)
+    res = eigenvector_centrality(g, tol=0.0, max_iters=8)
+    got = {r.vid: r.score for r in res.state.collect()}
+
+    verts = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    x = np.ones(len(verts))
+    for _ in range(8):
+        nx = np.zeros(len(verts))
+        for s, d in edges:
+            nx[idx[d]] += x[idx[s]]
+        n = np.sqrt((nx * nx).sum())
+        x = nx / n if n > 0 else nx
+    for v in verts:
+        assert got[v] == pytest.approx(x[idx[v]], abs=1e-9)
+
+
+def test_salsa_simplex(spark):
+    # scores are distributions: each vector sums to 1
+    g = _graph(spark, [(0, 1), (1, 2), (2, 0), (0, 2)])
+    res = salsa(g, tol=0.0, max_iters=4)
+    rows = res.state.collect()
+    assert sum(r.hub for r in rows) == pytest.approx(1.0, abs=1e-9)
+    assert sum(r.auth for r in rows) == pytest.approx(1.0, abs=1e-9)

@@ -224,6 +224,26 @@ def main() -> int:
     timed("token_counts", lambda: token_counts(docs).count())
     timed("doc_fingerprint", lambda: doc_fingerprint(docs).count())
 
+    # corpus-curation passes (textops/corpus.py)
+    from linkgraph.textops.corpus import (
+        boilerplate_ngrams,
+        contamination,
+        repetition_stats,
+        tfidf_terms,
+    )
+
+    timed("repetition_stats", lambda: repetition_stats(docs).count())
+    timed(
+        "boilerplate_ngrams",
+        lambda: boilerplate_ngrams(docs, n=3, min_df=3).count(),
+    )
+    bench_docs = docs.where(F.col("doc_id") % 997 == 0)  # ~0.1% eval set
+    timed(
+        "contamination",
+        lambda: contamination(docs, bench_docs, n=3).count(),
+    )
+    timed("tfidf_top1", lambda: tfidf_terms(docs, k=1).count())
+
     queries = emb.where(F.col("doc_id") % (args.docs // 100) == 0)
     timed(
         "lsh_ann_100q",
