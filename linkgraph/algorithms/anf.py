@@ -152,10 +152,12 @@ def anf_round(
     ball estimate — observed to give NF(t) with zero extra jobs).
 
     With ``t`` (the 1-based round number) the state also carries ``est``
-    (last round's ball estimate) and ``hc``, the running harmonic-
-    centrality accumulator (HyperBall's headline application, Boldi &
-    Vigna 2013): ``hc += (n̂_t − n̂_{t−1})/t`` — each newly reached
-    vertex at distance t contributes 1/t.  Carrying ``est`` in state
+    (last round's ball estimate) and TWO geometric-centrality
+    accumulators (HyperBall's headline applications, Boldi & Vigna
+    2013): ``hc += (n̂_t − n̂_{t−1})/t`` (harmonic — each newly reached
+    vertex at distance t contributes 1/t) and ``sd += (n̂_t − n̂_{t−1})·t``
+    (sum of distances — the closeness denominator).  Carrying ``est``
+    in state
     means the k-register estimate expression is built ONCE per round
     (over the new sketches) instead of 3× (old + delta + metric) — the
     3× form overflows janino's 64 KB method limit at k≥16 and falls
@@ -186,6 +188,7 @@ def anf_round(
     mid = merged.select(
         *cols,
         "hc",
+        "sd",
         "est",
         F.when(changed, 1).otherwise(0).alias("_changed"),
         ball_estimate_col(k, new_sk_exprs).alias("_estnew"),
@@ -195,6 +198,9 @@ def anf_round(
         *[f"sk{j}" for j in range(k)],
         (F.col("hc") + (F.col("_estnew") - F.col("est")) / F.lit(float(t))).alias(
             "hc"
+        ),
+        (F.col("sd") + (F.col("_estnew") - F.col("est")) * F.lit(float(t))).alias(
+            "sd"
         ),
         F.col("_estnew").alias("est"),
         "_changed",
@@ -215,15 +221,18 @@ def anf(
     rounds) or ``max_iters``.
 
     Result state: ``(vid, sk0..sk{k-1})`` (plus ``hc`` — the harmonic
-    centrality Σ_u 1/d(u→v) estimate — when ``harmonic=True``; early
-    stability stop never changes hc, because stable sketches make every
-    later delta exactly 0).  ``history[t-1]["nf"]`` is the estimated
+    centrality Σ_u 1/d(u→v) estimate —, ``sd`` — the estimated sum of
+    distances Σ_u d(u→v), closeness' denominator — and ``est`` — the
+    final ball estimate — when ``harmonic=True``; early stability stop
+    never changes hc/sd, because stable sketches make every later delta
+    exactly 0).  ``history[t-1]["nf"]`` is the estimated
     neighborhood function NF(t) = Σ_v n̂(v, t) after round t (observed
     metric of the superstep job itself)."""
     init_exprs = [_fm_init_col(F.col("vid"), j) for j in range(k)]
     init_cols = [e.alias(f"sk{j}") for j, e in enumerate(init_exprs)]
     if harmonic:
         init_cols.append(F.lit(0.0).alias("hc"))
+        init_cols.append(F.lit(0.0).alias("sd"))
         init_cols.append(ball_estimate_col(k, init_exprs).alias("est"))
     init = graph.vertices.select("vid", *init_cols)
 
@@ -249,7 +258,11 @@ def anf(
         resume=resume,
         ephemeral_cols=("_changed", "_est"),
     )
-    keep = ["vid"] + [f"sk{j}" for j in range(k)] + (["hc"] if harmonic else [])
+    keep = (
+        ["vid"]
+        + [f"sk{j}" for j in range(k)]
+        + (["hc", "sd", "est"] if harmonic else [])
+    )
     result.state = result.state.select(*keep)
     return result
 
@@ -269,6 +282,41 @@ def harmonic_centrality(
         graph, k=k, max_iters=max_iters, harmonic=True, checkpoint=checkpoint
     )
     return res.state.select("vid", F.col("hc").alias("harmonic"))
+
+
+def closeness_centrality(
+    graph: Graph,
+    k: int = 8,
+    max_iters: int = 32,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """Approximate in-closeness ``C(v) = reach(v) / Σ_{u≠v} d(u→v)``
+    per vertex — HyperBall's second geometric centrality (Boldi &
+    Vigna 2013, §4: "closeness" with the reachable-set numerator, the
+    form that stays meaningful on disconnected/directed graphs).
+
+    ``reach(v) = n̂_∞ − n̂_0`` and the distance sum rides the same
+    sketch run as harmonic centrality (``sd`` accumulator), so the
+    whole metric costs ZERO extra jobs over ``anf()``; vertices that
+    reach nothing (sd = 0) get closeness 0.  Returns
+    ``(vid, closeness)``."""
+    res = anf(
+        graph, k=k, max_iters=max_iters, harmonic=True, checkpoint=checkpoint
+    )
+    # n̂_0 is a pure function of vid (the init sketches are md5-derived),
+    # so it is recomputed as an expression — no extra state column and
+    # no extra job
+    est0 = ball_estimate_col(
+        k, [_fm_init_col(F.col("vid"), j) for j in range(k)]
+    )
+    return res.state.select(
+        "vid",
+        F.when(
+            F.col("sd") > 0.0, (F.col("est") - est0) / F.col("sd")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("closeness"),
+    )
 
 
 def effective_diameter(

@@ -1,0 +1,86 @@
+"""Neighborhood-overlap link prediction: common-neighbors, Jaccard, and
+Adamic–Adar scores for non-adjacent vertex pairs.
+
+Reference: none — upstream essentials has no link-prediction kernel;
+these are the classic similarity indices (Adamic & Adar, *Friends and
+neighbors on the Web*, Social Networks 2003; Liben-Nowell & Kleinberg,
+*The link-prediction problem for social networks*, CIKM 2003) added per
+the task brief's link-graph mandate (the "which pages should link"
+ranking every crawl-analytics stack ships).
+
+Physical shape — hub-safe wedge generation, the same idea that makes
+triangle counting survive web graphs: candidate pairs come from wedges
+``a — c — b`` centered at c, and the wedge count is Σ_c deg(c)², which
+a single 10⁸-degree hub page turns into 10¹⁶ rows.  ``max_degree``
+caps the CENTER degree: hubs are excluded as wedge centers, bounding
+the blow-up at |V|·cap² while changing the ranking only negligibly —
+a hub's Adamic–Adar contribution is 1/ln(deg) → 0, and pairs "similar"
+only because both link a hub page are exactly the false positives the
+AA weighting exists to suppress.  The cap is part of the operator's
+definition (the DuckDB twin applies the identical cap, so the value
+hash is exact, not approximate).
+
+One self-join of the capped adjacency on the center key + one
+map-side-combined (a, b) agg + an anti-join against the canonical edge
+set + two degree lookups.  No driver loops, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.graph import Graph
+
+
+def link_prediction(
+    graph: Graph, top_k: int = 50, max_degree: int = 64
+) -> DataFrame:
+    """Top ``top_k`` non-adjacent pairs by common-neighbor count.
+
+    Returns ``(a, b, cn, jaccard6, aa6)`` with a < b, ordered by
+    (cn DESC, a ASC, b ASC) — a deterministic total order, so the
+    top-k cut is engine-stable.  ``jaccard = cn / (deg(a)+deg(b)−cn)``
+    uses full undirected degrees; ``aa = Σ_c 1/ln(deg(c))`` sums over
+    the capped wedge centers (2 ≤ deg(c) ≤ max_degree).
+    """
+    sym = graph.symmetrized_edges
+    deg = graph.degrees  # undirected (vid, deg)
+    centers = deg.where(
+        (F.col("deg") >= 2) & (F.col("deg") <= max_degree)
+    ).select(
+        F.col("vid").alias("c"),
+        (F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("w"),
+    )
+    # adjacency restricted to capped centers: (c, v, w)
+    adj = sym.join(
+        centers, sym["src"] == centers["c"]
+    ).select("c", F.col("dst").alias("v"), "w")
+    n1 = adj.alias("n1")
+    n2 = adj.alias("n2")
+    pairs = (
+        n1.join(
+            n2,
+            (F.col("n1.c") == F.col("n2.c")) & (F.col("n1.v") < F.col("n2.v")),
+        )
+        .groupBy(F.col("n1.v").alias("a"), F.col("n2.v").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cn"), F.sum(F.col("n1.w")).alias("aa"))
+    )
+    canon = graph.canonical_edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    nonedges = pairs.join(canon, ["a", "b"], "left_anti")
+    da = deg.select(F.col("vid").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("vid").alias("b"), F.col("deg").alias("deg_b"))
+    scored = nonedges.join(da, "a").join(db, "b").select(
+        "a",
+        "b",
+        F.col("cn").cast("long").alias("cn"),
+        F.round(
+            F.col("cn").cast("double")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("cn")),
+            6,
+        ).alias("jaccard6"),
+        F.round("aa", 6).alias("aa6"),
+    )
+    return scored.orderBy(F.desc("cn"), F.asc("a"), F.asc("b")).limit(top_k)

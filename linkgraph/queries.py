@@ -451,6 +451,54 @@ def _harmonic_unrolled_sql(iters: int = 8, k: int = 4) -> str:
     return "\n".join(parts)
 
 
+def _closeness_unrolled_sql(iters: int = 8, k: int = 4) -> str:
+    """Twin of ``q_closeness8`` (anf.closeness_centrality): the same
+    sketch CTE chain as the harmonic twin, with the sum-of-distances
+    fold ``sd = Σ_t (n̂_t − n̂_{t−1})·t`` (left-associative from 0.0 —
+    the engine's per-round ``sd += Δ·t`` float-op order) and
+    ``closeness = (n̂_T − n̂_0) / sd`` (0 when sd ≤ 0)."""
+    from linkgraph.algorithms.anf import _POW2_FLOAT, FM_PHI, frac_pow2_consts
+
+    parts = _anf_cte_parts(iters, k)
+    rsum = _anf_rank_sql(k)
+    for i in range(0, iters + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT vid, CAST({rsum} AS INT) "
+            f"AS rsum FROM a{i}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+
+    def dbl(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    pw = " ".join(f"WHEN {m} THEN {dbl(v)}" for m, v in _POW2_FLOAT.items())
+    qw = " ".join(
+        f"WHEN {j} THEN {dbl(v)}" for j, v in enumerate(frac_pow2_consts(k))
+    )
+
+    def est(tbl: str) -> str:
+        rs = f"{tbl}.rsum"
+        whole = f"CAST(({rs} - ({rs} % {k})) / {k} AS INT)"
+        return (
+            f"(CASE {whole} {pw} END) * (CASE ({rs} % {k}) {qw} END) "
+            f"/ {dbl(FM_PHI)}"
+        )
+
+    sd = dbl(0.0)
+    for t in range(1, iters + 1):
+        sd = f"({sd} + (({est(f'r{t}')}) - ({est(f'r{t - 1}')})) * {dbl(float(t))})"
+    reached = f"(({est(f'r{iters}')}) - ({est('r0')}))"
+    joins = " ".join(
+        f"JOIN r{i} ON r{i}.vid = r0.vid" for i in range(1, iters + 1)
+    )
+    parts.append(
+        f"SELECT r0.vid, ROUND(CASE WHEN {sd} > {dbl(0.0)} "
+        f"THEN {reached} / {sd} ELSE {dbl(0.0)} END, 6) AS closeness6 "
+        f"FROM r0 {joins} ORDER BY r0.vid"
+    )
+    return "\n".join(parts)
+
+
 def _random_walks_unrolled_sql(steps: int = 5, seed: int = 0) -> str:
     """Twin of ``q_random_walks``: same edge index (dense dst-rank per
     src), same multiplicative-hash neighbor pick, one CTE per step;
@@ -527,7 +575,11 @@ p{i} AS MATERIALIZED (
     return "\n".join(parts)
 
 
-def _labelprop_unrolled_sql(iters: int = 3) -> str:
+def _labelprop_cte_parts(iters: int = 3) -> list[str]:
+    """Shared CTE chain for the LP twin and the community-quality twins
+    (modularity / conductance score the SAME l{iters} assignment the
+    ``labelprop3`` entry pins).  Every part keeps its trailing comma;
+    consumers strip the last one before the final SELECT."""
     parts = [
         "WITH " + EDGE_SQL.strip() + ",",
         SYM_SQL.strip() + ",",
@@ -552,8 +604,90 @@ def _labelprop_unrolled_sql(iters: int = 3) -> str:
   ) b ON b.vid = v.vid
 ),"""
         )
+    return parts
+
+
+def _labelprop_unrolled_sql(iters: int = 3) -> str:
+    parts = _labelprop_cte_parts(iters)
     parts[-1] = parts[-1].rstrip(",")
     parts.append(f"SELECT vid, lab AS label FROM l{iters} ORDER BY vid")
+    return "\n".join(parts)
+
+
+def _modularity_sql(iters: int = 3) -> str:
+    """Twin of ``q_modularity``: Newman modularity of the l{iters} LP
+    assignment.  All aggregation inputs are exact integer sums; the one
+    float expression per community and the final Σ are replayed in the
+    same shape as the engine (t·t, not POWER — pow(x, 2.0) is not
+    guaranteed bit-identical across engines)."""
+    parts = _labelprop_cte_parts(iters)
+    parts.append(CANON_SQL.strip() + ",")
+    parts.append(
+        f"""labs AS (SELECT vid, lab AS label FROM l{iters}),
+sdeg AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM canon),
+intra AS (
+  SELECT la.label, CAST(COUNT(*) AS BIGINT) AS e_c
+  FROM canon c
+  JOIN labs la ON la.vid = c.a
+  JOIN labs lb ON lb.vid = c.b
+  WHERE la.label = lb.label
+  GROUP BY la.label
+),
+vol AS (
+  SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS d_c
+  FROM labs l JOIN sdeg d ON d.vid = l.vid
+  GROUP BY l.label
+),
+terms AS (
+  SELECT CAST(COALESCE(i.e_c, 0) AS DOUBLE) / mm.m
+         - (CAST(v.d_c AS DOUBLE) / (2.0 * mm.m))
+           * (CAST(v.d_c AS DOUBLE) / (2.0 * mm.m)) AS term
+  FROM vol v LEFT JOIN intra i ON i.label = v.label CROSS JOIN mm
+)"""
+    )
+    parts.append(
+        "SELECT mm.m AS m, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM vol) AS n_communities, "
+        "ROUND(SUM(term), 6) AS modularity "
+        "FROM terms CROSS JOIN mm GROUP BY mm.m"
+    )
+    return "\n".join(parts)
+
+
+def _conductance_sql(iters: int = 3, top_k: int = 20) -> str:
+    """Twin of ``q_community_conductance``: cut / min(vol, 2m−vol) per
+    community of the l{iters} LP assignment, top_k by (members DESC,
+    label ASC)."""
+    parts = _labelprop_cte_parts(iters)
+    parts.append(
+        f"""labs AS (SELECT vid, lab AS label FROM l{iters}),
+tagged AS (
+  SELECT la.label AS lab_s, lb.label AS lab_d
+  FROM sym e
+  JOIN labs la ON la.vid = e.src
+  JOIN labs lb ON lb.vid = e.dst
+),
+per AS (
+  SELECT lab_s AS label, CAST(COUNT(*) AS BIGINT) AS vol,
+         CAST(SUM(CASE WHEN lab_s <> lab_d THEN 1 ELSE 0 END) AS BIGINT) AS cut
+  FROM tagged GROUP BY lab_s
+),
+sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS members FROM labs GROUP BY label),
+m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM sym)"""
+    )
+    parts.append(
+        """SELECT s.label, s.members,
+       CAST(COALESCE(p.vol, 0) AS BIGINT) AS vol,
+       CAST(COALESCE(p.cut, 0) AS BIGINT) AS cut,
+       ROUND(CASE WHEN LEAST(COALESCE(p.vol, 0), m2.m2 - COALESCE(p.vol, 0)) > 0
+             THEN CAST(COALESCE(p.cut, 0) AS DOUBLE)
+                  / LEAST(COALESCE(p.vol, 0), m2.m2 - COALESCE(p.vol, 0))
+             ELSE 0.0 END, 6) AS conductance
+FROM sizes s LEFT JOIN per p ON p.label = s.label CROSS JOIN m2
+ORDER BY s.members DESC, s.label ASC LIMIT """
+        + str(top_k)
+    )
     return "\n".join(parts)
 
 
@@ -1675,6 +1809,44 @@ SELECT t.triangles, CAST(w.wedges AS BIGINT) AS wedges,
 FROM t CROSS JOIN w
 """
 
+LINKPRED_SQL = f"""
+WITH {EDGE_SQL.strip()},
+{SYM_SQL.strip()},
+{CANON_SQL.strip()},
+sdeg AS (SELECT src AS vid, COUNT(*) AS deg FROM sym GROUP BY src),
+centers AS (
+  SELECT vid, 1.0 / LN(CAST(deg AS DOUBLE)) AS w
+  FROM sdeg WHERE deg >= 2 AND deg <= 64
+),
+adj AS (
+  SELECT s.src AS c, s.dst AS v, ctr.w
+  FROM sym s JOIN centers ctr ON ctr.vid = s.src
+),
+pairs AS (
+  SELECT n1.v AS a, n2.v AS b, CAST(COUNT(*) AS BIGINT) AS cn, SUM(n1.w) AS aa
+  FROM adj n1 JOIN adj n2 ON n1.c = n2.c AND n1.v < n2.v
+  GROUP BY n1.v, n2.v
+),
+nonedges AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM canon e WHERE e.a = p.a AND e.b = p.b)
+)
+SELECT ne.a, ne.b, ne.cn,
+       ROUND(CAST(ne.cn AS DOUBLE) / (da.deg + db.deg - ne.cn), 6) AS jaccard6,
+       ROUND(ne.aa, 6) AS aa6
+FROM nonedges ne
+JOIN sdeg da ON da.vid = ne.a
+JOIN sdeg db ON db.vid = ne.b
+ORDER BY ne.cn DESC, ne.a ASC, ne.b ASC LIMIT 50
+"""
+
+DEGREE_HIST_SQL = f"""
+WITH {EDGE_SQL.strip()},
+ind AS (SELECT dst AS vid, COUNT(*) AS indeg FROM edges GROUP BY dst)
+SELECT CAST(indeg AS BIGINT) AS indeg, CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM ind GROUP BY indeg ORDER BY indeg
+"""
+
 EDGE_COUNT_SQL = f"""
 WITH {EDGE_SQL.strip()}
 SELECT CAST(COUNT(*) AS BIGINT) AS num_edges,
@@ -2228,6 +2400,51 @@ def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_clustering(build_graph(spark, sf_dir))
 
 
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the labelprop3 assignment (the same labels
+    the ``labelprop3`` entry pins)."""
+    from linkgraph.algorithms.community import modularity
+    from linkgraph.algorithms.labelprop import label_propagation
+
+    g = build_graph(spark, sf_dir)
+    labels = label_propagation(g, max_iters=3).state.select("vid", "label")
+    return modularity(g, labels)
+
+
+def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of the labelprop3 assignment, top-20
+    by (members DESC, label ASC)."""
+    from linkgraph.algorithms.community import community_conductance
+    from linkgraph.algorithms.labelprop import label_propagation
+
+    g = build_graph(spark, sf_dir)
+    labels = label_propagation(g, max_iters=3).state.select("vid", "label")
+    return community_conductance(g, labels, top_k=20)
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.linkpred import link_prediction
+
+    g = build_graph(spark, sf_dir)
+    return link_prediction(g, top_k=50, max_degree=64)
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree histogram (the power-law health check every web-graph
+    characterization plots — Broder et al. WWW'00 §3): one map-side
+    combined agg over |E| then one tiny agg over distinct degrees."""
+    g = build_graph(spark, sf_dir)
+    return (
+        g.in_degrees.groupBy("indeg")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .select(
+            F.col("indeg").cast("long").alias("indeg"),
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+        )
+        .orderBy("indeg")
+    )
+
+
 def q_ktruss3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algorithms.ktruss import truss_peel_rounds
 
@@ -2395,6 +2612,19 @@ def q_harmonic8(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = build_graph(spark, sf_dir)
     out = harmonic_centrality(g, k=4, max_iters=8)
     return out.select("vid", F.round("harmonic", 6).alias("harmonic6"))
+
+
+def q_closeness8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate in-closeness via HyperBall's sum-of-distances
+    accumulator riding the same 4-register / 8-round sketch run as
+    ``harmonic8`` (anf.closeness_centrality).  Engine-exact estimate
+    (integer CASE × literal fraction constants) — the DuckDB twin
+    replays the float trajectory bit-for-bit."""
+    from linkgraph.algorithms.anf import closeness_centrality
+
+    g = build_graph(spark, sf_dir)
+    out = closeness_centrality(g, k=4, max_iters=8)
+    return out.select("vid", F.round("closeness", 6).alias("closeness6"))
 
 
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2909,6 +3139,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assortativity": q_assortativity,
     "clustering_local": q_clustering,
     "transitivity": q_transitivity,
+    "modularity": q_modularity,
+    "community_conductance": q_community_conductance,
+    "link_prediction": q_link_prediction,
+    "degree_histogram": q_degree_histogram,
     "kcore3_peel8": q_kcore3,
     "ktruss3_peel4": q_ktruss3,
     "coreness": q_coreness,
@@ -2924,6 +3158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "katz8": q_katz,
     "anf4": q_anf4,
     "harmonic8": q_harmonic8,
+    "closeness8": q_closeness8,
     "mst": q_mst,
     "geolocation": q_geolocation,
     "dedup_exact": q_dedup_exact,
@@ -2965,6 +3200,7 @@ ORACLES: dict[str, str] = {
     "katz8": _katz_unrolled_sql(8, 0.05, 1.0),
     "anf4": _anf_unrolled_sql(4, 4),
     "harmonic8": _harmonic_unrolled_sql(8, 4),
+    "closeness8": _closeness_unrolled_sql(8, 4),
     "connected_components": CC_SQL,
     "labelprop3": _labelprop_unrolled_sql(3),
     "bfs_depths": BFS_SQL,
@@ -2983,6 +3219,10 @@ ORACLES: dict[str, str] = {
     "assortativity": ASSORTATIVITY_SQL,
     "clustering_local": CLUSTERING_SQL,
     "transitivity": TRANSITIVITY_SQL,
+    "modularity": _modularity_sql(3),
+    "community_conductance": _conductance_sql(3, 20),
+    "link_prediction": LINKPRED_SQL,
+    "degree_histogram": DEGREE_HIST_SQL,
     "kcore3_peel8": _kcore_peel_sql(3, 8),
     "ktruss3_peel4": _ktruss_peel_sql(3, 4),
     "coreness": _coreness_sql(56),
