@@ -36,6 +36,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import Graph
+from linkgraph.superstep import (
+    CheckpointManager,
+    IterationResult,
+    changed_stats,
+    iterate,
+)
 
 
 def modularity(graph: Graph, labels: DataFrame) -> DataFrame:
@@ -82,6 +88,140 @@ def modularity(graph: Graph, labels: DataFrame) -> DataFrame:
             F.round("q_raw", 6).alias("modularity"),
         )
     )
+
+
+def modularity_lp(
+    graph: Graph,
+    max_iters: int = 4,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = True,
+) -> IterationResult:
+    """Synchronous modularity-gain label propagation — the Louvain MOVE
+    PHASE (Blondel et al., *Fast unfolding of communities in large
+    networks*, JSTAT 2008) run label-propagation-style: every vertex
+    simultaneously adopts the candidate community c maximizing the
+    modularity gain ``ΔQ ∝ k_{v→c} − deg(v)·(d_c − [c = L(v)]·deg(v)) / 2m``
+    (own-community volume corrected by deg(v), the standard Louvain
+    term), tie-break minimum label.  Init: singleton communities.
+    Plain LP maximizes neighbor-label FREQUENCY and happily merges
+    everything into one giant community on dense graphs; the
+    modularity-gain objective penalizes high-volume communities, giving
+    the partition `modularity`/`community_conductance` actually score
+    well.  (Full Louvain adds graph coagulation between move phases —
+    sequential vertex moves don't distribute; the synchronous variant
+    is the standard parallel adaptation, cf. Lu et al. ParCo 2015.)
+
+    Fully-synchronous moves oscillate: two singleton neighbors each see
+    the other's community as the best gain and SWAP labels forever (the
+    bipartite-flip pathology every synchronous local-search has).  The
+    standard distributed remedy is a partitioned move schedule (Lu et
+    al. §4: only an independent-ish subset moves per round); we use the
+    deterministic parity schedule — round i moves only vertices with
+    ``vid % 2 == i % 2`` — so convergence needs TWO consecutive
+    zero-change rounds (one per parity).
+
+    Determinism / oracle replay: the argmax key ``2m·k_{v→c} −
+    deg(v)·(d_c − [c = L(v)]·deg(v))`` is a pure BIGINT (the 1/2m factor
+    is monotone — multiply through), so the per-vertex winner is
+    bit-exact across engines — no float enters the comparison.
+
+    Physical shape per round (all map-side-combined hash aggs, no
+    windows): community volumes = one |V|→|C| agg; candidate scores =
+    the LP gather keyed (dst, label) — the composite key spreads hub
+    destinations across reducers — then a second (vid, label) agg after
+    unioning each vertex's stay-put row; winner via ``max(struct(score,
+    −label))`` (labelprop.py's skew-safe argmax).  Result state:
+    ``(vid, label)``."""
+    sym = graph.symmetrized_edges
+    deg = graph.degrees  # (vid, deg) — undirected
+    m2 = int(
+        deg.agg(F.sum("deg").alias("s")).collect()[0]["s"] or 0
+    )  # 2m = Σ deg, once
+    init = graph.vertices.select("vid", F.col("vid").alias("label"))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        vols = (
+            state.join(deg.hint("merge"), "vid")
+            .groupBy("label")
+            .agg(F.sum("deg").alias("d_c"))
+        )
+        gathered = sym.join(
+            state.select(F.col("vid").alias("src"), "label").hint("merge"),
+            "src",
+        ).select(F.col("dst").alias("vid"), "label")
+        cand = gathered.groupBy("vid", "label").agg(
+            F.count(F.lit(1)).alias("k")
+        )
+        stay = state.select("vid", "label", F.lit(0).cast("long").alias("k"))
+        allc = (
+            cand.unionByName(stay)
+            .groupBy("vid", "label")
+            .agg(F.max("k").alias("k"))
+            # parity schedule: only this round's half evaluates moves
+            .where(F.col("vid") % 2 == F.lit(i % 2))
+        )
+        cur = state.select("vid", F.col("label").alias("l0"))
+        scored = (
+            allc.join(vols, "label")
+            .join(deg.hint("merge"), "vid")
+            .join(cur.hint("merge"), "vid")
+            .select(
+                "vid",
+                "label",
+                (
+                    F.lit(m2) * F.col("k")
+                    - F.col("deg")
+                    * (
+                        F.col("d_c")
+                        - F.when(
+                            F.col("label") == F.col("l0"), F.col("deg")
+                        ).otherwise(F.lit(0))
+                    )
+                ).alias("score"),
+            )
+        )
+        best = (
+            scored.groupBy("vid")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("score"), (-F.col("label")).alias("nl")
+                    )
+                ).alias("m")
+            )
+            .select("vid", (-F.col("m.nl")).alias("new_label"))
+        )
+        return state.join(best.hint("merge"), "vid", "left").select(
+            "vid",
+            F.coalesce("new_label", "label").alias("label"),
+            (F.coalesce("new_label", "label") != F.col("label")).alias(
+                "_changed"
+            ),
+        )
+
+    # two consecutive zero-change rounds = both parities stable
+    zeros = [0]
+
+    def converged(s: dict) -> bool:
+        if (s.get("changed") or 0) == 0:
+            zeros[0] += 1
+        else:
+            zeros[0] = 0
+        return zeros[0] >= 2
+
+    result = iterate(
+        init,
+        step,
+        stats_cols=changed_stats(),
+        converged=converged,
+        max_iters=max_iters,
+        checkpoint=checkpoint,
+        checkpoint_every=checkpoint_every,
+        resume=resume,
+    )
+    result.state = result.state.select("vid", "label")
+    return result
 
 
 def community_conductance(

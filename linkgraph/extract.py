@@ -184,6 +184,31 @@ def host_of(col) -> "F.Column":
     return F.when(h != "", h)
 
 
+def canonical_url(col) -> "F.Column":
+    """Canonical form of an absolute http(s) url, JVM-side — the
+    normalization pass every crawl dedup applies before url-keyed
+    joins (RFC 3986 §6 syntax-based normalization, the deterministic
+    subset):
+
+    1. strip the fragment (``#...`` — never sent to the server),
+    2. lowercase the scheme+authority (case-insensitive per RFC 3986
+       §3.1/§3.2.2; the PATH keeps its case — it is case-sensitive),
+    3. drop an explicit default port (``:80``/``:443``),
+    4. drop one trailing slash.
+
+    Pure ``regexp_extract``/``regexp_replace``/``substring`` column
+    ops in the engine-portable regex subset (anchored, no lookaround),
+    so the ``url_canonical`` catalog oracle replays it textually in
+    DuckDB.  Non-url strings pass through steps 1/3/4 unchanged (the
+    authority regex matches empty → nothing is lowercased).
+    """
+    u = F.regexp_replace(col, "#.*$", "")
+    head = F.regexp_extract(u, "^[^/]*//[^/]*", 0)  # scheme://host[:port]
+    rest = F.substring(u, F.length(head) + F.lit(1), F.length(u))
+    head_norm = F.regexp_replace(F.lower(head), ":(80|443)$", "")
+    return F.regexp_replace(F.concat(head_norm, rest), "/$", "")
+
+
 def host_graph(
     url_pairs: DataFrame,
     src_col: str = "src_url",

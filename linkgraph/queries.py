@@ -691,6 +691,62 @@ ORDER BY s.members DESC, s.label ASC LIMIT """
     return "\n".join(parts)
 
 
+def _louvain_unrolled_sql(iters: int = 4) -> str:
+    """Twin of ``q_louvain_lp4`` (community.modularity_lp): synchronous
+    modularity-gain label propagation unrolled, with the engine's
+    parity move schedule (round t moves only vids with
+    ``vid % 2 = (t−1) % 2`` — breaks the synchronous swap oscillation).
+    The argmax key ``2m·k − deg·(dc − [c = cur]·deg)`` is pure BIGINT —
+    no float enters any comparison, so the per-vertex winner is
+    bit-exact."""
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        SYM_SQL.strip() + ",",
+        "s2 AS MATERIALIZED (SELECT src, dst FROM sym),",
+        "sdeg AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS BIGINT)"
+        " AS deg FROM sym GROUP BY src),",
+        "m2t AS (SELECT CAST(SUM(deg) AS BIGINT) AS m2 FROM sdeg),",
+        "l0 AS MATERIALIZED (SELECT doc_id AS vid, doc_id AS lab FROM documents),",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"l{i - 1}"
+        parts.append(
+            f"""vol{i} AS MATERIALIZED (
+  SELECT l.lab AS c, CAST(SUM(d.deg) AS BIGINT) AS dc
+  FROM {prev} l JOIN sdeg d ON d.vid = l.vid GROUP BY l.lab
+),
+cand{i} AS MATERIALIZED (
+  SELECT x.vid, x.c, MAX(x.k) AS k FROM (
+    SELECT e.dst AS vid, l.lab AS c, CAST(COUNT(*) AS BIGINT) AS k
+    FROM s2 e JOIN {prev} l ON l.vid = e.src GROUP BY e.dst, l.lab
+    UNION ALL
+    SELECT vid, lab AS c, CAST(0 AS BIGINT) AS k FROM {prev}
+  ) x GROUP BY x.vid, x.c
+),
+l{i} AS MATERIALIZED (
+  SELECT cur0.vid,
+         CASE WHEN cur0.vid % 2 = {(i - 1) % 2} THEN w.lab ELSE cur0.lab END AS lab
+  FROM {prev} cur0 LEFT JOIN (
+    SELECT vid, c AS lab FROM (
+      SELECT a.vid, a.c,
+             ROW_NUMBER() OVER (PARTITION BY a.vid ORDER BY
+               (mm.m2 * a.k
+                - dv.deg * (v.dc - CASE WHEN a.c = cur.lab THEN dv.deg ELSE 0 END)) DESC,
+               a.c ASC) AS rn
+      FROM cand{i} a
+      JOIN vol{i} v ON v.c = a.c
+      JOIN sdeg dv ON dv.vid = a.vid
+      JOIN {prev} cur ON cur.vid = a.vid
+      CROSS JOIN m2t mm
+    ) z WHERE rn = 1
+  ) w ON w.vid = cur0.vid
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT vid, lab AS label FROM l{iters} ORDER BY vid")
+    return "\n".join(parts)
+
+
 def _ppr_unrolled_sql(
     iters: int = 10, alpha: float = 0.85, seeds: tuple[int, ...] = (0, 1, 2)
 ) -> str:
@@ -2111,6 +2167,79 @@ SELECT t.doc_id,
 FROM totals t LEFT JOIN matched m USING(doc_id) ORDER BY t.doc_id
 """
 
+PARAGRAPH_DEDUP_SQL = f"""
+WITH {DOCS2_SQL.strip()},
+base AS (SELECT doc_id, {_CORPUS_TOKS} AS tok FROM docs2),
+bn AS (SELECT doc_id, tok, len(tok) AS n FROM base),
+pp AS (
+  SELECT doc_id, tok, UNNEST(generate_series(0, CAST(CEIL(n / 12.0) AS INT) - 1)) AS p
+  FROM bn WHERE n > 0
+),
+paras AS (
+  SELECT doc_id, p AS pos,
+         array_to_string(list_slice(tok, p * 12 + 1, p * 12 + 12), ' ') AS para
+  FROM pp
+),
+ranked AS (
+  SELECT doc_id, pos, para,
+         ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+  FROM paras
+),
+kept AS (SELECT doc_id, pos, para FROM ranked WHERE rn = 1),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         md5(string_agg(para, ' ' ORDER BY pos)) AS clean_md5
+  FROM kept GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n > 0 THEN CEIL(n / 12.0) ELSE 0 END AS BIGINT) AS n_paras
+  FROM bn
+)
+SELECT t.doc_id, t.n_paras,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(a.clean_md5, md5('')) AS clean_md5
+FROM tot t LEFT JOIN agg a USING(doc_id) ORDER BY t.doc_id
+"""
+
+# deterministic messy-URL corpus (shared text — evaluates identically in
+# Spark SQL and DuckDB, like EDGE_SQL): mixed-case scheme/host/path,
+# default and non-default ports, trailing slashes, fragments
+MESSY_URL_SQL = """
+murls AS (
+  SELECT doc_id,
+         'HTTP' || (CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END) ||
+         '://ExAmple' || CAST(doc_id % 7 AS STRING) || '.CoM' ||
+         (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+               WHEN 2 THEN ':8080' ELSE '' END) ||
+         '/Path/To/' || CAST(doc_id AS STRING) ||
+         (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+         (CASE WHEN doc_id % 3 = 0
+               THEN '#Frag' || CAST(doc_id AS STRING) ELSE '' END) AS url
+  FROM documents
+)
+"""
+
+URL_CANONICAL_SQL = f"""
+WITH {MESSY_URL_SQL.strip()},
+defrag AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM murls
+),
+split AS (
+  SELECT doc_id, url, u, regexp_extract(u, '^[^/]*//[^/]*', 0) AS head
+  FROM defrag
+)
+SELECT doc_id, url,
+       regexp_replace(
+         concat(
+           regexp_replace(lower(head), ':(80|443)$', ''),
+           substr(u, length(head) + 1)
+         ),
+         '/$', ''
+       ) AS canon_url
+FROM split ORDER BY doc_id
+"""
+
 TFIDF_SQL = f"""
 WITH toks AS (
   SELECT doc_id, UNNEST({_CORPUS_TOKS}) AS term FROM documents
@@ -2420,6 +2549,17 @@ def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = build_graph(spark, sf_dir)
     labels = label_propagation(g, max_iters=3).state.select("vid", "label")
     return community_conductance(g, labels, top_k=20)
+
+
+def q_louvain_lp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous modularity-gain label propagation (Louvain move
+    phase), 4 rounds (converges earlier on the derived graph — the
+    update is idempotent at its fixpoint, so the unrolled twin
+    matches)."""
+    from linkgraph.algorithms.community import modularity_lp
+
+    g = build_graph(spark, sf_dir)
+    return modularity_lp(g, max_iters=4).state.select("vid", "label")
 
 
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2835,6 +2975,30 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_terms(spark.table("documents"), k=1)
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup over the synthesized duplicate
+    corpus (textops/corpus.py paragraph_dedup): 12-token windows,
+    keep-first by (doc_id, pos), md5 of the reassembled text."""
+    from linkgraph.textops.corpus import paragraph_dedup
+
+    return paragraph_dedup(_docs2(spark, sf_dir), para_tokens=12)
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 syntax-based url normalization (extract.canonical_url)
+    over a deterministic messy-URL corpus shared with the oracle
+    (MESSY_URL_SQL evaluates identically in both engines)."""
+    from linkgraph.extract import canonical_url
+
+    _load(spark, sf_dir, "documents")
+    murls = spark.sql(
+        f"WITH {MESSY_URL_SQL.strip()} SELECT doc_id, url FROM murls"
+    )
+    return murls.select(
+        "doc_id", "url", canonical_url(F.col("url")).alias("canon_url")
+    ).orderBy("doc_id")
+
+
 def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.textops.ann import cosine_topk
 
@@ -3142,6 +3306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "modularity": q_modularity,
     "community_conductance": q_community_conductance,
     "link_prediction": q_link_prediction,
+    "louvain_lp4": q_louvain_lp4,
     "degree_histogram": q_degree_histogram,
     "kcore3_peel8": q_kcore3,
     "ktruss3_peel4": q_ktruss3,
@@ -3172,6 +3337,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_ngrams": q_boilerplate,
     "contamination": q_contamination,
     "tfidf_top1": q_tfidf,
+    "paragraph_dedup": q_paragraph_dedup,
+    "url_canonical": q_url_canonical,
     "ann_cosine": q_ann,
     "events_top_type": q_events_top_type,
     "events_latest": q_events_latest,
@@ -3222,6 +3389,7 @@ ORACLES: dict[str, str] = {
     "modularity": _modularity_sql(3),
     "community_conductance": _conductance_sql(3, 20),
     "link_prediction": LINKPRED_SQL,
+    "louvain_lp4": _louvain_unrolled_sql(4),
     "degree_histogram": DEGREE_HIST_SQL,
     "kcore3_peel8": _kcore_peel_sql(3, 8),
     "ktruss3_peel4": _ktruss_peel_sql(3, 4),
@@ -3254,6 +3422,8 @@ ORACLES: dict[str, str] = {
     "boilerplate_ngrams": BOILERPLATE_SQL,
     "contamination": CONTAMINATION_SQL,
     "tfidf_top1": TFIDF_SQL,
+    "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
+    "url_canonical": URL_CANONICAL_SQL,
     "ann_cosine": ANN_SQL,
     "events_top_type": EVENTS_TOP_TYPE_SQL,
     "events_latest": EVENTS_LATEST_SQL,

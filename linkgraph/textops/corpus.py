@@ -262,6 +262,105 @@ def contamination(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    para_tokens: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style paragraph-level deduplication (Wenzek et al. 2020 §3:
+    dedup at paragraph granularity by hash, keeping the first
+    occurrence): chunk each doc's token stream into fixed windows of
+    ``para_tokens`` tokens ("paragraphs" — the driver corpus is flat
+    token text, so windows stand in for newline paragraphs), drop every
+    paragraph whose md5 was already seen at a smaller (doc_id, pos),
+    and reassemble the surviving text in position order.
+
+    Returns ``(doc_id, n_paras, n_kept, clean_md5)`` per doc —
+    ``clean_md5`` is the md5 of the space-joined surviving paragraphs
+    (md5('') for fully-deduplicated docs), so the value-hash gate pins
+    the reassembled text without shipping it.
+
+    Physical shape at 100 TB: paragraphs explode to (doc, pos, md5)
+    rows; the keep-first rule is a min-struct aggregation on the hash
+    key (map-side combined — a boilerplate paragraph repeated in 10⁹
+    docs reaches the reducer once per map partition, and the winner is
+    one row) followed by one equi-join back on (hash, doc, pos); never
+    a window over the hash key (a window would pull a hot paragraph's
+    full occurrence list into one task).  Reassembly is a per-doc
+    sort_array over collected (pos, paragraph) structs — bounded by the
+    doc's own paragraph count.
+    """
+    toks = df.select(
+        F.col(id_col), _tokens(text_col).alias("tok")
+    ).withColumn("n", F.size("tok"))
+    paras = toks.select(
+        id_col,
+        F.posexplode_outer(
+            # n = 0 guard: sequence(0, -1) DESCENDS in Spark (yielding
+            # [0, -1]) rather than returning empty — emit NULL instead,
+            # which posexplode_outer turns into one all-NULL row that
+            # the isNotNull filter below drops
+            F.when(
+                F.col("n") > 0,
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(
+                            F.col("n") / F.lit(float(para_tokens))
+                        ).cast("int")
+                        - 1,
+                    ),
+                    lambda p: F.array_join(
+                        F.slice(
+                            F.col("tok"), p * para_tokens + 1, para_tokens
+                        ),
+                        " ",
+                    ),
+                ),
+            )
+        ).alias("pos", "para"),
+    )
+    hashed = paras.where(F.col("para").isNotNull()).select(
+        id_col, "pos", "para", F.md5("para").alias("h")
+    )
+    winners = hashed.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w")
+    ).select(
+        "h",
+        F.col(f"w.{id_col}").alias(id_col),
+        F.col("w.pos").alias("pos"),
+    )
+    kept = hashed.join(winners, ["h", id_col, "pos"], "left_semi")
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("para")))
+                ),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("clean"),
+    )
+    totals = toks.select(
+        id_col,
+        F.when(
+            F.col("n") > 0,
+            F.ceil(F.col("n") / F.lit(float(para_tokens))).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("n_paras"),
+    )
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.md5(F.coalesce("clean", F.lit(""))).alias("clean_md5"),
+    )
+
+
 def tfidf_terms(
     df: DataFrame,
     k: int = 1,

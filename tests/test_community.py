@@ -141,6 +141,49 @@ def test_closeness_rides_harmonic_run(spark):
     assert by_vid[4].hc == 0.0 and by_vid[4].sd == 0.0
 
 
+def test_modularity_lp_finds_two_triangles(spark):
+    """The Louvain move phase must find the two triangle communities —
+    the partition with maximum modularity on this fixture."""
+    from linkgraph.algorithms.community import modularity_lp
+
+    g = _graph(spark, TWO_TRI)
+    res = modularity_lp(g, max_iters=8)
+    labs = {r.vid: r.label for r in res.state.collect()}
+    assert labs[0] == labs[1] == labs[2]
+    assert labs[3] == labs[4] == labs[5]
+    assert labs[0] != labs[3]
+    # and that partition scores the known optimum Q = 5/14
+    labels = _labels(spark, sorted(labs.items()))
+    row = modularity(g, labels).collect()[0]
+    assert row.modularity == pytest.approx(5.0 / 14.0, abs=1e-6)
+
+
+def test_modularity_lp_beats_plain_lp_on_dense_overlap(spark):
+    """On a denser two-cluster graph with bridges, the modularity-gain
+    objective must produce a partition scoring at least as well as
+    plain label propagation (which tends to flood one giant label)."""
+    import random
+
+    from linkgraph.algorithms.community import modularity_lp
+    from linkgraph.algorithms.labelprop import label_propagation
+
+    rng = random.Random(5)
+    edges = set()
+    for block in (0, 1):
+        vs = list(range(block * 12, block * 12 + 12))
+        for _ in range(40):
+            a, b = rng.sample(vs, 2)
+            edges.add((a, b))
+    edges |= {(0, 12), (5, 17), (9, 20)}  # bridges
+    g = _graph(spark, sorted(edges))
+    lv = modularity_lp(g, max_iters=8).state.select("vid", "label")
+    lp = label_propagation(g, max_iters=8).state.select("vid", "label")
+    q_lv = modularity(g, lv).collect()[0].modularity
+    q_lp = modularity(g, lp).collect()[0].modularity
+    assert q_lv >= q_lp - 1e-9
+    assert q_lv > 0.2  # found real block structure
+
+
 def test_modularity_numpy_differential(spark):
     """Random graph + random labels vs a direct NumPy computation."""
     import random

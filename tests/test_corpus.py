@@ -107,3 +107,46 @@ def test_tfidf_k_and_determinism(spark):
     assert len(rows) == 2
     # equal tfidf for a and b (both tf=2, same df) → term ASC breaks tie
     assert [r.term for r in rows] == ["a", "b"] or rows[0].tfidf > rows[1].tfidf
+
+
+def test_paragraph_dedup_keep_first(spark):
+    """Duplicate paragraphs are kept only at their smallest (doc_id,
+    pos); docs reassemble from surviving windows in order."""
+    import hashlib
+
+    from linkgraph.textops.corpus import paragraph_dedup
+
+    # 4-token "paragraphs": doc 0 = [A B], doc 1 = [B C] (B duplicated),
+    # doc 2 = [A] (fully duplicated), doc 3 empty text
+    A = "a b c d"
+    B = "e f g h"
+    C = "i j k l"
+    df = spark.createDataFrame(
+        [(0, f"{A} {B}"), (1, f"{B} {C}"), (2, A), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df, para_tokens=4).collect()}
+    assert (out[0].n_paras, out[0].n_kept) == (2, 2)
+    assert (out[1].n_paras, out[1].n_kept) == (2, 1)  # B dropped
+    assert (out[2].n_paras, out[2].n_kept) == (1, 0)  # fully deduped
+    assert (out[3].n_paras, out[3].n_kept) == (0, 0)
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[0].clean_md5 == md5(f"{A} {B}")
+    assert out[1].clean_md5 == md5(C)
+    assert out[2].clean_md5 == md5("")
+    assert out[3].clean_md5 == md5("")
+
+
+def test_paragraph_dedup_short_tail_window(spark):
+    """The last window may be shorter than para_tokens; it still deduces
+    by content."""
+    from linkgraph.textops.corpus import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(0, "x y z w tail"), (1, "tail")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df, para_tokens=4).collect()}
+    # doc 0: windows ["x y z w", "tail"]; doc 1: ["tail"] — dup of 0's tail
+    assert (out[0].n_paras, out[0].n_kept) == (2, 2)
+    assert (out[1].n_paras, out[1].n_kept) == (1, 0)

@@ -194,3 +194,23 @@ def test_anchor_pages_and_index(spark):
         for r in anchor_index(anchors, by_host=True).collect()
     }
     assert host_idx[("t.example", "buy now")] == 3
+
+
+def test_canonical_url_rules(spark):
+    from linkgraph.extract import canonical_url
+
+    cases = [
+        # (input, expected)
+        ("HTTP://ExAmple.CoM/Path/To/X", "http://example.com/Path/To/X"),
+        ("https://Example.com:443/a/", "https://example.com/a"),
+        ("http://example.com:80/", "http://example.com"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("http://example.com/a#frag", "http://example.com/a"),
+        ("http://example.com/CaseSensitive", "http://example.com/CaseSensitive"),
+        ("not a url", "not a url"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [e for _, e in cases]
