@@ -90,6 +90,73 @@ def modularity(graph: Graph, labels: DataFrame) -> DataFrame:
     )
 
 
+def louvain_round(
+    graph: Graph, state: DataFrame, m2: int, parity: int
+) -> DataFrame:
+    """ONE Louvain move-phase superstep over ``(vid, label)`` — the
+    production body of :func:`modularity_lp` (kept module-level so plan
+    evidence asserts the real thing, tools/explain_plans.py).
+
+    Only vertices with ``vid % 2 == parity`` evaluate moves; the others
+    pass through.  Emits ephemeral ``_changed``."""
+    sym = graph.symmetrized_edges
+    deg = graph.degrees
+    vols = (
+        state.join(deg.hint("merge"), "vid")
+        .groupBy("label")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    gathered = sym.join(
+        state.select(F.col("vid").alias("src"), "label").hint("merge"),
+        "src",
+    ).select(F.col("dst").alias("vid"), "label")
+    cand = gathered.groupBy("vid", "label").agg(F.count(F.lit(1)).alias("k"))
+    stay = state.select("vid", "label", F.lit(0).cast("long").alias("k"))
+    allc = (
+        cand.unionByName(stay)
+        .groupBy("vid", "label")
+        .agg(F.max("k").alias("k"))
+        # parity schedule: only this round's half evaluates moves
+        .where(F.col("vid") % 2 == F.lit(parity))
+    )
+    cur = state.select("vid", F.col("label").alias("l0"))
+    scored = (
+        allc.join(vols, "label")
+        .join(deg.hint("merge"), "vid")
+        .join(cur.hint("merge"), "vid")
+        .select(
+            "vid",
+            "label",
+            (
+                F.lit(m2) * F.col("k")
+                - F.col("deg")
+                * (
+                    F.col("d_c")
+                    - F.when(
+                        F.col("label") == F.col("l0"), F.col("deg")
+                    ).otherwise(F.lit(0))
+                )
+            ).alias("score"),
+        )
+    )
+    best = (
+        scored.groupBy("vid")
+        .agg(
+            F.max(
+                F.struct(F.col("score"), (-F.col("label")).alias("nl"))
+            ).alias("m")
+        )
+        .select("vid", (-F.col("m.nl")).alias("new_label"))
+    )
+    return state.join(best.hint("merge"), "vid", "left").select(
+        "vid",
+        F.coalesce("new_label", "label").alias("label"),
+        (F.coalesce("new_label", "label") != F.col("label")).alias(
+            "_changed"
+        ),
+    )
+
+
 def modularity_lp(
     graph: Graph,
     max_iters: int = 4,
@@ -141,64 +208,7 @@ def modularity_lp(
     init = graph.vertices.select("vid", F.col("vid").alias("label"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        vols = (
-            state.join(deg.hint("merge"), "vid")
-            .groupBy("label")
-            .agg(F.sum("deg").alias("d_c"))
-        )
-        gathered = sym.join(
-            state.select(F.col("vid").alias("src"), "label").hint("merge"),
-            "src",
-        ).select(F.col("dst").alias("vid"), "label")
-        cand = gathered.groupBy("vid", "label").agg(
-            F.count(F.lit(1)).alias("k")
-        )
-        stay = state.select("vid", "label", F.lit(0).cast("long").alias("k"))
-        allc = (
-            cand.unionByName(stay)
-            .groupBy("vid", "label")
-            .agg(F.max("k").alias("k"))
-            # parity schedule: only this round's half evaluates moves
-            .where(F.col("vid") % 2 == F.lit(i % 2))
-        )
-        cur = state.select("vid", F.col("label").alias("l0"))
-        scored = (
-            allc.join(vols, "label")
-            .join(deg.hint("merge"), "vid")
-            .join(cur.hint("merge"), "vid")
-            .select(
-                "vid",
-                "label",
-                (
-                    F.lit(m2) * F.col("k")
-                    - F.col("deg")
-                    * (
-                        F.col("d_c")
-                        - F.when(
-                            F.col("label") == F.col("l0"), F.col("deg")
-                        ).otherwise(F.lit(0))
-                    )
-                ).alias("score"),
-            )
-        )
-        best = (
-            scored.groupBy("vid")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("score"), (-F.col("label")).alias("nl")
-                    )
-                ).alias("m")
-            )
-            .select("vid", (-F.col("m.nl")).alias("new_label"))
-        )
-        return state.join(best.hint("merge"), "vid", "left").select(
-            "vid",
-            F.coalesce("new_label", "label").alias("label"),
-            (F.coalesce("new_label", "label") != F.col("label")).alias(
-                "_changed"
-            ),
-        )
+        return louvain_round(graph, state, m2, parity=i % 2)
 
     # two consecutive zero-change rounds = both parities stable
     zeros = [0]

@@ -494,3 +494,52 @@ def test_anf_round_plan_single_live_shuffle(spark, plan_graph):
         assert len(re.findall(r"HashAggregate", live)) >= 2, live
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_louvain_round_plan_no_broadcast_all_partial_aggs(spark, plan_graph):
+    """Louvain move phase: no |V| side ever broadcasts, no cross
+    product, and every aggregation (volumes, gather, move table,
+    winner) is partial+final hash agg — hub destinations combine
+    map-side under the (dst, label) composite key."""
+    import re
+
+    from linkgraph.algorithms.community import louvain_round
+    from linkgraph.superstep import strip_origin_stats
+
+    g = plan_graph
+    parts = g.num_partitions
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        state = strip_origin_stats(
+            g.vertices.select("vid", F.col("vid").alias("label"))
+            .repartition(parts, "vid")
+            .sortWithinPartitions("vid")
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        )
+        out = louvain_round(g, state, m2=2 * g.num_edges, parity=0)
+        live = live_tree(formatted_plan(out))
+        assert "BroadcastHashJoin" not in live, live
+        assert "BroadcastNestedLoopJoin" not in live, live
+        assert "CartesianProduct" not in live, live
+        assert len(re.findall(r"HashAggregate", live)) >= 6, live
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_link_prediction_plan_is_equijoin_wedges(spark, plan_graph):
+    """Link prediction: wedge generation is an equi-join on the capped
+    center key (no cross product / BNLJ) and the pair scores
+    aggregate partial+final; the top-k is TakeOrderedAndProject, not a
+    global sort materialization."""
+    import re
+
+    from linkgraph.algorithms.linkpred import link_prediction
+
+    out = link_prediction(plan_graph, top_k=50, max_degree=64)
+    plan = formatted_plan(out)
+    live = live_tree(plan)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert len(re.findall(r"HashAggregate", live)) >= 2, live

@@ -232,7 +232,13 @@ def main() -> int:
         tfidf_terms,
     )
 
+    from linkgraph.textops.corpus import paragraph_dedup
+
     timed("repetition_stats", lambda: repetition_stats(docs).count())
+    timed(
+        "paragraph_dedup",
+        lambda: paragraph_dedup(docs, para_tokens=12).count(),
+    )
     timed(
         "boilerplate_ngrams",
         lambda: boilerplate_ngrams(docs, n=3, min_df=3).count(),
