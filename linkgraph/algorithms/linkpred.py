@@ -84,3 +84,51 @@ def link_prediction(
         F.round("aa", 6).alias("aa6"),
     )
     return scored.orderBy(F.desc("cn"), F.asc("a"), F.asc("b")).limit(top_k)
+
+
+def related_pages(
+    graph: Graph,
+    queries: DataFrame,
+    k: int = 5,
+    max_out_degree: int = 64,
+) -> DataFrame:
+    """Co-citation "related pages" (Dean & Henzinger, *Finding related
+    pages in the World Wide Web*, WWW 1999, the co-citation half):
+    pages c related to query page q = pages sharing in-links, ranked by
+    the number of common citing pages.  ``queries`` is a 1-column
+    DataFrame ``(qid)``.
+
+    Returns per query the top ``k`` by (cocite DESC, c ASC):
+    ``(q, c, cocite)``.
+
+    Hub safety mirrors :func:`link_prediction`: the wedge CENTER here
+    is the citing page u (its out-links fan out the candidates), so
+    ``max_out_degree`` caps outdeg(u) — a directory page linking
+    everything co-cites everything and carries no signal (the paper
+    weights by 1/outdeg for the same reason).  Wedge cost is bounded by
+    Σ_{u: outdeg≤cap} outdeg(u)·|q-hits(u)|, and the query side is
+    small by definition.
+    """
+    out_deg = graph.out_degrees
+    centers = out_deg.where(
+        (F.col("outdeg") >= 2) & (F.col("outdeg") <= max_out_degree)
+    ).select(F.col("vid").alias("src"))
+    e2 = graph.edges.join(centers, "src", "left_semi").select("src", "dst")
+    q_side = e2.join(
+        queries.select(F.col("qid").alias("dst")), "dst"
+    ).select(F.col("src"), F.col("dst").alias("q"))
+    pairs = (
+        q_side.join(e2, "src")
+        .where(F.col("dst") != F.col("q"))
+        .groupBy("q", F.col("dst").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cocite"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q").orderBy(F.desc("cocite"), F.asc("c"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q", "c", F.col("cocite").cast("long").alias("cocite"))
+        .orderBy("q", F.desc("cocite"), F.asc("c"))
+    )

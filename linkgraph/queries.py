@@ -1896,6 +1896,35 @@ JOIN sdeg db ON db.vid = ne.b
 ORDER BY ne.cn DESC, ne.a ASC, ne.b ASC LIMIT 50
 """
 
+RELATED_PAGES_SQL = f"""
+WITH {EDGE_SQL.strip()},
+odeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+centers AS (SELECT src FROM odeg WHERE od >= 2 AND od <= 64),
+e2 AS (SELECT e.src, e.dst FROM edges e JOIN centers c ON c.src = e.src),
+pairs AS (
+  SELECT a.dst AS q, b.dst AS c, CAST(COUNT(*) AS BIGINT) AS cocite
+  FROM e2 a JOIN e2 b ON a.src = b.src AND a.dst <> b.dst
+  WHERE a.dst % 50 = 0
+  GROUP BY a.dst, b.dst
+),
+ranked AS (
+  SELECT q, c, cocite,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY cocite DESC, c ASC) AS rn
+  FROM pairs
+)
+SELECT q, c, cocite FROM ranked WHERE rn <= 5
+ORDER BY q, cocite DESC, c
+"""
+
+EDGE_SAMPLE_SQL = f"""
+WITH {EDGE_SQL.strip()}
+SELECT src, dst FROM edges
+WHERE CAST(concat('0x', substr(md5(
+        CAST(src AS STRING) || ':' || CAST(dst AS STRING) || ':0'
+      ), 1, 8)) AS BIGINT) % 100 < 10
+ORDER BY src, dst
+"""
+
 DEGREE_HIST_SQL = f"""
 WITH {EDGE_SQL.strip()},
 ind AS (SELECT dst AS vid, COUNT(*) AS indeg FROM edges GROUP BY dst)
@@ -2567,6 +2596,27 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = build_graph(spark, sf_dir)
     return link_prediction(g, top_k=50, max_degree=64)
+
+
+def q_related_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dean–Henzinger co-citation related pages for every 50th vertex,
+    top-5 each (algorithms/linkpred.py related_pages)."""
+    from linkgraph.algorithms.linkpred import related_pages
+
+    g = build_graph(spark, sf_dir)
+    queries = g.vertices.where(F.col("vid") % 50 == 0).select(
+        F.col("vid").alias("qid")
+    )
+    return related_pages(g, queries, k=5, max_out_degree=64)
+
+
+def q_edge_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash-Bernoulli edge sample (same md5 coin in
+    both engines — identical edges at any parallelism)."""
+    from linkgraph.algorithms.sampling import edge_sample
+
+    g = build_graph(spark, sf_dir)
+    return edge_sample(g, percent=10, salt=0).orderBy("src", "dst")
 
 
 def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3308,6 +3358,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_prediction": q_link_prediction,
     "louvain_lp4": q_louvain_lp4,
     "degree_histogram": q_degree_histogram,
+    "related_pages": q_related_pages,
+    "edge_sample": q_edge_sample,
     "kcore3_peel8": q_kcore3,
     "ktruss3_peel4": q_ktruss3,
     "coreness": q_coreness,
@@ -3391,6 +3443,8 @@ ORACLES: dict[str, str] = {
     "link_prediction": LINKPRED_SQL,
     "louvain_lp4": _louvain_unrolled_sql(4),
     "degree_histogram": DEGREE_HIST_SQL,
+    "related_pages": RELATED_PAGES_SQL,
+    "edge_sample": EDGE_SAMPLE_SQL,
     "kcore3_peel8": _kcore_peel_sql(3, 8),
     "ktruss3_peel4": _ktruss_peel_sql(3, 4),
     "coreness": _coreness_sql(56),

@@ -216,3 +216,50 @@ def test_modularity_numpy_differential(spark):
     row = modularity(g, labels).collect()[0]
     assert row.m == m
     assert row.modularity == pytest.approx(q, abs=1e-6)
+
+
+def test_related_pages_cocitation(spark):
+    """Pages 1 and 2 are both cited by 10 and 11 → cocite 2; page 3
+    shares only citer 10 with them."""
+    from linkgraph.algorithms.linkpred import related_pages
+
+    edges = [(10, 1), (10, 2), (10, 3), (11, 1), (11, 2), (12, 9)]
+    g = _graph(spark, edges)
+    queries = spark.createDataFrame([(1,)], "qid long")
+    out = related_pages(g, queries, k=5).collect()
+    got = [(r.q, r.c, r.cocite) for r in out]
+    assert got == [(1, 2, 2), (1, 3, 1)]
+
+
+def test_related_pages_caps_directory_hubs(spark):
+    """A citer with outdeg > cap contributes no wedges."""
+    from linkgraph.algorithms.linkpred import related_pages
+
+    hub_edges = [(100, i) for i in range(1, 10)]  # outdeg 9 > cap 3
+    g = _graph(spark, hub_edges + [(11, 1), (11, 2)])
+    queries = spark.createDataFrame([(1,)], "qid long")
+    out = related_pages(g, queries, k=5, max_out_degree=3).collect()
+    assert [(r.q, r.c, r.cocite) for r in out] == [(1, 2, 1)]
+
+
+def test_edge_sample_deterministic_and_proportional(spark):
+    from linkgraph.algorithms.sampling import edge_sample
+
+    import random
+
+    rng = random.Random(7)
+    edges = sorted({(rng.randrange(200), rng.randrange(200)) for _ in range(900)})
+    edges = [(s, d) for s, d in edges if s != d]
+    g = _graph(spark, edges)
+    s1 = sorted((r.src, r.dst) for r in edge_sample(g, 10, salt=0).collect())
+    s2 = sorted((r.src, r.dst) for r in edge_sample(g, 10, salt=0).collect())
+    assert s1 == s2  # replay-stable
+    assert set(s1) <= set(edges)
+    n = len(edges)
+    assert 0.04 * n < len(s1) < 0.18 * n  # ~10%
+    s_all = edge_sample(g, 100, salt=0).count()
+    assert s_all == len(set(edges))
+    assert edge_sample(g, 0, salt=0).count() == 0
+    # different salt → different coin
+    s3 = sorted((r.src, r.dst) for r in edge_sample(g, 10, salt=1).collect())
+    assert s3 != s1

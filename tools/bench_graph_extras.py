@@ -1,0 +1,97 @@
+"""One-off crawl-scale timings for the round-2 graph additions
+(Louvain move phase, link prediction, HyperBall closeness, community
+quality) — the same treatment BENCH/NOTES.md gives the core
+primitives.  Results print as one JSON line for pasting into
+BENCH/NOTES.md; not part of the per-round bench.py protocol (these are
+characterization numbers, not the driver's scaling criterion).
+
+Input: the sf-dir derived crawl (default /root/testdata/sf0.1 —
+10^7 edges over 10^6 vertices) at local[$SPARK_GRAFT_CPUS].
+
+Usage: python tools/bench_graph_extras.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from linkgraph.algorithms.anf import closeness_centrality
+    from linkgraph.algorithms.community import (
+        community_conductance,
+        modularity,
+        modularity_lp,
+    )
+    from linkgraph.algorithms.linkpred import link_prediction
+    from linkgraph.queries import build_graph
+    from linkgraph.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name="linkgraph-bench-graph-extras",
+        shuffle_partitions=CPUS * 2,
+        extra_conf={"spark.driver.memory": "48g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    g = build_graph(spark, sf_dir, num_partitions=CPUS * 2)
+    res: dict = {
+        "sf_dir": sf_dir,
+        "edges": g.num_edges,
+        "vertices": g.num_vertices,
+        "cores": CPUS,
+    }
+    # materialize the shared views OUTSIDE the timings (every op would
+    # otherwise pay the one-time symmetrize/degree build)
+    g.symmetrized_edges.count()
+    g.degrees.count()
+    g.canonical_edges.count()
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        res[name + "_s"] = round(time.perf_counter() - t0, 2)
+        res[name + "_rows"] = out
+        print(f"{name}: {res[name + '_s']} s ({out})", flush=True)
+
+    lv_state = {}
+
+    def run_louvain():
+        r = modularity_lp(g, max_iters=4)
+        lv_state["labels"] = r.state.select("vid", "label")
+        return r.state.count()
+
+    timed("louvain_lp4", run_louvain)
+    timed(
+        "modularity_of_louvain",
+        lambda: modularity(g, lv_state["labels"]).collect()[0]["modularity"],
+    )
+    timed(
+        "conductance_top20",
+        lambda: community_conductance(g, lv_state["labels"], top_k=20).count(),
+    )
+    timed(
+        "link_prediction_top50",
+        lambda: link_prediction(g, top_k=50, max_degree=64).count(),
+    )
+    timed(
+        "closeness_k8",
+        lambda: closeness_centrality(g, k=8, max_iters=32).count(),
+    )
+    print(json.dumps(res))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

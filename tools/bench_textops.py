@@ -177,6 +177,26 @@ def main() -> int:
 
     res: dict = {"docs": args.docs, "tokens_per_doc": TOKENS, "cores": CPUS}
 
+    def materialize(df) -> int:
+        """Force FULL evaluation: sum an xxhash64 over every output
+        column alongside the count.  A bare ``.count()`` lets Catalyst
+        column-prune the computed expressions away entirely — a per-row
+        op like quality_scores "times" as a scan-only count (0.2 s for
+        10^6 docs), and a final left join on a unique aggregate key is
+        eliminated outright — so count-based walls under-measure every
+        projection-shaped operator."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: summing 64-bit hashes overflows BIGINT
+            # under ANSI mode; xor folds without overflow
+            F.expr(
+                "bit_xor(xxhash64("
+                + ", ".join(f"`{c}`" for c in df.columns)
+                + "))"
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"])
+
     def timed(name, fn):
         t0 = time.perf_counter()
         out = fn()
@@ -184,13 +204,16 @@ def main() -> int:
         res[name + "_rows"] = out
         print(f"{name}: {res[name + '_s']} s ({out} rows)", flush=True)
 
-    timed("simhash_jvm", lambda: simhash64(docs).count())
+    timed("simhash_jvm", lambda: materialize(simhash64(docs)))
     if args.ab:
-        timed("simhash_round1_python", lambda: simhash64_round1(docs).count())
-    timed("exact_dedup", lambda: exact_duplicates(docs).count())
+        timed(
+            "simhash_round1_python",
+            lambda: materialize(simhash64_round1(docs)),
+        )
+    timed("exact_dedup", lambda: materialize(exact_duplicates(docs)))
     timed(
         "minhash_signatures",
-        lambda: minhash_signatures(docs, num_hashes=8).count(),
+        lambda: materialize(minhash_signatures(docs, num_hashes=8)),
     )
 
     # Σ bucket² — the LSH join's true cost driver, reported alongside wall
@@ -217,12 +240,15 @@ def main() -> int:
     ).collect()[0]
     res["lsh_sum_bucket_sq"] = int(stats["sum_b2"])
     res["lsh_max_bucket"] = int(stats["max_bucket"])
-    timed("minhash_lsh_candidates", lambda: minhash_lsh_candidates(docs).count())
+    timed(
+        "minhash_lsh_candidates",
+        lambda: materialize(minhash_lsh_candidates(docs)),
+    )
 
-    timed("quality_scores", lambda: quality_scores(docs).count())
-    timed("language_id", lambda: language_id(docs).count())
-    timed("token_counts", lambda: token_counts(docs).count())
-    timed("doc_fingerprint", lambda: doc_fingerprint(docs).count())
+    timed("quality_scores", lambda: materialize(quality_scores(docs)))
+    timed("language_id", lambda: materialize(language_id(docs)))
+    timed("token_counts", lambda: materialize(token_counts(docs)))
+    timed("doc_fingerprint", lambda: materialize(doc_fingerprint(docs)))
 
     # corpus-curation passes (textops/corpus.py)
     from linkgraph.textops.corpus import (
@@ -234,35 +260,37 @@ def main() -> int:
 
     from linkgraph.textops.corpus import paragraph_dedup
 
-    timed("repetition_stats", lambda: repetition_stats(docs).count())
+    timed("repetition_stats", lambda: materialize(repetition_stats(docs)))
     timed(
         "paragraph_dedup",
-        lambda: paragraph_dedup(docs, para_tokens=12).count(),
+        lambda: materialize(paragraph_dedup(docs, para_tokens=12)),
     )
     timed(
         "boilerplate_ngrams",
-        lambda: boilerplate_ngrams(docs, n=3, min_df=3).count(),
+        lambda: materialize(boilerplate_ngrams(docs, n=3, min_df=3)),
     )
     bench_docs = docs.where(F.col("doc_id") % 997 == 0)  # ~0.1% eval set
     timed(
         "contamination",
-        lambda: contamination(docs, bench_docs, n=3).count(),
+        lambda: materialize(contamination(docs, bench_docs, n=3)),
     )
-    timed("tfidf_top1", lambda: tfidf_terms(docs, k=1).count())
+    timed("tfidf_top1", lambda: materialize(tfidf_terms(docs, k=1)))
 
     queries = emb.where(F.col("doc_id") % (args.docs // 100) == 0)
     timed(
         "lsh_ann_100q",
-        lambda: lsh_cosine_topk(
-            emb,
-            queries,
-            dim=64,
-            k=10,
-            seed=0,
-            planes="arith",
-            id_col="doc_id",
-            query_id_col="doc_id",
-        ).count(),
+        lambda: materialize(
+            lsh_cosine_topk(
+                emb,
+                queries,
+                dim=64,
+                k=10,
+                seed=0,
+                planes="arith",
+                id_col="doc_id",
+                query_id_col="doc_id",
+            )
+        ),
     )
 
     out_path = os.path.join(REPO, "BENCH", "textops.json")
