@@ -597,10 +597,20 @@ graph-build fusion, 8→32 saturation — live in BENCH/NOTES.md.
     if os.path.exists(tx_path):
         with open(tx_path) as f:
             tx = json.load(f)
+        def _row(k: str) -> str:
+            spread = tx.get(k[:-2] + "_runs_s")
+            extra = f", runs {spread}" if spread else ""
+            rows = tx.get(k[:-2] + "_rows", "?")
+            rows_s = f"{rows:,}" if isinstance(rows, int) else rows
+            return f"- {k[:-2]}: {tx[k]} s ({rows_s} rows{extra})"
+
         timings = "\n".join(
-            f"- {k[:-2]}: {tx[k]} s ({tx.get(k[:-2] + '_rows', '?'):,} rows)"
+            _row(k)
             for k in sorted(tx)
-            if k.endswith("_s")
+            if k.endswith("_s") and not k.endswith("_runs_s")
+        )
+        protocol = (
+            f"\nTiming protocol: {tx['protocol']}\n" if tx.get("protocol") else ""
         )
         md += f"""
 ## Text/LLM-pipeline operators at crawl scale (local[{tx['cores']}])
@@ -611,7 +621,7 @@ construction); embeddings 64-dim.  Measured once by tools/bench_textops.py
 and embedded here (not re-run per round).
 
 {timings}
-
+{protocol}
 MinHash-LSH join cost drivers on this corpus: Σ bucket² =
 {tx['lsh_sum_bucket_sq']:,}, max bucket = {tx['lsh_max_bucket']:,}
 (hot-bucket cap default 1000 bounds any degenerate bucket's cost).

@@ -83,74 +83,101 @@ def repetition_stats(
     (< n tokens) report 0 for the n-gram stats.
     """
     tok = _tokens(text_col)
-    n_tok = F.size(tok)
 
-    def _max_count(arr: F.Column) -> F.Column:
-        # max multiplicity over the array: sort, then a single run-length
-        # fold — O(n log n) per row (a naive count-per-distinct fold is
-        # O(distinct × n), quadratic on long web pages), stays in codegen
-        return F.aggregate(
-            F.array_sort(arr),
-            F.struct(
-                F.lit("").alias("prev"),
-                F.lit(0).alias("run"),
-                F.lit(0).alias("best"),
+    def _adjacent_eq(sorted_col: F.Column) -> F.Column:
+        """0/1 array: eq[i] = (sorted[i+1] == sorted[i]).
+
+        All multiplicity statistics of the sorted array are functions of
+        this int array, so the per-element folds below never touch a
+        string again — the previous shape folded a struct carrying the
+        PREVIOUS GRAM STRING through every step (string struct churn:
+        10⁶ bench docs at local[32] took 186.9 s with string folds,
+        15.6–18.6 s with this int-array form — tools/bench_textops.py
+        corpus, full-evaluation timing).
+
+        size < 2 guard: sequence(1, 0) DESCENDS in Spark rather than
+        returning empty — emit an empty int array instead."""
+        return F.when(
+            F.size(sorted_col) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(sorted_col) - 1),
+                lambda i: (
+                    F.element_at(sorted_col, i + 1)
+                    == F.element_at(sorted_col, i)
+                ).cast("int"),
             ),
-            lambda acc, g: F.struct(
-                g.alias("prev"),
-                F.when(g == acc["prev"], acc["run"] + 1)
-                .otherwise(F.lit(1))
-                .alias("run"),
-                F.greatest(
-                    acc["best"],
-                    F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-                ).alias("best"),
-            ),
-            lambda acc: acc["best"],
+        ).otherwise(F.array().cast("array<int>"))
+
+    def _max_count(eq: F.Column) -> F.Column:
+        # max multiplicity = 1 + longest run of 1s in eq — int-only fold
+        return (
+            F.aggregate(
+                eq,
+                F.struct(F.lit(0).alias("run"), F.lit(0).alias("best")),
+                lambda acc, e: F.struct(
+                    F.when(e == 1, acc["run"] + 1).otherwise(F.lit(0)).alias("run"),
+                    F.greatest(
+                        acc["best"],
+                        F.when(e == 1, acc["run"] + 1).otherwise(F.lit(0)),
+                    ).alias("best"),
+                ),
+                lambda acc: acc["best"],
+            )
+            + 1
         )
 
-    def _dup_positions(arr: F.Column) -> F.Column:
-        # positions inside runs of length ≥ 2 over the sorted array: a
-        # run's 2nd element retro-credits the 1st (+2), later ones +1 —
-        # same single-pass fold, O(n log n) per row
+    def _dup_positions(eq: F.Column) -> F.Column:
+        # positions inside runs of length ≥ 2: each eq=1 adds one, and a
+        # run's FIRST eq (prev=0) retro-credits the run head (+1 extra)
         return F.aggregate(
-            F.array_sort(arr),
-            F.struct(
-                F.lit("").alias("prev"),
-                F.lit(0).alias("run"),
-                F.lit(0).alias("dup"),
-            ),
-            lambda acc, g: F.struct(
-                g.alias("prev"),
-                F.when(g == acc["prev"], acc["run"] + 1)
-                .otherwise(F.lit(1))
-                .alias("run"),
+            eq,
+            F.struct(F.lit(0).alias("prev"), F.lit(0).alias("dup")),
+            lambda acc, e: F.struct(
+                e.alias("prev"),
                 (
                     acc["dup"]
                     + F.when(
-                        g == acc["prev"],
-                        F.when(acc["run"] == 1, F.lit(2)).otherwise(F.lit(1)),
+                        e == 1,
+                        F.when(acc["prev"] == 0, F.lit(2)).otherwise(F.lit(1)),
                     ).otherwise(F.lit(0))
                 ).alias("dup"),
             ),
             lambda acc: acc["dup"],
         )
 
-    bi = _ngrams(tok, 2)
-    tri = _ngrams(tok, 3)
+    # layered selects: the sorted gram arrays and eq arrays are each
+    # referenced more than once downstream — naming them in their own
+    # projection keeps CollapseProject from re-inlining (= re-sorting)
+    base = df.select(
+        F.col(id_col),
+        F.size(tok).alias("_n"),
+        F.array_sort(_ngrams(tok, 2)).alias("_bis"),
+        F.array_sort(_ngrams(tok, 3)).alias("_tris"),
+        F.size(F.array_distinct(tok)).alias("_nd"),
+    )
+    eqs = base.select(
+        id_col,
+        "_n",
+        "_nd",
+        F.size("_tris").alias("_ntri"),
+        _adjacent_eq(F.col("_bis")).alias("_bieq"),
+        _adjacent_eq(F.col("_tris")).alias("_trieq"),
+    )
+    n_tok = F.col("_n")
+    # n ≥ 2 (not just > 0): with no bigrams at all the max-multiplicity
+    # is undefined — report 0 like the n-gram-free short-doc convention
     top_bi_frac = F.when(
-        n_tok > 0,
-        (_max_count(bi) * F.lit(2)).cast("double") / n_tok,
+        n_tok >= 2,
+        (_max_count(F.col("_bieq")) * F.lit(2)).cast("double") / n_tok,
     ).otherwise(F.lit(0.0))
     dup_tri_frac = F.when(
-        F.size(tri) > 0,
-        _dup_positions(tri).cast("double") / F.size(tri),
+        F.col("_ntri") > 0,
+        _dup_positions(F.col("_trieq")).cast("double") / F.col("_ntri"),
     ).otherwise(F.lit(0.0))
     distinct_ratio = F.when(
-        n_tok > 0,
-        F.size(F.array_distinct(tok)).cast("double") / n_tok,
+        n_tok > 0, F.col("_nd").cast("double") / n_tok
     ).otherwise(F.lit(0.0))
-    return df.select(
+    return eqs.select(
         F.col(id_col),
         n_tok.cast("long").alias("n_tokens"),
         F.round(distinct_ratio, 6).alias("distinct_ratio"),

@@ -120,3 +120,42 @@ def test_spark_submit_py_files_zip(tmp_path):
 
     got = pd.read_parquet(out).set_index("vid")["comp"].to_dict()
     assert got == cc_oracle([tuple(e) for e in edges])
+
+
+def test_round2_ops_partition_count_invariance(spark):
+    """Louvain move phase, link prediction, related pages, edge sample,
+    and closeness are all partition-count invariant (deterministic
+    tie-breaks / integer argmax keys / hash coins — no reduction-order
+    or partitioning dependence)."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.algorithms.anf import closeness_centrality
+    from linkgraph.algorithms.community import modularity_lp
+    from linkgraph.algorithms.linkpred import link_prediction, related_pages
+    from linkgraph.algorithms.sampling import edge_sample
+
+    edges = synthetic_crawl(300)
+    g2 = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
+    g8 = Graph.from_edges(edges_df(spark, edges), num_partitions=8)
+
+    lv2 = {r.vid: r.label for r in modularity_lp(g2, max_iters=4).state.collect()}
+    lv8 = {r.vid: r.label for r in modularity_lp(g8, max_iters=4).state.collect()}
+    assert lv2 == lv8
+
+    lp2 = [(r.a, r.b, r.cn) for r in link_prediction(g2, top_k=30).collect()]
+    lp8 = [(r.a, r.b, r.cn) for r in link_prediction(g8, top_k=30).collect()]
+    assert lp2 == lp8
+
+    q2 = g2.vertices.where(F.col("vid") % 37 == 0).select(F.col("vid").alias("qid"))
+    q8 = g8.vertices.where(F.col("vid") % 37 == 0).select(F.col("vid").alias("qid"))
+    rp2 = [(r.q, r.c, r.cocite) for r in related_pages(g2, q2, k=5).collect()]
+    rp8 = [(r.q, r.c, r.cocite) for r in related_pages(g8, q8, k=5).collect()]
+    assert rp2 == rp8
+
+    es2 = sorted((r.src, r.dst) for r in edge_sample(g2, 10).collect())
+    es8 = sorted((r.src, r.dst) for r in edge_sample(g8, 10).collect())
+    assert es2 == es8
+
+    cl2 = {r.vid: r.closeness for r in closeness_centrality(g2, k=4, max_iters=8).collect()}
+    cl8 = {r.vid: r.closeness for r in closeness_centrality(g8, k=4, max_iters=8).collect()}
+    assert cl2 == cl8  # bit-identical: integer sketches + fixed fold order
