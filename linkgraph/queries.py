@@ -2288,6 +2288,49 @@ ranked AS (
 SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 1 ORDER BY doc_id
 """
 
+# twin of textops.corpus.duplicate_spans over docs2, n=12: windows that
+# occur ≥2× corpus-wide, interval-union span coverage via LEAD
+DUPSPANS_SQL = f"""
+WITH {DOCS2_SQL.strip()},
+base AS (SELECT doc_id, {_CORPUS_TOKS} AS tok, len({_CORPUS_TOKS}) AS n FROM docs2),
+wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(tok, i, i + 11), ' ') AS gram
+  FROM (SELECT doc_id, tok, UNNEST(generate_series(1, n - 11)) AS i FROM base WHERE n >= 12)
+),
+dupg AS (SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM wins GROUP BY gram) WHERE c >= 2),
+dupw AS (SELECT w.doc_id, w.pos FROM wins w JOIN dupg USING(gram)),
+cov AS (
+  SELECT doc_id,
+         LEAST(COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 12), 12) AS cov
+  FROM dupw
+),
+per AS (SELECT doc_id, COUNT(*) AS dup_windows, SUM(cov) AS dup_tokens FROM cov GROUP BY doc_id)
+SELECT b.doc_id,
+  CAST(b.n AS BIGINT) AS n_tokens,
+  CAST(GREATEST(b.n - 11, 0) AS BIGINT) AS n_windows,
+  CAST(COALESCE(p.dup_windows, 0) AS BIGINT) AS dup_windows,
+  CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  ROUND(CASE WHEN b.n > 0 THEN COALESCE(p.dup_tokens, 0) * 1.0 / b.n ELSE 0 END, 6) AS dup_token_frac
+FROM base b LEFT JOIN per p USING(doc_id) ORDER BY b.doc_id
+"""
+
+# twin of textops.corpus.unigram_surprisal over documents
+SURPRISAL_SQL = f"""
+WITH toks AS (SELECT doc_id, UNNEST({_CORPUS_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY term),
+tot AS (SELECT SUM(cf) AS total FROM vocab),
+per AS (
+  SELECT tf.doc_id, SUM(tf.tf) AS n_tokens,
+         SUM(tf.tf * -LOG2(vocab.cf * 1.0 / tot.total)) / SUM(tf.tf) AS ms
+  FROM tf JOIN vocab USING(term) CROSS JOIN tot GROUP BY tf.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       ROUND(COALESCE(p.ms, 0), 6) AS mean_surprisal
+FROM documents d LEFT JOIN per p USING(doc_id) ORDER BY d.doc_id
+"""
+
 ANN_SQL = """
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
@@ -3025,6 +3068,26 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_terms(spark.table("documents"), k=1)
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated-substring stats (ExactSubstr-style, Lee et
+    al. 2022) over the synthesized duplicate corpus
+    (textops/corpus.py duplicate_spans): 12-token windows duplicated
+    corpus-wide, interval-union token coverage per doc."""
+    from linkgraph.textops.corpus import duplicate_spans
+
+    return duplicate_spans(_docs2(spark, sf_dir), n=12)
+
+
+def q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram surprisal per doc under the corpus's own unigram
+    LM (textops/corpus.py unigram_surprisal) — the CCNet-style
+    perplexity-bucketing stand-in."""
+    from linkgraph.textops.corpus import unigram_surprisal
+
+    _load(spark, sf_dir, "documents")
+    return unigram_surprisal(spark.table("documents"))
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style paragraph dedup over the synthesized duplicate
     corpus (textops/corpus.py paragraph_dedup): 12-token windows,
@@ -3390,6 +3453,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination": q_contamination,
     "tfidf_top1": q_tfidf,
     "paragraph_dedup": q_paragraph_dedup,
+    "duplicate_spans": q_duplicate_spans,
+    "unigram_surprisal": q_surprisal,
     "url_canonical": q_url_canonical,
     "ann_cosine": q_ann,
     "events_top_type": q_events_top_type,
@@ -3477,6 +3542,8 @@ ORACLES: dict[str, str] = {
     "contamination": CONTAMINATION_SQL,
     "tfidf_top1": TFIDF_SQL,
     "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
+    "duplicate_spans": DUPSPANS_SQL,
+    "unigram_surprisal": SURPRISAL_SQL,
     "url_canonical": URL_CANONICAL_SQL,
     "ann_cosine": ANN_SQL,
     "events_top_type": EVENTS_TOP_TYPE_SQL,

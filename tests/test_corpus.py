@@ -150,3 +150,51 @@ def test_paragraph_dedup_short_tail_window(spark):
     # doc 0: windows ["x y z w", "tail"]; doc 1: ["tail"] — dup of 0's tail
     assert (out[0].n_paras, out[0].n_kept) == (2, 2)
     assert (out[1].n_paras, out[1].n_kept) == (1, 0)
+
+
+def test_duplicate_spans_hand_computed(spark):
+    # n=3 windows.  doc 0 and doc 1 share the run "a b c d" → windows
+    # "a b c" (pos 0) and "b c d" (pos 1) are corpus-duplicated in
+    # both docs.  Interval union in doc 0: positions [0,1] each start a
+    # 3-token span; sorted gaps → min(3, 1-0)=1 for pos 0, then 3 for
+    # the last → 4 covered tokens of 6.
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d x y"),
+            (1, "q a b c d"),
+            (2, "u v w r s t"),   # all windows unique corpus-wide
+            (3, "m m m m m"),     # within-doc repeat: "m m m" ×3 dupes itself
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    from linkgraph.textops.corpus import duplicate_spans
+
+    got = {r.doc_id: r for r in duplicate_spans(df, n=3).collect()}
+    assert got[0].n_windows == 4 and got[0].dup_windows == 2
+    assert got[0].dup_tokens == 4
+    assert got[0].dup_token_frac == round(4 / 6, 6)
+    # doc 1: same two windows at pos 1,2 → union again 4 of 5 tokens
+    assert got[1].dup_windows == 2 and got[1].dup_tokens == 4
+    assert got[2].dup_windows == 0 and got[2].dup_token_frac == 0.0
+    # doc 3: "m m m" occurs 3× within one doc → all 3 positions dup,
+    # contiguous union covers the whole 5-token doc
+    assert got[3].dup_windows == 3 and got[3].dup_tokens == 5
+    assert got[3].dup_token_frac == 1.0
+    assert got[4].n_tokens == 0 and got[4].dup_token_frac == 0.0
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    from linkgraph.textops.corpus import unigram_surprisal
+
+    # corpus: a a a b  → p(a)=3/4, p(b)=1/4
+    # doc 0 = "a a a" → mean = -log2(3/4); doc 1 = "b" → 2.0 bits
+    df = spark.createDataFrame(
+        [(0, "a a a"), (1, "b"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in unigram_surprisal(df).collect()}
+    assert got[0].n_tokens == 3
+    assert got[0].mean_surprisal == round(-math.log2(3 / 4), 6)
+    assert got[1].mean_surprisal == 2.0
+    assert got[2].n_tokens == 0 and got[2].mean_surprisal == 0.0
