@@ -241,6 +241,51 @@ def host_graph(
     )
 
 
+def inlink_host_diversity(
+    url_pairs: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+) -> DataFrame:
+    """Per-target inlink host-diversity — the classic link-spam signal
+    (Gyöngyi & Garcia-Molina, *Web Spam Taxonomy*, 2005: link farms
+    concentrate a page's inlinks on few hosts; editorial popularity
+    spreads them).  Companion to the propagation-based
+    :func:`~linkgraph.algorithms.trustrank.spam_mass` — this is the
+    local/structural signal, that one the global one.
+
+    One row per link target: ``(dst_url, inlinks, distinct_hosts,
+    host_diversity, top_host_share)`` with ``host_diversity =
+    distinct_hosts / inlinks`` (1.0 = every inlink from a different
+    host) and ``top_host_share = max inlinks from any single host /
+    inlinks`` (→1.0 = one host supplies them all — farm-shaped).
+    Unparseable source urls (NULL host) are dropped.
+
+    Scale shape at 10¹²-doc scale: two stacked hash aggregations —
+    (dst_url, src_host) first, which map-side combines so a farm host
+    throwing 10⁹ links at one target reaches the reducer once per map
+    partition, then a per-dst rollup whose group size is bounded by the
+    target's DISTINCT host count, not its raw inlink count.  A
+    hub-page's row never materializes its inlink list anywhere.
+    """
+    ph = url_pairs.select(
+        F.col(dst_col).alias("dst_url"),
+        host_of(F.col(src_col)).alias("src_host"),
+    ).where(F.col("src_host").isNotNull())
+    per_host = ph.groupBy("dst_url", "src_host").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_host.groupBy("dst_url").agg(
+        F.sum("c").cast("long").alias("inlinks"),
+        F.count(F.lit(1)).cast("long").alias("distinct_hosts"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("c"), 6
+        ).alias("host_diversity"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+            "top_host_share"
+        ),
+    )
+
+
 # --- anchor text ------------------------------------------------------------
 
 _ANCHOR_RE = re.compile(rb"<a\b([^>]*)>(.*?)</a\s*>", re.S | re.I)

@@ -1536,6 +1536,23 @@ pairs AS (
 )
 """
 
+# twin of extract.inlink_host_diversity over the synthetic url pairs:
+# two stacked aggregations — per (dst, src_host), then per dst
+HOST_DIVERSITY_SQL_TAIL = """
+, ph AS (
+  SELECT dst_url,
+         lower(regexp_extract(src_url, '^https?://([^/?#]+)', 1)) AS src_host
+  FROM pairs
+),
+per AS (SELECT dst_url, src_host, COUNT(*) AS c FROM ph GROUP BY 1, 2)
+SELECT dst_url,
+  CAST(SUM(c) AS BIGINT) AS inlinks,
+  CAST(COUNT(*) AS BIGINT) AS distinct_hosts,
+  ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS host_diversity,
+  ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_host_share
+FROM per GROUP BY dst_url ORDER BY dst_url
+"""
+
 HOST_GRAPH_SQL_TAIL = """
 SELECT lower(regexp_extract(src_url, '^https?://([^/?#]+)', 1)) AS src_host,
        lower(regexp_extract(dst_url, '^https?://([^/?#]+)', 1)) AS dst_host,
@@ -2807,6 +2824,20 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_graph(pairs)
 
 
+def q_host_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target inlink host-diversity / top-host-share link-spam
+    signal (extract.inlink_host_diversity) over the same synthetic url
+    pairs as ``host_graph``."""
+    from linkgraph.extract import inlink_host_diversity
+
+    _load(spark, sf_dir, "documents")
+    pairs = spark.sql(
+        f"WITH {EDGE_SQL.strip()}, {HOST_PAIRS_SQL.strip()} "
+        "SELECT * FROM pairs"
+    )
+    return inlink_host_diversity(pairs)
+
+
 def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated Katz centrality, 8 rounds of x' = 0.05·Aᵀx + 1 from
     x₀ = 1 (algorithms/katz.py); the DuckDB twin unrolls the same
@@ -3433,6 +3464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bc_sampled": q_bc_sampled,
     "link_log_compact": q_link_log_compact,
     "host_graph": q_host_graph,
+    "host_diversity": q_host_diversity,
     "host_pagerank": q_host_pagerank,
     "random_walks5": q_random_walks,
     "katz8": q_katz,
@@ -3525,6 +3557,10 @@ ORACLES: dict[str, str] = {
     "host_graph": (
         f"WITH {EDGE_SQL.strip()}, {HOST_PAIRS_SQL.strip()} "
         f"{HOST_GRAPH_SQL_TAIL.strip()}"
+    ),
+    "host_diversity": (
+        f"WITH {EDGE_SQL.strip()}, {HOST_PAIRS_SQL.strip()} "
+        f"{HOST_DIVERSITY_SQL_TAIL.strip()}"
     ),
     "jpl_coloring": _jpl_unrolled_sql(48),
     "mst": _boruvka_unrolled_sql(16, 12),

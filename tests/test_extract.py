@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from linkgraph.extract import (
     extract_links,
@@ -214,3 +215,30 @@ def test_canonical_url_rules(spark):
         r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
     ]
     assert got == [e for _, e in cases]
+
+
+def test_inlink_host_diversity_farm_vs_editorial(spark):
+    from linkgraph.extract import inlink_host_diversity
+
+    # farm.example throws 4 links at /target; 4 distinct hosts each
+    # throw 1 link at /popular; one bad url contributes nothing
+    rows = [
+        ("https://farm.example/p1", "https://victim.example/target"),
+        ("https://farm.example/p2", "https://victim.example/target"),
+        ("https://farm.example/p3", "https://victim.example/target"),
+        ("https://FARM.example/p4", "https://victim.example/target"),
+        ("https://a.example/x", "https://hub.example/popular"),
+        ("https://b.example/x", "https://hub.example/popular"),
+        ("https://c.example/x", "https://hub.example/popular"),
+        ("https://d.example/x", "https://hub.example/popular"),
+        ("not-a-url", "https://hub.example/popular"),
+    ]
+    df = spark.createDataFrame(rows, "src_url string, dst_url string")
+    got = {r.dst_url: r for r in inlink_host_diversity(df).collect()}
+    farm = got["https://victim.example/target"]
+    # host matching is case-insensitive: FARM.example == farm.example
+    assert farm.inlinks == 4 and farm.distinct_hosts == 1
+    assert farm.host_diversity == 0.25 and farm.top_host_share == 1.0
+    pop = got["https://hub.example/popular"]
+    assert pop.inlinks == 4 and pop.distinct_hosts == 4
+    assert pop.host_diversity == 1.0 and pop.top_host_share == 0.25
