@@ -1350,6 +1350,53 @@ u{i + 1} AS MATERIALIZED (
     return "\n".join(parts)
 
 
+def _luby_mis_sql(rounds: int = 12) -> str:
+    """Unrolled Luby maximal independent set (twin of ``q_luby_mis``).
+
+    Same knuth32 injective priority as the JPL twin; each round's
+    winners are identical to a JPL round's, and the MIS twist removes
+    winners AND their neighbors from the undecided pool, so rounds
+    shrink geometrically — measured 5 rounds to fixpoint at
+    sf0.001/0.01 (12 = 2× margin; rounds past the fixpoint are empty
+    no-ops, so any ``rounds`` ≥ the actual count is exact).
+    """
+    pri = "(%s * 2654435761) %% 4294967296"
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        SYM_SQL.strip() + ",",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM "
+        "(SELECT src FROM sym UNION ALL SELECT dst FROM sym) z),",
+        "u0 AS MATERIALIZED (SELECT vid FROM verts),",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT u.vid FROM u{i} u
+  LEFT JOIN (
+    SELECT e.dst AS vid, MAX({pri % 'e.src'}) AS nm
+    FROM sym e
+    WHERE e.src IN (SELECT vid FROM u{i}) AND e.dst IN (SELECT vid FROM u{i})
+    GROUP BY e.dst
+  ) n ON n.vid = u.vid
+  WHERE n.nm IS NULL OR {pri % 'u.vid'} > n.nm
+),
+u{i + 1} AS MATERIALIZED (
+  SELECT vid FROM u{i}
+  WHERE vid NOT IN (SELECT vid FROM w{i})
+    AND vid NOT IN (SELECT e.dst FROM sym e WHERE e.src IN (SELECT vid FROM w{i}))
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    union = "\nUNION ALL\n".join(
+        f"SELECT vid, {i} AS r FROM w{i}" for i in range(rounds)
+    )
+    parts.append(
+        f"SELECT v.vid, CAST(COALESCE(m.r, -1) AS INT) AS status "
+        f"FROM verts v LEFT JOIN ({union}) m ON m.vid = v.vid ORDER BY v.vid"
+    )
+    return "\n".join(parts)
+
+
 def _brandes_unrolled_sql(levels: int = 8) -> str:
     """Unrolled single-source Brandes from vertex 0 (twin of
     ``q_bc_source0``).
@@ -2762,6 +2809,18 @@ def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpl_coloring(g, priority="knuth32").state.select("vid", "color")
 
 
+def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set with the arithmetic knuth32
+    priority (algorithms/mis.py), DuckDB-oracled by a 12-round unroll
+    (_luby_mis_sql; measured 5 rounds to fixpoint, post-fixpoint
+    rounds are no-ops).  Independence + maximality are pinned by
+    tests/test_extra_algorithms."""
+    from linkgraph.algorithms.mis import luby_mis
+
+    g = build_graph(spark, sf_dir)
+    return luby_mis(g, priority="knuth32").state.select("vid", "status")
+
+
 def q_bc_source0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source Brandes BC, DuckDB-oracled by an 8-level unroll
     (_brandes_unrolled_sql); exactness also pinned vs the NumPy Brandes
@@ -3460,6 +3519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spgemm_square": q_spgemm_square,
     "spmv_weighted": q_spmv_weighted,
     "jpl_coloring": q_coloring,
+    "luby_mis": q_luby_mis,
     "bc_source0": q_bc_source0,
     "bc_sampled": q_bc_sampled,
     "link_log_compact": q_link_log_compact,
@@ -3563,6 +3623,7 @@ ORACLES: dict[str, str] = {
         f"{HOST_DIVERSITY_SQL_TAIL.strip()}"
     ),
     "jpl_coloring": _jpl_unrolled_sql(48),
+    "luby_mis": _luby_mis_sql(12),
     "mst": _boruvka_unrolled_sql(16, 12),
     "spgemm_square": SPGEMM_SQUARE_SQL,
     "spmv_weighted": SPMV_WEIGHTED_SQL,

@@ -412,3 +412,78 @@ def test_katz_converges_with_tol(spark):
     g = Graph.from_edges(edges_df(spark, chesapeake_edges()), num_partitions=4)
     res = katz(g, alpha=0.01, tol=1e-9, max_iters=100)
     assert res.converged and res.iterations < 100
+
+
+# ----------------------------------------------------------- Luby MIS ----
+
+def _assert_mis(edges, status):
+    """status: vid -> (>=0 member round | -1 out).  Checks independence
+    (no two adjacent members) and maximality (every non-member has a
+    member neighbor)."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    members = {v for v, st in status.items() if st >= 0}
+    assert all(st is not None for st in status.values())
+    for s, d in edges:
+        if s != d:
+            assert not (s in members and d in members), f"edge {s}-{d} in MIS"
+    for v, nbrs in adj.items():
+        if v not in members:
+            assert nbrs & members, f"non-member {v} has no MIS neighbor"
+
+
+def test_luby_mis_chesapeake(spark, chesapeake_graph):
+    from linkgraph.algorithms.mis import luby_mis
+
+    res = luby_mis(chesapeake_graph)
+    status = {r.vid: r.status for r in res.state.collect()}
+    _assert_mis(chesapeake_edges(), status)
+    assert res.converged
+
+
+def test_luby_mis_clique_and_star(spark):
+    from linkgraph.algorithms.mis import luby_mis
+
+    # K5: exactly one member.  Star 10→19 around 9: either the hub
+    # alone or all leaves.
+    edges = [(i, j) for i in range(5) for j in range(5) if i < j]
+    edges += [(9, k) for k in range(10, 20)]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+    res = luby_mis(g)
+    status = {r.vid: r.status for r in res.state.collect()}
+    _assert_mis(edges, status)
+    clique_members = [v for v in range(5) if status[v] >= 0]
+    assert len(clique_members) == 1
+    star_members = {v for v in [9, *range(10, 20)] if status[v] >= 0}
+    assert star_members == {9} or star_members == set(range(10, 20))
+
+
+def test_luby_mis_knuth32_matches_python_twin(spark, chesapeake_graph):
+    from linkgraph.algorithms.mis import luby_mis
+
+    res = luby_mis(chesapeake_graph, priority="knuth32")
+    status = {r.vid: r.status for r in res.state.collect()}
+    edges = chesapeake_edges()
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    pri = {v: (v * 2654435761) % (1 << 32) for v in adj}
+    und, expect, rnd = set(adj), {}, 0
+    while und:
+        winners = {
+            v for v in und
+            if all(pri[v] > pri[u] for u in adj[v] & und)
+        }
+        for w in winners:
+            expect[w] = rnd
+        removed = set().union(*(adj[w] for w in winners)) & und
+        und -= winners | removed
+        for v in removed:
+            expect[v] = -1
+        rnd += 1
+    assert status == expect
