@@ -143,3 +143,43 @@ def global_clustering(graph: Graph) -> DataFrame:
             6,
         ).alias("transitivity"),
     )
+
+
+def double_sweep_diameter(graph: Graph, source: int = 0) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien, Latapy & Habib,
+    *Fast computation of empirically tight bounds for the diameter of
+    massive graphs*, JEA 2009): BFS from ``source`` over the
+    UNDIRECTED (symmetrized) edge set, hop to the farthest vertex
+    found (ties → smallest vid, so the estimate is deterministic), BFS
+    again from there; the second eccentricity lower-bounds the true
+    diameter of ``source``'s component — and is exact on trees.
+
+    One row: ``(start_vid, ecc_start, far_vid, diameter_lb)``.
+
+    Reference: none — upstream essentials carries no diameter kernel;
+    standard web-graph characterization statistic (Broder et al. 2000
+    measure exactly this on the crawl giant component).
+
+    Scale shape: two full BFS runs (each the engine's frontier
+    machinery — exchange-free gathers over the persisted sym layout,
+    geometrically shrinking frontiers) plus ONE driver round-trip of a
+    single row to pick the pivot — bounded and unavoidable, since the
+    second sweep's source is data-dependent (the same shape as the
+    MST driver contract: O(1) rows, never O(V)).
+    """
+    from linkgraph.algorithms.bfs import bfs
+
+    r1 = bfs(graph, source, directed=False)
+    far = (
+        r1.state.where(F.col("depth").isNotNull())
+        .orderBy(F.desc("depth"), F.asc("vid"))
+        .limit(1)
+        .collect()[0]
+    )
+    r2 = bfs(graph, int(far.vid), directed=False)
+    return r2.state.agg(
+        F.lit(source).cast("long").alias("start_vid"),
+        F.lit(int(far.depth)).cast("long").alias("ecc_start"),
+        F.lit(int(far.vid)).cast("long").alias("far_vid"),
+        F.max("depth").cast("long").alias("diameter_lb"),
+    )

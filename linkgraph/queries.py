@@ -1739,6 +1739,32 @@ walk(vid, d) AS (
 SELECT vid, CAST(MIN(d) AS BIGINT) AS depth FROM walk GROUP BY vid ORDER BY vid
 """
 
+# twin of graphstats.double_sweep_diameter: two recursive BFS walks
+# over sym, pivot = (max depth, min vid) of sweep 1
+DOUBLE_SWEEP_SQL = f"""
+WITH RECURSIVE {EDGE_SQL.strip()},
+{SYM_SQL.strip()},
+walk1(vid, d) AS (
+  SELECT CAST(0 AS BIGINT) AS vid, 0 AS d
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk1 w JOIN sym e ON e.src = w.vid
+  WHERE w.d < 64
+),
+d1 AS (SELECT vid, MIN(d) AS depth FROM walk1 GROUP BY vid),
+far AS (SELECT vid, depth FROM d1 ORDER BY depth DESC, vid ASC LIMIT 1),
+walk2(vid, d) AS (
+  SELECT vid, 0 AS d FROM far
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk2 w JOIN sym e ON e.src = w.vid
+  WHERE w.d < 64
+),
+d2 AS (SELECT vid, MIN(d) AS depth FROM walk2 GROUP BY vid)
+SELECT CAST(0 AS BIGINT) AS start_vid,
+       CAST((SELECT depth FROM far) AS BIGINT) AS ecc_start,
+       CAST((SELECT vid FROM far) AS BIGINT) AS far_vid,
+       CAST((SELECT MAX(depth) FROM d2) AS BIGINT) AS diameter_lb
+"""
+
 TRI_TOTAL_SQL = f"""
 WITH {EDGE_SQL.strip()},
 {CANON_SQL.strip()}
@@ -2809,6 +2835,16 @@ def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpl_coloring(g, priority="knuth32").state.select("vid", "color")
 
 
+def q_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound over the symmetrized crawl
+    (graphstats.double_sweep_diameter): BFS from 0, pivot to the
+    deterministic farthest vertex, BFS again."""
+    from linkgraph.algorithms.graphstats import double_sweep_diameter
+
+    g = build_graph(spark, sf_dir)
+    return double_sweep_diameter(g, source=0)
+
+
 def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Luby maximal independent set with the arithmetic knuth32
     priority (algorithms/mis.py), DuckDB-oracled by a 12-round unroll
@@ -3511,6 +3547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_prediction": q_link_prediction,
     "louvain_lp4": q_louvain_lp4,
     "degree_histogram": q_degree_histogram,
+    "double_sweep_diameter": q_double_sweep,
     "related_pages": q_related_pages,
     "edge_sample": q_edge_sample,
     "kcore3_peel8": q_kcore3,
@@ -3600,6 +3637,7 @@ ORACLES: dict[str, str] = {
     "link_prediction": LINKPRED_SQL,
     "louvain_lp4": _louvain_unrolled_sql(4),
     "degree_histogram": DEGREE_HIST_SQL,
+    "double_sweep_diameter": DOUBLE_SWEEP_SQL,
     "related_pages": RELATED_PAGES_SQL,
     "edge_sample": EDGE_SAMPLE_SQL,
     "kcore3_peel8": _kcore_peel_sql(3, 8),

@@ -157,3 +157,28 @@ def test_salsa_simplex(spark):
     rows = res.state.collect()
     assert sum(r.hub for r in rows) == pytest.approx(1.0, abs=1e-9)
     assert sum(r.auth for r in rows) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_double_sweep_exact_on_tree(spark):
+    from linkgraph.algorithms.graphstats import double_sweep_diameter
+
+    # Y-tree: path 0-1-2-3-4 plus branch 2-5-6-7.  Distances from 0:
+    # d(4)=4, d(7)=2+3=5 → ecc(0)=5, pivot=7; ecc(7)=dist(7,4)=3+2=5 =
+    # the true diameter (double sweep is exact on trees).
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (2, 5), (5, 6), (6, 7)]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
+    row = double_sweep_diameter(g, source=0).collect()[0]
+    assert row.start_vid == 0
+    assert row.ecc_start == 5
+    assert row.far_vid == 7
+    assert row.diameter_lb == 5
+
+
+def test_double_sweep_cycle_lower_bound(spark):
+    from linkgraph.algorithms.graphstats import double_sweep_diameter
+
+    # C6: every eccentricity is 3; double sweep reports 3 (= diameter).
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
+    row = double_sweep_diameter(g, source=0).collect()[0]
+    assert row.ecc_start == 3 and row.diameter_lb == 3
