@@ -543,3 +543,36 @@ def test_link_prediction_plan_is_equijoin_wedges(spark, plan_graph):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert len(re.findall(r"HashAggregate", live)) >= 2, live
+
+
+def test_mis_round_plan_no_edge_exchange_no_broadcast(spark, plan_graph):
+    """Luby MIS round: same contract as the JPL round for the gather
+    (undecided-src semi-join on the persisted layout, dst restricted
+    after the |V|-sized aggregation) PLUS the winner-neighborhood
+    semi-join, which must also stream the persisted edge layout rather
+    than re-shuffle |E|.  Budget: the nbr_max shuffle, the removed-set
+    distinct, and the state merge joins — no |E|-sized Exchange, no
+    broadcast of a near-|V| set."""
+    from linkgraph.algorithms.mis import mis_round
+
+    g = plan_graph
+    parts = g.num_partitions
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sym = g.symmetrized_edges
+        state = strip_origin_stats(
+            g.vertices.select("vid", F.lit(None).cast("int").alias("status"))
+            .repartition(parts, "vid")
+            .sortWithinPartitions("vid")
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        )
+        # the PRODUCTION round body (not a replica)
+        out = mis_round(sym, state, round_no=0)
+        live = live_tree(formatted_plan(out))
+        assert "BroadcastHashJoin" not in live, live
+        # gather agg + removed distinct + (at most) merge-side sorts:
+        # the edge relation itself must never appear under an Exchange
+        assert len(re.findall(r"\bExchange\b", live)) <= 4, live
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
