@@ -6,7 +6,7 @@ wrapping each doc + deterministic hrefs) → extraction front end
 PageRank to 1e-6 → top-20 ranked urls.
 
 ``queries()`` / ``oracle_sql()`` — the operator catalog from SURVEY.md §2
-with DuckDB twins; see linkgraph/queries.py.  All 57 entries carry an
+with DuckDB twins; see linkgraph/queries.py.  All entries carry an
 oracle: the LSH/IVF entries run portable deterministic variants
 (arithmetic Rademacher planes / pivot quantizer) whose sequential-fold
 float ops the SQL twin replays bit-identically, while the seeded-RNG

@@ -330,3 +330,91 @@ def bowtie_decomposition(
         .otherwise(F.lit("DISCONNECTED"))
     )
     return flags.select("vid", region.alias("region"))
+
+
+def condensation_levels(
+    graph: Graph,
+    scc_labels: DataFrame | None = None,
+    max_iters: int = 200,
+) -> DataFrame:
+    """Topological layering of the SCC condensation DAG:
+    ``(scc: long, level: long, n_vertices: long)``.
+
+    ``level`` = longest path (in condensation edges) from any SOURCE
+    component — the canonical "crawl depth" layering of a web graph's
+    component structure (level 0 = components nothing links into;
+    the giant CORE sits one hop below the IN fringe, etc.).  Reference:
+    none — upstream essentials has no condensation primitive; this is
+    the standard DAG longest-path layering over Orzan-style SCC output.
+
+    Physical shape: the condensation edge set is built with two
+    |E|-sized label joins + one dedup and is usually TINY relative to
+    |E| (web crawls collapse into few large components), so the
+    fixpoint that follows iterates over component-count-sized state.
+    Each round is one equi-join + max-aggregation (map-side combined)
+    — the same monotone-propagation superstep as hash-min CC, with
+    ``max(level)`` instead of ``min(label)``.  Rounds = DAG depth + 1.
+    Monotone and cycle-free by construction (condensation of SCCs is a
+    DAG), so the fixpoint terminates; ``max_iters`` is a guard against
+    a buggy labeling, not a tuning knob.
+    """
+    num_parts = graph.num_partitions
+    if scc_labels is None:
+        scc_labels = strongly_connected_components(graph, max_inner=max_iters)
+    scc_labels = scc_labels.localCheckpoint()
+
+    ls = scc_labels.select(F.col("vid").alias("src"), F.col("scc").alias("_cs"))
+    ld = scc_labels.select(F.col("vid").alias("dst"), F.col("scc").alias("_cd"))
+    cedges = (
+        graph.edges.select("src", "dst")
+        .join(ls, "src")
+        .join(ld, "dst")
+        .where(F.col("_cs") != F.col("_cd"))
+        .select(F.col("_cs").alias("src"), F.col("_cd").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition(num_parts, "src")
+        .sortWithinPartitions("src")
+        .localCheckpoint()
+    )
+    comps = scc_labels.groupBy("scc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices")
+    )
+    init = comps.select(
+        F.col("scc").alias("vid"),
+        F.lit(0).cast("long").alias("level"),
+        F.col("n_vertices"),
+        F.lit(True).alias("_changed"),
+    )
+
+    def _round(state: DataFrame, i: int) -> DataFrame:
+        cand = (
+            cedges.join(
+                state.select(F.col("vid").alias("src"), "level"), "src"
+            )
+            .groupBy(F.col("dst").alias("vid"))
+            .agg((F.max("level") + F.lit(1)).cast("long").alias("_cand"))
+        )
+        return state.join(cand, "vid", "left").select(
+            "vid",
+            F.greatest(
+                "level", F.coalesce("_cand", F.lit(0).cast("long"))
+            ).alias("level"),
+            "n_vertices",
+            (F.coalesce("_cand", F.lit(0).cast("long")) > F.col("level")).alias(
+                "_changed"
+            ),
+        )
+
+    res = iterate(
+        init,
+        _round,
+        stats_cols=changed_stats(),
+        converged=lambda s: (s.get("changed") or 0) == 0,
+        max_iters=max_iters,
+    )
+    if not res.converged:
+        raise RuntimeError(
+            f"condensation levels did not converge in {max_iters} rounds "
+            "(condensation contains a cycle — SCC labeling is broken)"
+        )
+    return res.state.select(F.col("vid").alias("scc"), "level", "n_vertices")

@@ -28,6 +28,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from linkgraph.textops.quality import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments (valid in BOTH Spark SQL and DuckDB)
 # ---------------------------------------------------------------------------
@@ -3518,6 +3520,141 @@ WHERE d.doc_id % 3 = 2
 ORDER BY media_id, frame_index
 """
 
+# ---------------------------------------------------------------------------
+# Condensation layering / power-law fit / PII scan / C4 filters
+# ---------------------------------------------------------------------------
+
+# Longest-path layering of the SCC condensation DAG (same thinned graph
+# and mutual-reachability base as the `scc` entry): level(c) = max path
+# length from any source component, computed by the recursive walk.
+CONDENSATION_SQL = f"""
+WITH RECURSIVE {EDGE_SQL.strip()},
+{_SCC_BASE_SQL.strip()},
+cedges AS (
+  SELECT DISTINCT a.scc AS src, b.scc AS dst
+  FROM te e JOIN sccs a ON a.vid = e.src JOIN sccs b ON b.vid = e.dst
+  WHERE a.scc <> b.scc
+),
+comps AS (SELECT scc, COUNT(*) AS n_vertices FROM sccs GROUP BY scc),
+paths(c, d) AS (
+  SELECT scc, 0 FROM comps WHERE scc NOT IN (SELECT dst FROM cedges)
+  UNION
+  SELECT e.dst, p.d + 1 FROM paths p JOIN cedges e ON e.src = p.c
+),
+levels AS (SELECT c AS scc, MAX(d) AS level FROM paths GROUP BY c)
+SELECT l.scc, CAST(l.level AS BIGINT) AS level,
+       CAST(c.n_vertices AS BIGINT) AS n_vertices
+FROM levels l JOIN comps c USING (scc) ORDER BY l.scc
+"""
+
+# Clauset-Shalizi-Newman continuous-MLE alpha over in-degrees >= xmin=2
+# (in-degree = count over the DISTINCT derived edges, same as the
+# engine's Graph.in_degrees).
+POWERLAW_SQL = f"""
+WITH {EDGE_SQL.strip()},
+indegs AS (SELECT dst AS vid, COUNT(*) AS indeg FROM edges GROUP BY dst),
+tail AS (SELECT indeg FROM indegs WHERE indeg >= 2)
+SELECT CAST(2 AS BIGINT) AS xmin,
+       CAST(COUNT(*) AS BIGINT) AS n_tail,
+       ROUND(1.0 + COUNT(*) / SUM(ln(indeg / 1.5)), 6) AS alpha
+FROM tail
+"""
+
+# Deterministic PII/C4 enrichment of the word-soup documents fixture,
+# written ONCE and executed verbatim by BOTH engines (spark.sql and the
+# DuckDB oracle CTE) — legal because it contains no backslash: Spark SQL
+# string literals process backslash escapes, DuckDB standard strings do
+# not, so a shared fragment must stay escape-free.  Regex-bearing
+# expressions live separately (Python API on Spark / oracle-only SQL on
+# DuckDB).
+PII_DOCS_SQL = """
+SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com now.' ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS STRING) || '.0.1 up.' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || '.' ELSE '' END
+  AS text
+FROM documents
+"""
+
+C4_DOCS_SQL = """
+SELECT doc_id,
+  replace(text, ' line ', '.' || chr(10))
+  || CASE WHEN doc_id % 13 = 0 THEN ' lorem ipsum dolor sit.' ELSE '' END
+  || CASE WHEN doc_id % 17 = 0 THEN ' {var}' ELSE '' END
+  AS text
+FROM documents
+"""
+
+# NOT an f-string: the regexes carry braces and backslashes.  Patterns
+# are duplicated from textops.quality.PII_*_RE via interpolation below
+# so the engine and oracle cannot drift.
+PII_SQL = (
+    "WITH docs AS (" + PII_DOCS_SQL.strip() + ")\n"
+    "SELECT doc_id,\n"
+    "  CAST(len(regexp_extract_all(text, '" + PII_EMAIL_RE + "')) AS BIGINT) AS n_emails,\n"
+    "  CAST(len(regexp_extract_all(text, '" + PII_IPV4_RE + "')) AS BIGINT) AS n_ipv4,\n"
+    "  CAST(len(regexp_extract_all(text, '" + PII_PHONE_RE + "')) AS BIGINT) AS n_phones,\n"
+    "  CAST(len(regexp_extract_all(text, '" + PII_EMAIL_RE + "'))\n"
+    "     + len(regexp_extract_all(text, '" + PII_IPV4_RE + "'))\n"
+    "     + len(regexp_extract_all(text, '" + PII_PHONE_RE + "')) > 0 AS INT) AS has_pii\n"
+    "FROM docs ORDER BY doc_id"
+)
+
+_C4_KEPT = (
+    "list_filter(string_split(text, chr(10)), "
+    "x -> len(regexp_extract_all(x, '\\S+')) >= 5 "
+    "AND regexp_matches(x, '[.!?\"]\\s*$'))"
+)
+C4_SQL = (
+    "WITH docs AS (" + C4_DOCS_SQL.strip() + ")\n"
+    "SELECT doc_id,\n"
+    "  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,\n"
+    "  CAST(len(" + _C4_KEPT + ") AS BIGINT) AS n_kept_lines,\n"
+    "  CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences,\n"
+    "  CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem_ipsum,\n"
+    "  CAST(contains(text, '{') AS INT) AS has_curly_brace,\n"
+    "  CAST(len(regexp_extract_all(text, '[.!?]')) >= 3\n"
+    "       AND NOT contains(lower(text), 'lorem ipsum')\n"
+    "       AND NOT contains(text, '{') AS INT) AS keep\n"
+    "FROM docs ORDER BY doc_id"
+)
+
+
+def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC condensation DAG layering (algorithms/scc.py
+    condensation_levels) on the same thinned graph as the scc entry."""
+    from linkgraph.algorithms.scc import condensation_levels
+
+    return condensation_levels(_thinned_graph(spark, sf_dir))
+
+
+def q_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree power-law MLE (algorithms/graphstats.py powerlaw_alpha)."""
+    from linkgraph.algorithms.graphstats import powerlaw_alpha
+
+    return powerlaw_alpha(build_graph(spark, sf_dir), xmin=2)
+
+
+def q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII indicator scan (textops/quality.py pii_scan) over documents
+    deterministically enriched with synthetic emails/IPs/phones (the
+    shared PII_DOCS_SQL fragment) so counts are non-trivially non-zero."""
+    from linkgraph.textops.quality import pii_scan
+
+    _load(spark, sf_dir, "documents")
+    return pii_scan(spark.sql(PII_DOCS_SQL))
+
+
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page heuristics (textops/corpus.py c4_filters) over
+    documents rewritten into multi-line pages (shared C4_DOCS_SQL)."""
+    from linkgraph.textops.corpus import c4_filters
+
+    _load(spark, sf_dir, "documents")
+    return c4_filters(spark.sql(C4_DOCS_SQL))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_edges": q_extract_edges,
     "anchor_index": q_anchor_index,
@@ -3600,6 +3737,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "media_features": q_media_features,
     "media_frame_plan": q_media_frame_plan,
+    "condensation_levels": q_condensation,
+    "powerlaw_alpha": q_powerlaw,
+    "pii_scan": q_pii,
+    "c4_filters": q_c4_filters,
 }
 
 ORACLES: dict[str, str] = {
@@ -3693,4 +3834,8 @@ ORACLES: dict[str, str] = {
     "embed_neardup": NEARDUP_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "media_frame_plan": MEDIA_FRAME_PLAN_SQL,
+    "condensation_levels": CONDENSATION_SQL,
+    "powerlaw_alpha": POWERLAW_SQL,
+    "pii_scan": PII_SQL,
+    "c4_filters": C4_SQL,
 }

@@ -569,3 +569,54 @@ def unigram_surprisal(
             ),
         )
     )
+
+
+def c4_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style page/line heuristic filters (Raffel et al., *Exploring
+    the Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer*, JMLR 2020, §2.2): ``(doc_id, n_lines, n_kept_lines,
+    n_sentences, has_lorem_ipsum, has_curly_brace, keep)``.
+
+    Line rule: a line is KEPT iff it has ≥ ``min_words_per_line``
+    whitespace words AND ends in terminal punctuation (``. ! ? "``,
+    trailing whitespace allowed).  Page rules: flag placeholder text
+    (``lorem ipsum``) and code pages (``{``); ``keep = 1`` iff the page
+    has ≥ ``min_sentences`` sentence terminators, no placeholder text,
+    and no brace.  Counters are reported alongside the flags so a
+    curation pipeline can re-threshold without a second scan.
+
+    Embarrassingly parallel: line splitting and the kept-line predicate
+    run as higher-order array functions (``split`` + ``filter`` with a
+    ``regexp_count``/``rlike`` lambda) inside whole-stage codegen — zero
+    shuffles, zero Python, scan-bound.  NULL text counts as empty.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda x: (
+            F.regexp_count(x, F.lit(r"\S+")) >= F.lit(min_words_per_line)
+        )
+        & x.rlike(r'[.!?"]\s*$'),
+    )
+    n_sent = F.regexp_count(t, F.lit(r"[.!?]")).cast("long")
+    has_lorem = F.lower(t).contains("lorem ipsum").cast("int")
+    has_brace = t.contains("{").cast("int")
+    keep = (
+        (n_sent >= min_sentences) & (has_lorem == 0) & (has_brace == 0)
+    ).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_curly_brace"),
+        keep.alias("keep"),
+    )

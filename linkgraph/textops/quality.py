@@ -184,3 +184,42 @@ def doc_fingerprint(
     return df.select(F.col(id_col).cast("long"), F.col(text_col)).mapInArrow(
         run, schema="doc_id long, fingerprint long"
     )
+
+
+# Portable regex subset (Java regex on Spark, RE2 on DuckDB — both sides
+# of the oracle seam): ASCII classes, bounded repetition, word
+# boundaries; no lookaround, no backreferences.  Patterns are
+# fixed-structure so non-overlapping leftmost match COUNTS agree between
+# leftmost-first (Java) and leftmost-longest (RE2) semantics.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def pii_scan(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc PII indicator counts: ``(doc_id, n_emails, n_ipv4,
+    n_phones, has_pii)`` — the standard cheap pre-redaction scan of a
+    training corpus (emails / IPv4 literals / NANP-shaped phone
+    numbers).
+
+    Detection only — redaction is a downstream ``regexp_replace`` with
+    the same patterns; a training-data pipeline typically routes
+    ``has_pii = 1`` docs to a scrubbing pass rather than dropping them.
+
+    All three counters are JVM ``regexp_count`` expressions in one
+    whole-stage-codegen projection: no shuffle, no Python, scan-bound —
+    the plan a 100 TB corpus scan needs.  NULL text counts as empty.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ne = F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long")
+    ni = F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long")
+    np_ = F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long")
+    return df.select(
+        F.col(id_col),
+        ne.alias("n_emails"),
+        ni.alias("n_ipv4"),
+        np_.alias("n_phones"),
+        ((ne + ni + np_) > 0).cast("int").alias("has_pii"),
+    )

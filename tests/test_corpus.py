@@ -198,3 +198,59 @@ def test_unigram_surprisal_hand_computed(spark):
     assert got[0].mean_surprisal == round(-math.log2(3 / 4), 6)
     assert got[1].mean_surprisal == 2.0
     assert got[2].n_tokens == 0 and got[2].mean_surprisal == 0.0
+
+
+def test_c4_filters_hand_computed(spark):
+    from linkgraph.textops.corpus import c4_filters
+
+    long_kept = "one two three four five six."
+    long_unterminated = "one two three four five six seven"
+    short_terminated = "too short."
+    df = spark.createDataFrame(
+        [
+            (0, f"{long_kept}\n{long_unterminated}\n{short_terminated}"),
+            (1, 'he said "stop right there now friend!" and left. ok? yes.'),
+            (2, "Lorem Ipsum dolor sit amet consectetur adipiscing elit."),
+            (3, "function f() { return 1; } is code. it has brace. really."),
+            (4, "no sentences at all just words"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (
+            r.n_lines,
+            r.n_kept_lines,
+            r.n_sentences,
+            r.has_lorem_ipsum,
+            r.has_curly_brace,
+            r.keep,
+        )
+        for r in c4_filters(df).collect()
+    }
+    # doc 0: 3 lines; only line 1 has >=5 words AND terminal punct
+    assert got[0] == (3, 1, 2, 0, 0, 0)
+    # doc 1: single line ending '.', quote-terminated mid-sentence ok;
+    # 4 terminators (! . ? .) -> keep
+    assert got[1] == (1, 1, 4, 0, 0, 1)
+    # doc 2: lorem ipsum (case-insensitive) kills it despite 1 sentence
+    assert got[2][3] == 1 and got[2][5] == 0
+    # doc 3: brace kills it despite 3 sentences
+    assert got[3] == (1, 1, 3, 0, 1, 0)
+    # doc 4: zero terminators -> not kept
+    assert got[4] == (1, 0, 0, 0, 0, 0)
+    # NULL text == empty text: one empty line, nothing kept
+    assert got[5] == (1, 0, 0, 0, 0, 0)
+
+
+def test_c4_filters_line_rule_thresholds(spark):
+    from linkgraph.textops.corpus import c4_filters
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e.\na b c d.\na b c d e f g!   \nx y z w v?")],
+        "doc_id long, text string",
+    )
+    row = c4_filters(df, min_words_per_line=5).collect()[0]
+    # lines 1 (5 words '.'), 3 (7 words '!' + trailing ws), 4 (5 words '?')
+    assert row.n_lines == 4
+    assert row.n_kept_lines == 3

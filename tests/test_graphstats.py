@@ -182,3 +182,47 @@ def test_double_sweep_cycle_lower_bound(spark):
     g = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
     row = double_sweep_diameter(g, source=0).collect()[0]
     assert row.ecc_start == 3 and row.diameter_lb == 3
+
+
+def test_powerlaw_alpha_hand_computed(spark):
+    from linkgraph.algorithms.graphstats import powerlaw_alpha
+
+    # in-degrees: v1←{0,2,3}, v2←{0,3}, v3←{0} → indegs 3,2,1
+    g = _graph(spark, [(0, 1), (2, 1), (3, 1), (0, 2), (3, 2), (0, 3)])
+    row = powerlaw_alpha(g, xmin=2).collect()[0]
+    tail = [3, 2]
+    want = 1.0 + len(tail) / sum(np.log(d / 1.5) for d in tail)
+    assert row.xmin == 2 and row.n_tail == 2
+    assert abs(row.alpha - round(want, 6)) < 1e-9
+
+
+def test_powerlaw_alpha_zipf_recovers_exponent(spark):
+    """On a synthetic graph whose in-degree tail is Pareto-ish with
+    exponent ~2.5, the MLE should land in the right neighborhood."""
+    import random as _r
+
+    from linkgraph.algorithms.graphstats import powerlaw_alpha
+
+    rng = _r.Random(11)
+    edges = []
+    vid = 0
+    # discrete power-law in-degree sample via inverse transform
+    for t in range(400):
+        d = int((1.0 - rng.random()) ** (-1.0 / 1.5))  # alpha = 2.5
+        d = min(d, 200)
+        for j in range(d):
+            edges.append((vid + 1 + j, vid))
+        vid += d + 1
+    g = _graph(spark, edges)
+    row = powerlaw_alpha(g, xmin=2).collect()[0]
+    assert 2.0 < row.alpha < 3.2, row.alpha
+
+
+def test_powerlaw_alpha_rejects_bad_xmin(spark):
+    import pytest as _pytest
+
+    from linkgraph.algorithms.graphstats import powerlaw_alpha
+
+    g = _graph(spark, [(0, 1)])
+    with _pytest.raises(ValueError):
+        powerlaw_alpha(g, xmin=0)

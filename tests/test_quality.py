@@ -103,3 +103,67 @@ def test_doc_fingerprint_matches_python_twin(spark):
     for i, t in texts:
         assert got[i] == twin(t)
     assert got[0] == got[2] != got[3]
+
+
+def test_pii_scan_counts_and_flag(spark):
+    from linkgraph.textops.quality import pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jo.doe+x@sub.example.org or admin@example.com"),
+            (1, "server 192.168.0.1 and 10.0.0.255 up"),
+            (2, "call 555-123-4567 or 555.987.6543 today"),
+            (3, "nothing sensitive here"),
+            (4, None),
+            # @ without a TLD'd domain, bare version number, short digits
+            (5, "user@localhost v1.2.3 12-34-56"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_emails, r.n_ipv4, r.n_phones, r.has_pii)
+        for r in pii_scan(df).collect()
+    }
+    assert got[0] == (2, 0, 0, 1)
+    assert got[1] == (0, 2, 0, 1)
+    assert got[2] == (0, 0, 2, 1)
+    assert got[3] == (0, 0, 0, 0)
+    assert got[4] == (0, 0, 0, 0)
+    assert got[5] == (0, 0, 0, 0)
+
+
+def test_pii_scan_duckdb_regex_parity(spark):
+    """The three patterns must COUNT identically under Java regex and
+    RE2 — the oracle seam the pii_scan entry rides on."""
+    import duckdb
+
+    from linkgraph.textops.quality import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_scan,
+    )
+
+    texts = [
+        "a@b.co.uk then c-d@e.io.",
+        "1.2.3.4.5 overlapping 255.255.255.255",
+        "555-123-4567x 111 222 3333 and 12.34.56.78",
+        "u5@ex.com and 10.3.0.1 call 555-123-4567",
+        "edge@case.museum trailing",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_emails, r.n_ipv4, r.n_phones)
+        for r in pii_scan(df).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = tuple(
+            con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [t, pat]
+            ).fetchone()[0]
+            for pat in (PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE)
+        )
+        assert got[i] == want, (i, t, got[i], want)

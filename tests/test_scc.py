@@ -129,3 +129,60 @@ def test_bowtie_regions_partition(spark):
     assert {v for v, r in got.items() if r == "CORE"} == {
         v for v, s in labels.items() if s == core_label
     }
+
+
+def _levels_oracle(edges):
+    """Longest-path-from-sources layering over the condensation DAG."""
+    scc = _scc_oracle(edges)
+    cedges = {(scc[s], scc[d]) for s, d in edges if scc[s] != scc[d]}
+    comps = sorted(set(scc.values()))
+    level = {c: 0 for c in comps}
+    changed = True
+    while changed:
+        changed = False
+        for s, d in cedges:
+            if level[s] + 1 > level[d]:
+                level[d] = level[s] + 1
+                changed = True
+    sizes = {c: sum(1 for v in scc.values() if v == c) for c in comps}
+    return {c: (level[c], sizes[c]) for c in comps}
+
+
+def _run_levels(spark, edges):
+    from linkgraph.algorithms.scc import condensation_levels
+
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+    got = {
+        r.scc: (r.level, r.n_vertices)
+        for r in condensation_levels(g).collect()
+    }
+    assert got == _levels_oracle(edges)
+    return got
+
+
+def test_condensation_two_cycles_bridge(spark):
+    # cycle {0,1} → cycle {2,3}: levels 0 and 1, two vertices each
+    got = _run_levels(spark, [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2)])
+    assert got == {0: (0, 2), 2: (1, 2)}
+
+
+def test_condensation_longest_path_not_shortest(spark):
+    # diamond 0→1→3, 0→2→3 plus long arm 0→4→5→3: level(3) must be the
+    # LONGEST path (3), not BFS depth (2)
+    got = _run_levels(
+        spark, [(0, 1), (0, 2), (1, 3), (2, 3), (0, 4), (4, 5), (5, 3)]
+    )
+    assert got[3] == (3, 1)
+    assert got[0] == (0, 1)
+
+
+def test_condensation_random_differential(spark):
+    rng = random.Random(7)
+    edges = list(
+        {
+            (rng.randrange(24), rng.randrange(24))
+            for _ in range(60)
+        }
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    _run_levels(spark, edges)
