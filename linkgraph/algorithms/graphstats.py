@@ -215,3 +215,108 @@ def powerlaw_alpha(graph: Graph, xmin: int = 2) -> DataFrame:
             F.lit(1.0) + F.count(F.lit(1)).cast("double") / F.sum(logs), 6
         ).alias("alpha"),
     )
+
+
+def bipartite_components(graph: Graph, max_iters: int = 200) -> DataFrame:
+    """Per-component bipartiteness (odd-cycle test) over the UNDIRECTED
+    (symmetrized) simple graph: ``(comp, n_vertices, n_conflict_edges,
+    is_bipartite)``.
+
+    A component is bipartite iff a BFS 2-coloring from its root yields
+    no edge inside a color class.  ``n_conflict_edges`` counts
+    undirected edges whose endpoints share BFS-depth parity — each such
+    edge closes an odd cycle (0 conflicts ⇔ bipartite).
+
+    Reference: none — upstream essentials carries no bipartiteness
+    kernel; standard 2-coloring analysis.
+
+    Scale shape: one hash-min CC run (the engine's delta-frontier
+    superstep) + one MULTI-source BFS layering — every component's root
+    (its hash-min label, which IS its minimum vertex id) starts at depth
+    0 in the same fixpoint, so the cost is one BFS over the whole graph
+    regardless of component count — + one edge-level parity join and a
+    component-keyed aggregation (map-side combined).  No per-component
+    driver loop anywhere.
+    """
+    from linkgraph.algorithms.cc import connected_components
+    from linkgraph.superstep import changed_stats, iterate
+
+    sym = graph.symmetrized_edges
+    comp = (
+        connected_components(graph, max_iters=max_iters)
+        .state.select("vid", "comp")
+        .localCheckpoint()
+    )
+
+    init = comp.select(
+        "vid",
+        F.when(F.col("vid") == F.col("comp"), F.lit(0).cast("long")).alias(
+            "depth"
+        ),
+        (F.col("vid") == F.col("comp")).alias("_changed"),
+    )
+
+    def _round(state: DataFrame, i: int) -> DataFrame:
+        frontier = state.where(F.col("_changed")).select(
+            F.col("vid").alias("src"), "depth"
+        )
+        cand = (
+            sym.join(frontier, "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg((F.min("depth") + F.lit(1)).cast("long").alias("_cand"))
+        )
+        improved = F.col("_cand").isNotNull() & (
+            F.col("depth").isNull() | (F.col("_cand") < F.col("depth"))
+        )
+        return state.join(cand, "vid", "left").select(
+            "vid",
+            F.when(improved, F.col("_cand")).otherwise(F.col("depth")).alias(
+                "depth"
+            ),
+            improved.alias("_changed"),
+        )
+
+    res = iterate(
+        init,
+        _round,
+        stats_cols=changed_stats(),
+        converged=lambda s: (s.get("changed") or 0) == 0,
+        max_iters=max_iters,
+    )
+    depth = res.state.select("vid", "depth")
+
+    und = sym.where(F.col("src") < F.col("dst"))
+    tagged = (
+        und.join(
+            depth.select(F.col("vid").alias("src"), F.col("depth").alias("_ds")),
+            "src",
+        )
+        .join(
+            depth.select(F.col("vid").alias("dst"), F.col("depth").alias("_dd")),
+            "dst",
+        )
+        .join(
+            comp.select(F.col("vid").alias("src"), "comp"),
+            "src",
+        )
+    )
+    conf = tagged.groupBy("comp").agg(
+        F.sum(
+            F.when(((F.col("_ds") + F.col("_dd")) % 2) == 0, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_conflict_edges")
+    )
+    sizes = comp.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices")
+    )
+    return sizes.join(conf, "comp", "left").select(
+        "comp",
+        "n_vertices",
+        F.coalesce("n_conflict_edges", F.lit(0).cast("long")).alias(
+            "n_conflict_edges"
+        ),
+        (F.coalesce("n_conflict_edges", F.lit(0)) == 0)
+        .cast("int")
+        .alias("is_bipartite"),
+    )

@@ -3621,6 +3621,84 @@ C4_SQL = (
 )
 
 
+# Directed triangle census: canonical direction-bit pairs + the x<y<z
+# triple join; flag products mirror the engine's pattern expressions.
+TRIAD_SQL = f"""
+WITH {EDGE_SQL.strip()},
+pairs AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+         MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) AS f,
+         MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS b
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+tri AS (
+  SELECT p1.f AS fxy, p1.b AS bxy, p2.f AS fxz, p2.b AS bxz,
+         p3.f AS fyz, p3.b AS byz
+  FROM pairs p1
+  JOIN pairs p2 ON p2.u = p1.u AND p2.v > p1.v
+  JOIN pairs p3 ON p3.u = p1.v AND p3.v = p2.v
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       CAST(COALESCE(SUM(fxy*fyz*bxz + bxy*byz*fxz), 0) AS BIGINT) AS n_cyclic,
+       CAST(COALESCE(SUM(fxy*fyz*fxz + fxz*byz*fxy + bxy*fxz*fyz
+                       + fyz*bxz*bxy + bxz*fxy*byz + byz*bxy*bxz), 0) AS BIGINT) AS n_transitive
+FROM tri
+"""
+
+# Bipartiteness: hash-min components over sym + multi-source BFS depths
+# from every component root + parity-conflict edge count per component.
+# d < 64 caps the walk like BFS_SQL (sym walks alternate forever without
+# a bound; true depths on the crawl are far below it).
+BIPARTITE_SQL = f"""
+WITH RECURSIVE {EDGE_SQL.strip()},
+{SYM_SQL.strip()},
+reach(vid, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.m FROM reach r JOIN sym e ON e.src = r.vid
+),
+comps AS (SELECT vid, MIN(m) AS comp FROM reach GROUP BY vid),
+roots AS (SELECT DISTINCT comp FROM comps),
+walk(vid, d) AS (
+  SELECT comp, 0 FROM roots
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN sym e ON e.src = w.vid
+  WHERE w.d < 64
+),
+depth AS (SELECT vid, MIN(d) AS d FROM walk GROUP BY vid),
+und AS (SELECT src, dst FROM sym WHERE src < dst),
+conf AS (
+  SELECT c.comp,
+         COUNT(*) FILTER (WHERE (a.d + b.d) % 2 = 0) AS n_conflict
+  FROM und u
+  JOIN depth a ON a.vid = u.src
+  JOIN depth b ON b.vid = u.dst
+  JOIN comps c ON c.vid = u.src
+  GROUP BY c.comp
+)
+SELECT s.comp, CAST(s.n AS BIGINT) AS n_vertices,
+       CAST(COALESCE(f.n_conflict, 0) AS BIGINT) AS n_conflict_edges,
+       CAST(COALESCE(f.n_conflict, 0) = 0 AS INT) AS is_bipartite
+FROM (SELECT comp, COUNT(*) AS n FROM comps GROUP BY comp) s
+LEFT JOIN conf f ON f.comp = s.comp
+ORDER BY s.comp
+"""
+
+
+def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed triangle census (algorithms/triangles.py triad_census)."""
+    from linkgraph.algorithms.triangles import triad_census
+
+    return triad_census(build_graph(spark, sf_dir))
+
+
+def q_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component bipartiteness (graphstats.py bipartite_components)."""
+    from linkgraph.algorithms.graphstats import bipartite_components
+
+    return bipartite_components(build_graph(spark, sf_dir))
+
+
 def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCC condensation DAG layering (algorithms/scc.py
     condensation_levels) on the same thinned graph as the scc entry."""
@@ -3741,6 +3819,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "powerlaw_alpha": q_powerlaw,
     "pii_scan": q_pii,
     "c4_filters": q_c4_filters,
+    "triad_census": q_triad_census,
+    "bipartite_check": q_bipartite,
 }
 
 ORACLES: dict[str, str] = {
@@ -3838,4 +3918,6 @@ ORACLES: dict[str, str] = {
     "powerlaw_alpha": POWERLAW_SQL,
     "pii_scan": PII_SQL,
     "c4_filters": C4_SQL,
+    "triad_census": TRIAD_SQL,
+    "bipartite_check": BIPARTITE_SQL,
 }

@@ -226,3 +226,83 @@ def test_powerlaw_alpha_rejects_bad_xmin(spark):
     g = _graph(spark, [(0, 1)])
     with _pytest.raises(ValueError):
         powerlaw_alpha(g, xmin=0)
+
+
+def test_bipartite_components_hand(spark):
+    from linkgraph.algorithms.graphstats import bipartite_components
+
+    # comp 0: even cycle 0-1-2-3 (bipartite); comp 4: triangle 4-5-6
+    # (odd cycle, 1 conflict); comp 7: path 7-8 (bipartite)
+    g = _graph(
+        spark,
+        [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 4), (7, 8)],
+    )
+    got = {
+        r.comp: (r.n_vertices, r.n_conflict_edges, r.is_bipartite)
+        for r in bipartite_components(g).collect()
+    }
+    assert got == {0: (4, 0, 1), 4: (3, 1, 0), 7: (2, 0, 1)}
+
+
+def test_bipartite_components_star_and_odd_even(spark):
+    from linkgraph.algorithms.graphstats import bipartite_components
+
+    # star is bipartite; 5-cycle is not (directed edges, sym inside)
+    g = _graph(spark, [(0, i) for i in range(1, 5)] + [
+        (10, 11), (11, 12), (12, 13), (13, 14), (14, 10)
+    ])
+    got = {r.comp: r.is_bipartite for r in bipartite_components(g).collect()}
+    assert got == {0: 1, 10: 0}
+
+
+def test_bipartite_random_differential(spark):
+    import random
+
+    from linkgraph.algorithms.graphstats import bipartite_components
+
+    rng = random.Random(19)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(45)})
+    edges = [(s, d) for s, d in edges if s != d]
+    # python oracle: BFS 2-color per component over the sym graph
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    verts = sorted(adj)
+    seen, want = {}, {}
+    for v in verts:
+        if v in seen:
+            continue
+        # component via BFS from v's min-reachable? use min label: walk
+        stack, members = [v], {v}
+        while stack:
+            u = stack.pop()
+            for w in adj[u]:
+                if w not in members:
+                    members.add(w)
+                    stack.append(w)
+        root = min(members)
+        # BFS depths from root
+        depth = {root: 0}
+        frontier = [root]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in depth:
+                        depth[w] = depth[u] + 1
+                        nxt.append(w)
+            frontier = nxt
+        conflicts = sum(
+            1
+            for s, d in {(min(a, b), max(a, b)) for a in members for b in adj[a]}
+            if (depth[s] + depth[d]) % 2 == 0
+        )
+        want[root] = (len(members), conflicts, int(conflicts == 0))
+        seen.update({m: root for m in members})
+    g = _graph(spark, edges)
+    got = {
+        r.comp: (r.n_vertices, r.n_conflict_edges, r.is_bipartite)
+        for r in bipartite_components(g).collect()
+    }
+    assert got == want

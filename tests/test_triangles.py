@@ -12,6 +12,10 @@ from linkgraph.graph import Graph
 from oracles import triangle_oracle
 
 
+def _graph(spark, edges):
+    return Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+
+
 def _check(spark, edges, graph=None):
     g = graph or Graph.from_edges(edges_df(spark, edges), num_partitions=4)
     want_total, want_per = triangle_oracle(edges)
@@ -43,3 +47,47 @@ def test_chesapeake(spark, chesapeake_graph):
 
 def test_crawl(spark, crawl_graph):
     _check(spark, synthetic_crawl(500), graph=crawl_graph)
+
+
+def test_triad_census_pure_cycle_and_transitive(spark):
+    from linkgraph.algorithms.triangles import triad_census
+
+    # triangle A {0,1,2}: pure 3-cycle; triangle B {3,4,5}: transitive
+    g = _graph(spark, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (3, 5)])
+    row = triad_census(g).collect()[0]
+    assert (row.n_triangles, row.n_cyclic, row.n_transitive) == (2, 1, 1)
+
+
+def test_triad_census_fully_mutual(spark):
+    from linkgraph.algorithms.triangles import triad_census
+
+    edges = [(a, b) for a in range(3) for b in range(3) if a != b]
+    row = triad_census(_graph(spark, edges)).collect()[0]
+    # one undirected triangle; both cycle orientations; all 6 transitive
+    # patterns (each vertex is the middle of 2)
+    assert (row.n_triangles, row.n_cyclic, row.n_transitive) == (1, 2, 6)
+
+
+def test_triad_census_random_differential(spark):
+    import itertools
+    import random
+
+    from linkgraph.algorithms.triangles import triad_census
+
+    rng = random.Random(3)
+    edges = list({(rng.randrange(14), rng.randrange(14)) for _ in range(70)})
+    edges = [(s, d) for s, d in edges if s != d]
+    es = set(edges)
+    verts = sorted({v for e in edges for v in e})
+    nt = nc = ntr = 0
+    for x, y, z in itertools.combinations(verts, 3):
+        und = lambda a, b: (a, b) in es or (b, a) in es
+        if und(x, y) and und(y, z) and und(x, z):
+            nt += 1
+            for s, m, t in itertools.permutations((x, y, z)):
+                if (s, m) in es and (m, t) in es and (s, t) in es:
+                    ntr += 1
+            nc += int((x, y) in es and (y, z) in es and (z, x) in es)
+            nc += int((x, z) in es and (z, y) in es and (y, x) in es)
+    row = triad_census(_graph(spark, edges)).collect()[0]
+    assert (row.n_triangles, row.n_cyclic, row.n_transitive) == (nt, nc, ntr)
