@@ -3685,6 +3685,43 @@ ORDER BY s.comp
 """
 
 
+# Hygiene enrichment: literal U+FFFD / mojibake digraphs embedded as
+# UTF-8 characters in the SQL TEXT (both parsers take unicode literals
+# verbatim — no chr() games, whose >255 semantics differ between
+# engines), control chars via chr(7)/chr(31) (identical below 256).
+HYGIENE_DOCS_SQL = (
+    "SELECT doc_id, text"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' bad \ufffd\ufffd mark' ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN ' ctl' || chr(7) || chr(31) ELSE '' END"
+    " || CASE WHEN doc_id % 9 = 0 THEN ' caf\u00c3\u00a9 v\u00c3\u00a9' ELSE '' END"
+    " AS text FROM documents"
+)
+
+HYGIENE_SQL = (
+    "WITH docs AS (" + HYGIENE_DOCS_SQL + ")\n"
+    "SELECT doc_id,\n"
+    "  CAST(len(regexp_extract_all(text, '\\x{FFFD}')) AS BIGINT) AS n_replacement,\n"
+    "  CAST(len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS BIGINT) AS n_control,\n"
+    "  CAST(len(regexp_extract_all(text, '[\\x{C2}\\x{C3}][\\x{80}-\\x{BF}]')) AS BIGINT) AS n_mojibake,\n"
+    "  ROUND(CASE WHEN length(text) > 0 THEN\n"
+    "    CAST(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE) / length(text)\n"
+    "    ELSE 1.0 END, 6) AS ascii_ratio,\n"
+    "  CAST(len(regexp_extract_all(text, '\\x{FFFD}'))\n"
+    "     + len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]'))\n"
+    "     + len(regexp_extract_all(text, '[\\x{C2}\\x{C3}][\\x{80}-\\x{BF}]')) = 0 AS INT) AS clean\n"
+    "FROM docs ORDER BY doc_id"
+)
+
+
+def q_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-hygiene scan (textops/quality.py encoding_hygiene) over
+    documents enriched with deterministic decode-failure artifacts."""
+    from linkgraph.textops.quality import encoding_hygiene
+
+    _load(spark, sf_dir, "documents")
+    return encoding_hygiene(spark.sql(HYGIENE_DOCS_SQL))
+
+
 def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed triangle census (algorithms/triangles.py triad_census)."""
     from linkgraph.algorithms.triangles import triad_census
@@ -3821,6 +3858,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_filters": q_c4_filters,
     "triad_census": q_triad_census,
     "bipartite_check": q_bipartite,
+    "encoding_hygiene": q_hygiene,
 }
 
 ORACLES: dict[str, str] = {
@@ -3920,4 +3958,5 @@ ORACLES: dict[str, str] = {
     "c4_filters": C4_SQL,
     "triad_census": TRIAD_SQL,
     "bipartite_check": BIPARTITE_SQL,
+    "encoding_hygiene": HYGIENE_SQL,
 }

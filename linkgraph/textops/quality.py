@@ -223,3 +223,50 @@ def pii_scan(
         np_.alias("n_phones"),
         ((ne + ni + np_) > 0).cast("int").alias("has_pii"),
     )
+
+
+# Encoding-hygiene patterns, same portable Java↔RE2 subset as the PII
+# set (\x{HHHH} code-point escapes — NOT \uHHHH, which RE2 lacks).
+HYG_REPLACEMENT_RE = r"\x{FFFD}"
+HYG_CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+HYG_MOJIBAKE_RE = r"[\x{C2}\x{C3}][\x{80}-\x{BF}]"
+HYG_NONASCII_RE = r"[^\x00-\x7F]"
+
+
+def encoding_hygiene(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc encoding-hygiene scan: ``(doc_id, n_replacement,
+    n_control, n_mojibake, ascii_ratio, clean)``.
+
+    The standard corpus-ingest triage for web text that survived a
+    charset-guessing crawl pipeline: U+FFFD replacement characters
+    (decode failures), C0 control characters (binary contamination;
+    tab/newline/CR excluded), and the Ã/Â + continuation-range digraphs
+    that mark UTF-8 bytes mis-decoded as Latin-1 ("cafÃ©").
+    ``ascii_ratio`` supports language-aware downstream thresholds (CJK
+    pages are legitimately low-ASCII — this column is a feature, not a
+    filter).  ``clean = 1`` iff all three counters are zero.
+
+    Like :func:`pii_scan`: four ``regexp`` expressions in one
+    whole-stage-codegen projection — zero shuffle, zero Python,
+    scan-bound.  NULL text counts as empty (clean, ratio 1.0).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_repl = F.regexp_count(t, F.lit(HYG_REPLACEMENT_RE)).cast("long")
+    n_ctl = F.regexp_count(t, F.lit(HYG_CONTROL_RE)).cast("long")
+    n_moji = F.regexp_count(t, F.lit(HYG_MOJIBAKE_RE)).cast("long")
+    n_chars = F.length(t)
+    ascii_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(t, HYG_NONASCII_RE, "")).cast("double")
+        / n_chars,
+    ).otherwise(F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        n_repl.alias("n_replacement"),
+        n_ctl.alias("n_control"),
+        n_moji.alias("n_mojibake"),
+        F.round(ascii_ratio, 6).alias("ascii_ratio"),
+        ((n_repl + n_ctl + n_moji) == 0).cast("int").alias("clean"),
+    )

@@ -576,3 +576,46 @@ def test_mis_round_plan_no_edge_exchange_no_broadcast(spark, plan_graph):
         assert len(re.findall(r"\bExchange\b", live)) <= 4, live
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_triad_census_plan_no_cartesian_no_nested_loop(spark, plan_graph):
+    """Direction classification must stay pair-keyed equi-joins: no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere, and the final
+    count is a single partial+final aggregate."""
+    from linkgraph.algorithms.triangles import triad_census
+
+    plan = formatted_plan(triad_census(plan_graph))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pii_and_c4_plans_zero_exchange(spark):
+    """The corpus-hygiene scans are scan-bound: a single projection over
+    the input with NO Exchange and NO Python evaluation."""
+    from linkgraph.textops.corpus import c4_filters
+    from linkgraph.textops.quality import pii_scan
+
+    df = spark.createDataFrame(
+        [(0, "a b c."), (1, "x@y.io")], "doc_id long, text string"
+    )
+    for out in (pii_scan(df), c4_filters(df)):
+        live = live_tree(formatted_plan(out))
+        assert "Exchange" not in live, live
+        assert "Python" not in live, live  # no BatchEvalPython/ArrowEval
+
+
+def test_condensation_round_comp_sized_state(spark, plan_graph):
+    """The level-propagation round must not broadcast the component
+    state (it is |V|-sized in the worst case) and must keep the gather
+    an equi-join + partial-agg pair."""
+    from linkgraph.algorithms.scc import condensation_levels
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = condensation_levels(plan_graph)
+        live = live_tree(formatted_plan(out))
+        assert "CartesianProduct" not in live, live
+        assert "BroadcastNestedLoopJoin" not in live, live
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

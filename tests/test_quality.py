@@ -167,3 +167,34 @@ def test_pii_scan_duckdb_regex_parity(spark):
             for pat in (PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE)
         )
         assert got[i] == want, (i, t, got[i], want)
+
+
+def test_encoding_hygiene_hand(spark):
+    from linkgraph.textops.quality import encoding_hygiene
+
+    df = spark.createDataFrame(
+        [
+            (0, "perfectly clean ascii text."),
+            (1, "bad � marker and � again"),
+            (2, "binary\x00junk\x07here"),
+            (3, "cafÃ© mis-decoded"),
+            (4, "tabs\tand\nnewlines\rare fine"),
+            (5, None),
+            (6, "中文文本 ok"),  # CJK: low ascii but clean
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_replacement, r.n_control, r.n_mojibake, r.clean)
+        for r in encoding_hygiene(df).collect()
+    }
+    assert got[0] == (0, 0, 0, 1)
+    assert got[1] == (2, 0, 0, 0)
+    assert got[2] == (0, 2, 0, 0)
+    assert got[3] == (0, 0, 1, 0)
+    assert got[4] == (0, 0, 0, 1)
+    assert got[5] == (0, 0, 0, 1)
+    assert got[6] == (0, 0, 0, 1)
+    ratios = {r.doc_id: r.ascii_ratio for r in encoding_hygiene(df).collect()}
+    assert ratios[0] == 1.0 and ratios[5] == 1.0
+    assert ratios[6] < 0.6

@@ -88,6 +88,22 @@ def main() -> int:
         "closeness_k8",
         lambda: closeness_centrality(g, k=8, max_iters=32).count(),
     )
+
+    from linkgraph.algorithms.graphstats import (
+        bipartite_components,
+        powerlaw_alpha,
+    )
+    from linkgraph.algorithms.triangles import triad_census
+
+    timed(
+        "triad_census",
+        lambda: triad_census(g).collect()[0]["n_triangles"],
+    )
+    timed("bipartite_components", lambda: bipartite_components(g).count())
+    timed(
+        "powerlaw_alpha",
+        lambda: powerlaw_alpha(g, xmin=2).collect()[0]["alpha"],
+    )
     print(json.dumps(res))
     spark.stop()
     return 0
