@@ -3713,6 +3713,53 @@ HYGIENE_SQL = (
 )
 
 
+# Snapshot churn: epoch B = thinned epoch A plus a deterministic batch
+# of reversed links from every 11th source (so added/removed/common are
+# all non-trivially non-zero).
+SNAPSHOT_DIFF_SQL = f"""
+WITH {EDGE_SQL.strip()},
+newe AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges WHERE src % 5 <> 0
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges WHERE src % 11 = 0
+  ) u
+),
+o AS (SELECT src, dst, 1 AS _o FROM edges),
+n AS (SELECT src, dst, 1 AS _n FROM newe),
+j AS (
+  SELECT COALESCE(o._o, 0) AS _o, COALESCE(n._n, 0) AS _n
+  FROM o FULL OUTER JOIN n ON o.src = n.src AND o.dst = n.dst
+)
+SELECT CAST(SUM(_o) AS BIGINT) AS n_old,
+       CAST(SUM(_n) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN _o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN _n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(_o * _n) AS BIGINT) AS n_common,
+       ROUND(CAST(SUM(_o * _n) AS DOUBLE)
+             / (SUM(_o) + SUM(_n) - SUM(_o * _n)), 6) AS jaccard
+FROM j
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-epoch edge churn (streaming.py snapshot_diff) between the
+    derived edges and a deterministically perturbed second epoch."""
+    from linkgraph.streaming import snapshot_diff
+
+    e = build_edges_df(spark, sf_dir)
+    new = (
+        e.where(F.col("src") % 5 != 0)
+        .unionAll(
+            e.where(F.col("src") % 11 == 0).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    return snapshot_diff(e, new)
+
+
 def q_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-hygiene scan (textops/quality.py encoding_hygiene) over
     documents enriched with deterministic decode-failure artifacts."""
@@ -3859,6 +3906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triad_census": q_triad_census,
     "bipartite_check": q_bipartite,
     "encoding_hygiene": q_hygiene,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -3959,4 +4007,5 @@ ORACLES: dict[str, str] = {
     "triad_census": TRIAD_SQL,
     "bipartite_check": BIPARTITE_SQL,
     "encoding_hygiene": HYGIENE_SQL,
+    "snapshot_diff": SNAPSHOT_DIFF_SQL,
 }

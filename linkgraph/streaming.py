@@ -209,3 +209,51 @@ def windowed_link_rates(
             F.sum(F.size("links")).alias("links"),
         )
     )
+
+
+def snapshot_diff(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Edge-level churn between two crawl epochs: 1 row ``(n_old, n_new,
+    n_added, n_removed, n_common, jaccard)``.
+
+    The companion diagnostic to the incremental loop
+    (:func:`graph_from_link_log`): before warm-starting PageRank on a
+    new epoch, the churn rate tells you whether a warm start is even
+    worth it (jaccard → 1: few iterations expected; jaccard → 0: cold
+    start, recrawl storm, or an extraction regression upstream).
+
+    One full-outer equi-join on the (src, dst) key — each side shuffles
+    once on the same key — and a single 6-counter aggregate that rides
+    the join output without further exchange.  Both inputs are deduped
+    first so counts are set semantics (a recrawl emitting the same link
+    twice is not churn).
+    """
+    o = (
+        old_edges.select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+        .withColumn("_o", F.lit(1))
+    )
+    n = (
+        new_edges.select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+        .withColumn("_n", F.lit(1))
+    )
+    j = o.join(n, ["src", "dst"], "full_outer")
+    n_old = F.sum(F.coalesce("_o", F.lit(0)))
+    n_new = F.sum(F.coalesce("_n", F.lit(0)))
+    n_common = F.sum(
+        F.when(F.col("_o").isNotNull() & F.col("_n").isNotNull(), 1).otherwise(0)
+    )
+    return j.agg(
+        n_old.cast("long").alias("n_old"),
+        n_new.cast("long").alias("n_new"),
+        F.sum(F.when(F.col("_o").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_added"),
+        F.sum(F.when(F.col("_n").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        n_common.cast("long").alias("n_common"),
+        F.round(
+            n_common.cast("double") / (n_old + n_new - n_common), 6
+        ).alias("jaccard"),
+    )

@@ -210,3 +210,30 @@ def test_incremental_graph_warm_start(spark, tmp_path):
     rw = {r.vid: r.rank for r in warm.state.collect()}
     assert set(rc) == set(rw)
     assert all(abs(rc[v] - rw[v]) < 1e-5 for v in rc)
+
+
+def test_snapshot_diff_hand(spark):
+    from linkgraph.streaming import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (2, 3)], "src long, dst long"  # dup collapses
+    )
+    new = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "src long, dst long"
+    )
+    row = snapshot_diff(old, new).collect()[0]
+    assert (row.n_old, row.n_new, row.n_added, row.n_removed, row.n_common) == (
+        3, 3, 1, 1, 2,
+    )
+    assert row.jaccard == 0.5
+
+
+def test_snapshot_diff_identical_and_disjoint(spark):
+    from linkgraph.streaming import snapshot_diff
+
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    same = snapshot_diff(e, e).collect()[0]
+    assert same.jaccard == 1.0 and same.n_added == 0 and same.n_removed == 0
+    other = spark.createDataFrame([(7, 8)], "src long, dst long")
+    dis = snapshot_diff(e, other).collect()[0]
+    assert dis.jaccard == 0.0 and dis.n_common == 0
