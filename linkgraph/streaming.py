@@ -257,3 +257,65 @@ def snapshot_diff(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
             n_common.cast("double") / (n_old + n_new - n_common), 6
         ).alias("jaccard"),
     )
+
+
+def stream_first_seen(
+    pages_stream: DataFrame, num_shards: int = 64
+) -> DataFrame:
+    """Stateful streaming exact-dedup: emit only the FIRST capture of
+    each distinct html content across all micro-batches —
+    ``(url, warc_ts, capture)`` — via ``applyInPandasWithState``.
+
+    The in-stream complement to batch :func:`compact_link_log`: a
+    crawl frontier often re-fetches byte-identical pages (mirrors,
+    canonical redirects, unchanged recrawls); dropping them AT INGEST
+    avoids paying extraction + log append for content already seen.
+    Content identity = ``xxhash64(html)`` (the same discriminator the
+    batch snapshot dedup uses).
+
+    State design: groups are hash SHARDS (``capture % num_shards``),
+    not per-content keys — per-key state would create one state row per
+    distinct document, the worst shape for the state store's per-key
+    overhead; a shard holds one array of 8-byte hashes.  State grows
+    with distinct content (8 B/doc/cluster-wide — the honest floor any
+    exact first-seen filter pays); horizon-bounded dedup (e.g. "seen
+    within 30 days") would swap NoTimeout for a processing-time timeout
+    and re-seed from the compacted log.  Within a batch the winner per
+    content is deterministic: min ``(warc_ts, capture, url)``.
+
+    Flink/Kafka-Streams users: this is the keyed-state dedup operator;
+    Spark's version just batches per micro-batch trigger.
+    """
+    import pandas as pd  # local: Arrow path only
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = (
+        pages_stream.withColumn("capture", F.xxhash64("html"))
+        .withColumn(
+            "shard", F.pmod(F.col("capture"), F.lit(num_shards)).cast("int")
+        )
+        .select("shard", "url", "warc_ts", "capture")
+    )
+
+    def dedup(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        # concat the group's batch slice before picking winners so the
+        # within-batch winner is order-independent (min, not first-arrival)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True)
+            pdf = pdf.sort_values(["warc_ts", "capture", "url"])
+            pdf = pdf[~pdf["capture"].isin(seen)]
+            pdf = pdf.drop_duplicates(subset=["capture"], keep="first")
+            if len(pdf):
+                seen.update(int(c) for c in pdf["capture"])
+                state.update((sorted(seen),))
+                yield pdf[["url", "warc_ts", "capture"]]
+
+    return hashed.groupBy("shard").applyInPandasWithState(
+        dedup,
+        outputStructType="url string, warc_ts timestamp, capture long",
+        stateStructType="seen array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

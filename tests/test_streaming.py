@@ -237,3 +237,58 @@ def test_snapshot_diff_identical_and_disjoint(spark):
     other = spark.createDataFrame([(7, 8)], "src long, dst long")
     dis = snapshot_diff(e, other).collect()[0]
     assert dis.jaccard == 0.0 and dis.n_common == 0
+
+
+def test_stream_first_seen_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState first-seen filter: duplicates inside a
+    batch keep the (warc_ts, capture, url) minimum; duplicates of
+    content seen in an EARLIER micro-batch are dropped via state."""
+    import datetime as dt
+    import time
+
+    from linkgraph.streaming import stream_first_seen
+
+    pages_dir, out_dir, ckpt = _dirs(tmp_path)
+    ts = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+
+    def page(url, hour, body):
+        html = f"<html><body>{body}</body></html>".encode()
+        return (url, ts(hour), html, body, "en")
+
+    def drain(name):
+        q = (
+            stream_first_seen(
+                stream_pages(spark, pages_dir, maxFilesPerTrigger="1")
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.url, r.capture)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    # batch 1: X twice (a earlier than b), Y once
+    _write_batch(
+        spark,
+        [page("u://a", 1, "X"), page("u://b", 2, "X"), page("u://c", 3, "Y")],
+        pages_dir,
+        "b1",
+    )
+    got1 = drain("b1")
+    assert {u for u, _ in got1} == {"u://a", "u://c"}  # b dropped in-batch
+
+    time.sleep(1.1)  # distinct mtime so the file source orders b2 later
+    # batch 2: X again (cross-batch dup -> state drop), Z new
+    _write_batch(
+        spark, [page("u://d", 4, "X"), page("u://e", 5, "Z")], pages_dir, "b2"
+    )
+    got2 = drain("b2")
+    assert {u for u, _ in got2} == {"u://a", "u://c", "u://e"}, got2
+    # exactly one row per distinct content
+    assert len(got2) == 3

@@ -5,8 +5,11 @@ primitives.  Results print as one JSON line for pasting into
 BENCH/NOTES.md; not part of the per-round bench.py protocol (these are
 characterization numbers, not the driver's scaling criterion).
 
-Input: the sf-dir derived crawl (default /root/testdata/sf0.1 —
-10^7 edges over 10^6 vertices) at local[$SPARK_GRAFT_CPUS].
+Input: the SAME deterministic synthetic crawl bench.py measures
+(fixtures.synthetic_crawl, seed=42 — $LINKGRAPH_EXTRAS_EDGES target
+edges, default 10^7) at local[$SPARK_GRAFT_CPUS].  Passing an sf_dir
+argument instead benches the (much smaller) documents-derived graph of
+that directory — useful for a quick smoke, NOT a crawl-scale number.
 
 Usage: python tools/bench_graph_extras.py [sf_dir]
 """
@@ -25,7 +28,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else None
 
     from linkgraph.algorithms.anf import closeness_centrality
     from linkgraph.algorithms.community import (
@@ -44,9 +47,22 @@ def main() -> int:
         extra_conf={"spark.driver.memory": "48g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    g = build_graph(spark, sf_dir, num_partitions=CPUS * 2)
+    if sf_dir is not None:
+        g = build_graph(spark, sf_dir, num_partitions=CPUS * 2)
+    else:
+        from bench import WORK_DIR, build_crawl_parquet
+        from linkgraph.graph import Graph
+
+        os.makedirs(WORK_DIR, exist_ok=True)
+        target = int(os.environ.get("LINKGRAPH_EXTRAS_EDGES", "10000000"))
+        pq_path = os.path.join(WORK_DIR, f"extras_edges_{target}.parquet")
+        if not os.path.exists(pq_path):
+            build_crawl_parquet(pq_path, target)
+        g = Graph.from_edges(
+            spark.read.parquet(pq_path), num_partitions=CPUS * 2
+        )
     res: dict = {
-        "sf_dir": sf_dir,
+        "sf_dir": sf_dir or "synthetic_crawl",
         "edges": g.num_edges,
         "vertices": g.num_vertices,
         "cores": CPUS,
