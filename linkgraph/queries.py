@@ -3742,6 +3742,51 @@ FROM j
 """
 
 
+# Host-keyed C4-enriched documents (same arithmetic host mapping as
+# HOST_PAIRS_SQL; same shared enrichment as the c4_filters entry).
+HOST_QUALITY_DOCS_SQL = (
+    "SELECT doc_id, 'site' || CAST(doc_id % 20 AS STRING) || '.example' AS host, text "
+    "FROM (" + C4_DOCS_SQL.strip() + ") t"
+)
+
+_HQ_KEEP = (
+    "CAST(len(regexp_extract_all(text, '[.!?]')) >= 3\n"
+    "     AND NOT contains(lower(text), 'lorem ipsum')\n"
+    "     AND NOT contains(text, '{') AS INT)"
+)
+HOST_QUALITY_SQL = (
+    "WITH docs AS (" + HOST_QUALITY_DOCS_SQL + "),\n"
+    "per_doc AS (\n"
+    "  SELECT doc_id, host,\n"
+    "    " + _HQ_KEEP + " AS keep,\n"
+    "    len(regexp_extract_all(text, '\\S+')) AS n_tokens,\n"
+    "    md5(text) AS h\n"
+    "  FROM docs\n"
+    "),\n"
+    "dups AS (\n"
+    "  SELECT doc_id FROM per_doc\n"
+    "  WHERE h IN (SELECT h FROM per_doc GROUP BY h HAVING COUNT(*) >= 2)\n"
+    ")\n"
+    "SELECT host,\n"
+    "  CAST(COUNT(*) AS BIGINT) AS n_docs,\n"
+    "  CAST(SUM(keep) AS BIGINT) AS n_keep,\n"
+    "  ROUND(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 6) AS keep_rate,\n"
+    "  ROUND(AVG(CAST(n_tokens AS DOUBLE)), 6) AS avg_tokens,\n"
+    "  CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs\n"
+    "FROM per_doc p LEFT JOIN dups d USING (doc_id)\n"
+    "GROUP BY host ORDER BY host"
+)
+
+
+def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host curation rollup (textops/corpus.py host_rollup) over the
+    C4-enriched, host-keyed documents."""
+    from linkgraph.textops.corpus import host_rollup
+
+    _load(spark, sf_dir, "documents")
+    return host_rollup(spark.sql(HOST_QUALITY_DOCS_SQL))
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-epoch edge churn (streaming.py snapshot_diff) between the
     derived edges and a deterministically perturbed second epoch."""
@@ -3907,6 +3952,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bipartite_check": q_bipartite,
     "encoding_hygiene": q_hygiene,
     "snapshot_diff": q_snapshot_diff,
+    "host_quality": q_host_quality,
 }
 
 ORACLES: dict[str, str] = {
@@ -4008,4 +4054,5 @@ ORACLES: dict[str, str] = {
     "bipartite_check": BIPARTITE_SQL,
     "encoding_hygiene": HYGIENE_SQL,
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "host_quality": HOST_QUALITY_SQL,
 }

@@ -620,3 +620,48 @@ def c4_filters(
         has_brace.alias("has_curly_brace"),
         keep.alias("keep"),
     )
+
+
+def host_rollup(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-host curation dashboard: ``(host, n_docs, n_keep, keep_rate,
+    avg_tokens, n_dup_docs)`` — the rollup a crawl operator reads to
+    decide which hosts to de-prioritize (low keep-rate = boilerplate or
+    non-prose; high dup share = mirror or template farm).
+
+    Pure composition of the engine's per-doc passes — :func:`c4_filters`
+    keep flag, ``token_counts`` lengths, ``exact_duplicates`` membership
+    — joined on doc_id and rolled up with one map-side-combined
+    aggregation keyed on host.  Host keys are low-cardinality relative
+    to docs, so the rollup output is tiny; the per-doc passes stay
+    scan-bound (the dedup pass shuffles md5 hashes only).
+    """
+    from linkgraph.textops.dedup import exact_duplicates
+    from linkgraph.textops.quality import token_counts
+
+    keep = c4_filters(df, text_col, id_col).select(id_col, "keep")
+    toks = token_counts(df, text_col, id_col).select(id_col, "n_tokens")
+    dup = (
+        exact_duplicates(df, text_col, id_col)
+        .select(id_col)
+        .withColumn("_dup", F.lit(1))
+    )
+    base = (
+        df.select(F.col(id_col), F.col(host_col))
+        .join(keep, id_col)
+        .join(toks, id_col)
+        .join(dup, id_col, "left")
+    )
+    n_docs = F.count(F.lit(1))
+    n_keep = F.sum("keep")
+    return base.groupBy(host_col).agg(
+        n_docs.cast("long").alias("n_docs"),
+        n_keep.cast("long").alias("n_keep"),
+        F.round(n_keep.cast("double") / n_docs, 6).alias("keep_rate"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.sum(F.coalesce("_dup", F.lit(0))).cast("long").alias("n_dup_docs"),
+    )

@@ -254,3 +254,27 @@ def test_c4_filters_line_rule_thresholds(spark):
     # lines 1 (5 words '.'), 3 (7 words '!' + trailing ws), 4 (5 words '?')
     assert row.n_lines == 4
     assert row.n_kept_lines == 3
+
+
+def test_host_rollup_hand_computed(spark):
+    from linkgraph.textops.corpus import host_rollup
+
+    kept = "one two three four five. six seven eight nine ten? more here!"
+    df = spark.createDataFrame(
+        [
+            (0, "a.example", kept),
+            (1, "a.example", "dup text"),
+            (2, "a.example", "dup text"),
+            (3, "b.example", kept),
+        ],
+        "doc_id long, host string, text string",
+    )
+    got = {
+        r.host: (r.n_docs, r.n_keep, r.keep_rate, r.n_dup_docs)
+        for r in host_rollup(df).collect()
+    }
+    # dup groups are CORPUS-wide: docs 0 and 3 are cross-host mirrors of
+    # each other, so both count as dups on their respective hosts —
+    # mirror detection is the point of the rollup
+    assert got["a.example"] == (3, 1, round(1 / 3, 6), 3)
+    assert got["b.example"] == (1, 1, 1.0, 1)
