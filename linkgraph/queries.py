@@ -28,7 +28,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.textops.quality import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+from linkgraph.textops.quality import (
+    BPE_PIECE_RE,
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    PII_PHONE_RE,
+)
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (valid in BOTH Spark SQL and DuckDB)
@@ -3778,6 +3783,46 @@ HOST_QUALITY_SQL = (
 )
 
 
+# Contraction/punct enrichment so the BPE-vs-whitespace gap is
+# non-trivial.  Shared verbatim by both engines: escape-free except the
+# '' doubled quote, which Spark SQL and DuckDB both take as a literal
+# apostrophe.
+BPE_DOCS_SQL = (
+    "SELECT doc_id, text ||"
+    " CASE WHEN doc_id % 3 = 0 THEN ' don''t it''s we''ll (42).' ELSE '' END"
+    " AS text FROM documents"
+)
+
+# Oracle built by interpolating the ENGINE's pattern constant (quotes
+# doubled for the SQL literal) — the two sides cannot drift.
+_BPE_CNT = (
+    "len(regexp_extract_all(text, '"
+    + BPE_PIECE_RE.replace("'", "''")
+    + "'))"
+)
+_WORD_CNT = r"len(regexp_extract_all(text, '\S+'))"
+BPE_PIECES_SQL = (
+    "WITH docs AS (" + BPE_DOCS_SQL + ")\n"
+    "SELECT doc_id,\n"
+    f"  CAST({_BPE_CNT} AS BIGINT) AS n_pieces,\n"
+    f"  CAST({_WORD_CNT} AS BIGINT) AS n_words,\n"
+    f"  ROUND(CASE WHEN {_WORD_CNT} > 0 THEN\n"
+    f"    CAST({_BPE_CNT} AS DOUBLE) / {_WORD_CNT} ELSE 0.0 END, 6) AS pieces_per_word,\n"
+    f"  ROUND(CASE WHEN {_BPE_CNT} > 0 THEN\n"
+    f"    CAST(length(text) AS DOUBLE) / {_BPE_CNT} ELSE 0.0 END, 6) AS chars_per_piece\n"
+    "FROM docs ORDER BY doc_id"
+)
+
+
+def q_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish piece accounting (textops/quality.py bpe_piece_stats)
+    over contraction-enriched documents."""
+    from linkgraph.textops.quality import bpe_piece_stats
+
+    _load(spark, sf_dir, "documents")
+    return bpe_piece_stats(spark.sql(BPE_DOCS_SQL))
+
+
 def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host curation rollup (textops/corpus.py host_rollup) over the
     C4-enriched, host-keyed documents."""
@@ -3953,6 +3998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encoding_hygiene": q_hygiene,
     "snapshot_diff": q_snapshot_diff,
     "host_quality": q_host_quality,
+    "bpe_pieces": q_bpe_pieces,
 }
 
 ORACLES: dict[str, str] = {
@@ -4055,4 +4101,5 @@ ORACLES: dict[str, str] = {
     "encoding_hygiene": HYGIENE_SQL,
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
     "host_quality": HOST_QUALITY_SQL,
+    "bpe_pieces": BPE_PIECES_SQL,
 }

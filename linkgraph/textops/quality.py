@@ -270,3 +270,48 @@ def encoding_hygiene(
         F.round(ascii_ratio, 6).alias("ascii_ratio"),
         ((n_repl + n_ctl + n_moji) == 0).cast("int").alias("clean"),
     )
+
+
+# GPT-2-style pre-tokenizer pieces (Radford et al. 2019, the public
+# regex), restricted to the lookahead-free subset both Java regex and
+# RE2 compile: contraction suffixes | space?-letter-run |
+# space?-digit-run | space?-punct-run.  (The original's trailing
+# `\s+(?!\S)` branch needs lookahead — RE2 has none — and only affects
+# how trailing whitespace is grouped, which a COUNT never sees.)
+BPE_PIECE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_piece_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """BPE-ish token accounting: ``(doc_id, n_pieces, n_words,
+    pieces_per_word, chars_per_piece)``.
+
+    ``n_pieces`` counts GPT-2 pre-tokenizer pieces — the unit BPE
+    subword vocabularies split further, so it tracks real LLM token
+    counts far better than whitespace words do on punctuation-heavy or
+    contraction-heavy text; ``pieces_per_word`` ≈ tokenization
+    overhead, the standard budget statistic for training-data sizing.
+
+    Same shape as :func:`token_counts`: one JVM ``regexp_count``
+    projection, zero shuffle, scan-bound.  NULL text counts as empty.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_pieces = F.regexp_count(t, F.lit(BPE_PIECE_RE)).cast("long")
+    n_words = F.regexp_count(t, F.lit(r"\S+")).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_pieces.alias("n_pieces"),
+        n_words.alias("n_words"),
+        F.round(
+            F.when(n_words > 0, n_pieces.cast("double") / n_words).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("pieces_per_word"),
+        F.round(
+            F.when(n_pieces > 0, F.length(t).cast("double") / n_pieces)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("chars_per_piece"),
+    )

@@ -198,3 +198,49 @@ def test_encoding_hygiene_hand(spark):
     ratios = {r.doc_id: r.ascii_ratio for r in encoding_hygiene(df).collect()}
     assert ratios[0] == 1.0 and ratios[5] == 1.0
     assert ratios[6] < 0.6
+
+
+def test_bpe_piece_stats_hand(spark):
+    from linkgraph.textops.quality import bpe_piece_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "I'll say 42 things, don't I?"),
+            (1, "plain words here"),
+            (2, ""),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_pieces, r.n_words) for r in bpe_piece_stats(df).collect()}
+    # I|'ll| say| 42| things|,| don|'t| I|? = 10 pieces over 6 words
+    assert got[0] == (10, 6)
+    assert got[1] == (3, 3)
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)
+
+
+def test_bpe_piece_regex_java_re2_parity(spark):
+    """Alternation semantics differ (leftmost-first vs leftmost-longest);
+    the contraction-first ordering makes COUNTS agree — pin it."""
+    import duckdb
+
+    from linkgraph.textops.quality import BPE_PIECE_RE, bpe_piece_stats
+
+    texts = [
+        "it's we'll they're I'd you've I'm don't",
+        "'simple leading apostrophe and trailing'",
+        "a1b2c3 mixed 12ab runs... (x)[y]{z}",
+        "多语言 mixed 中文 text with spaces",
+        "  leading and trailing   ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_pieces for r in bpe_piece_stats(df).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [t, BPE_PIECE_RE]
+        ).fetchone()[0]
+        assert got[i] == want, (i, t, got[i], want)
