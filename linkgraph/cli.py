@@ -61,9 +61,16 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "pagerank", "cc", "labelprop", "triangles", "pipeline",
             "ppr", "hits", "bfs", "sssp", "kcore", "coloring", "mst", "bc",
-            "geo", "ingest",
+            "geo", "ingest", "query",
         ],
     )
+    ap.add_argument("--name", default=None,
+                    help="query: catalog entry name (python -c 'from "
+                         "linkgraph.queries import QUERIES; "
+                         "print(sorted(QUERIES))' lists them)")
+    ap.add_argument("--sf-dir", default=None,
+                    help="query: directory holding the parquet tables "
+                         "the entry reads (documents/embeddings/...)")
     ap.add_argument("--compact", action="store_true",
                     help="ingest: also write latest-wins compacted url "
                          "pairs to <out>/pairs.parquet after the drain")
@@ -115,6 +122,27 @@ def main(argv: list[str] | None = None) -> int:
         if args.checkpoint_dir
         else None
     )
+
+    if args.command == "query":
+        # every catalog entry — graph primitive, dedup pass, ANN, corpus
+        # stat — callable by name; the same seam the driver gate runs
+        from linkgraph.queries import QUERIES
+
+        if not args.name or args.name not in QUERIES:
+            ap.error(
+                "query requires --name, one of: " + ", ".join(sorted(QUERIES))
+            )
+        if not args.sf_dir:
+            ap.error("query requires --sf-dir")
+        t0 = time.perf_counter()
+        df = QUERIES[args.name](spark, args.sf_dir)
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "query": args.name,
+            "rows": spark.read.parquet(args.out).count(),
+            "wall_s": round(time.perf_counter() - t0, 2),
+        }))
+        return 0
 
     if args.command == "ingest":
         if not args.pages:
