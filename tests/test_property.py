@@ -264,3 +264,119 @@ def test_spmv_and_bfs_directions_match_oracles(spark, edges):
             for r in bfs(g, src, direction=direction).state.collect()
         }
         assert got == want, direction
+
+
+@given(edges=edge_lists)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    print_blob=True,
+)
+def test_census_layering_bipartite_match_oracles(spark, edges):
+    """Round-2 structural ops vs sequential twins on one random digraph:
+    triad census (itertools enumeration), condensation levels
+    (longest-path relaxation), bipartiteness (BFS 2-coloring)."""
+    import itertools
+
+    from linkgraph.algorithms.graphstats import bipartite_components
+    from linkgraph.algorithms.scc import condensation_levels
+    from linkgraph.algorithms.triangles import triad_census
+
+    norm = {(s, d) for s, d in edges if s != d}
+    if not norm:
+        return
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+    es = norm
+    verts = sorted({v for e in es for v in e})
+
+    # --- triad census twin
+    nt = nc = ntr = 0
+    adj_und = lambda a, b: (a, b) in es or (b, a) in es  # noqa: E731
+    for x, y, z in itertools.combinations(verts, 3):
+        if adj_und(x, y) and adj_und(y, z) and adj_und(x, z):
+            nt += 1
+            for s_, m_, t_ in itertools.permutations((x, y, z)):
+                if (s_, m_) in es and (m_, t_) in es and (s_, t_) in es:
+                    ntr += 1
+            nc += int((x, y) in es and (y, z) in es and (z, x) in es)
+            nc += int((x, z) in es and (z, y) in es and (y, x) in es)
+    row = triad_census(g).collect()[0]
+    assert (row.n_triangles, row.n_cyclic, row.n_transitive) == (nt, nc, ntr)
+
+    # --- condensation levels twin (Tarjan-free: mutual-reach closure)
+    adj = {v: set() for v in verts}
+    for s_, d_ in es:
+        adj[s_].add(d_)
+    reach = {}
+    for v in verts:
+        seen, stack = {v}, [v]
+        while stack:
+            u = stack.pop()
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        reach[v] = seen
+    scc = {
+        v: min(u for u in verts if u in reach[v] and v in reach[u])
+        for v in verts
+    }
+    cedges = {(scc[s_], scc[d_]) for s_, d_ in es if scc[s_] != scc[d_]}
+    level = {c: 0 for c in set(scc.values())}
+    changed = True
+    while changed:
+        changed = False
+        for s_, d_ in cedges:
+            if level[s_] + 1 > level[d_]:
+                level[d_] = level[s_] + 1
+                changed = True
+    sizes = {}
+    for v, c in scc.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    got_lv = {
+        r.scc: (r.level, r.n_vertices)
+        for r in condensation_levels(g).collect()
+    }
+    assert got_lv == {c: (level[c], sizes[c]) for c in level}
+
+    # --- bipartiteness twin (BFS parity from per-component min root)
+    und = {v: set() for v in verts}
+    for s_, d_ in es:
+        und[s_].add(d_)
+        und[d_].add(s_)
+    want_bp = {}
+    done = set()
+    for v in verts:
+        if v in done:
+            continue
+        members, stack = {v}, [v]
+        while stack:
+            u = stack.pop()
+            for w in und[u]:
+                if w not in members:
+                    members.add(w)
+                    stack.append(w)
+        root = min(members)
+        depth = {root: 0}
+        frontier = [root]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in und[u]:
+                    if w not in depth:
+                        depth[w] = depth[u] + 1
+                        nxt.append(w)
+            frontier = nxt
+        conf = sum(
+            1
+            for a, b in {(min(x, y), max(x, y)) for x in members for y in und[x]}
+            if (depth[a] + depth[b]) % 2 == 0
+        )
+        want_bp[root] = (len(members), conf, int(conf == 0))
+        done |= members
+    got_bp = {
+        r.comp: (r.n_vertices, r.n_conflict_edges, r.is_bipartite)
+        for r in bipartite_components(g).collect()
+    }
+    assert got_bp == want_bp
