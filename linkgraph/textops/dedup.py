@@ -5,11 +5,12 @@ Design notes for 10^12-document scale:
 - **exact**: hash-groupBy on md5(text) — one shuffle of (hash, id), never
   of the text bodies.  Partial aggregation makes duplicate-heavy corpora
   cheap (map-side combine collapses per-partition duplicates).
-- **MinHash**: signatures via md5 over word-shingles (md5 chosen
-  deliberately: identical hex output in Spark and DuckDB, so the oracle
-  can replay the exact pipeline).  k hash functions = k seeded prefixes;
-  per-doc min per seed is one hash aggregation, linear in
-  |docs|·|shingles|·k.
+- **MinHash**: signatures over word-shingles with k seeded hash
+  functions; per-doc min per seed is one hash aggregation, linear in
+  |docs|·|shingles|·k.  Two hash families: md5 (default — identical hex
+  output in Spark and DuckDB, so the oracle replays the exact pipeline)
+  and xxhash64 (the production throughput path: long-valued, ~4× smaller
+  shuffle rows, no crypto digest; equivalence pinned by test).
 - **LSH banding**: signatures → band keys → self-join per band =
   candidate pairs; only candidates are verified (exact Jaccard), so the
   all-pairs product never materializes.
@@ -88,25 +89,40 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash signature per doc: ``(doc_id, seed, minhash)``.
 
-    hash_s(shingle) = md5(s || ':' || shingle); minhash = lexicographic
-    min of the hex digests — engine-portable (same values in DuckDB).
+    ``hash_fn="md5"`` (default): hash_s(shingle) = md5(s || ':' ||
+    shingle); minhash = lexicographic min of the hex digests —
+    engine-portable (same values in DuckDB), which is what the driver's
+    value-hash gate replays.
+
+    ``hash_fn="xxhash64"``: the production throughput path —
+    xxhash64(seed, shingle) as a signed long, minhash = numeric min.
+    Any consistent total order over a well-mixed hash is a valid
+    min-hash permutation, so recall/threshold behavior is statistically
+    equivalent — the two families draw DIFFERENT (equally valid) band
+    samples for near-dups, while byte-identical docs are caught under
+    either (pinned by test).  What changes is cost: no crypto digest, no 32-char hex strings — the
+    shuffle row shrinks ~4× and hashing is ~an order of magnitude
+    cheaper (A/B in BENCH/NOTES.md).  Not DuckDB-replayable (no
+    xxhash64 there), hence not the catalog default.
     """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn}")
     sh = word_shingles(df, text_col, id_col, n=shingle_n)
     seeds = F.explode(
         F.array(*[F.lit(i) for i in range(num_hashes)])
     ).alias("seed")
-    hashed = (
-        sh.select(id_col, "shingle", seeds)
-        .select(
-            id_col,
-            "seed",
-            F.md5(
-                F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))
-            ).alias("h"),
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.col("seed"), F.col("shingle"))
+    else:
+        h = F.md5(
+            F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))
         )
+    hashed = sh.select(id_col, "shingle", seeds).select(
+        id_col, "seed", h.alias("h")
     )
     return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
 
@@ -119,6 +135,7 @@ def minhash_lsh_candidates(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     max_bucket: int | None = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs ``(a, b)`` (a < b): docs agreeing on ≥1 band.
 
@@ -137,14 +154,28 @@ def minhash_lsh_candidates(
     ``exact_duplicates`` (identical text ⇒ identical md5), which is the
     correct tool for that regime.  ``None`` disables the cap.
     """
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, hash_fn=hash_fn
+    )
     band = (F.col("seed") / rows_per_band).cast("int").alias("band")
+    # explicit string cast: the xxhash64 path's minhash is a long, and
+    # ANSI mode rejects implicit bigint→string in concat_ws (no-op for
+    # the md5 path, whose minhash is already a string)
     bands = (
         sig.select(id_col, band, "seed", "minhash")
         .groupBy(id_col, "band")
         .agg(
             F.concat_ws(
-                "|", F.array_sort(F.collect_list(F.concat_ws("=", F.col("seed").cast("string"), "minhash")))
+                "|",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(
+                            "=",
+                            F.col("seed").cast("string"),
+                            F.col("minhash").cast("string"),
+                        )
+                    )
+                ),
             ).alias("band_key")
         )
     )
@@ -377,6 +408,7 @@ def dedup_clusters(
     shingle_n: int = 3,
     threshold: float = 0.8,
     max_bucket: int | None = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """End-to-end near-duplicate clustering — the canonical web-corpus
     dedup pipeline: ``(doc_id, cluster_id, is_canonical)``.
@@ -406,7 +438,8 @@ def dedup_clusters(
     from linkgraph.graph import Graph
 
     cand = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, rows_per_band, shingle_n, max_bucket
+        df, text_col, id_col, num_hashes, rows_per_band, shingle_n,
+        max_bucket, hash_fn=hash_fn,
     )
     near = (
         jaccard_verify(df, cand, text_col, id_col, shingle_n)

@@ -233,3 +233,54 @@ def test_dedup_clusters_matches_union_find(spark):
     for c, members in clusters.items():
         assert min(d for d, _ in members) == c
         assert sum(canon for _, canon in members) == 1
+
+
+def test_minhash_xxhash64_path_equivalent_recall(spark):
+    """The xxhash64 throughput path is a different (equally valid) LSH
+    permutation family — candidate sets for NEAR-dups may differ from
+    the md5 path's sample, but the guaranteed recall is identical:
+    byte-identical docs share every signature under ANY hash family, so
+    every exact-duplicate pair must appear under both.  Also pin
+    determinism across runs."""
+    from linkgraph.textops.dedup import (
+        exact_duplicates,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    df = _docs(spark)
+    exact = exact_duplicates(df).collect()
+    by_group: dict = {}
+    for r in exact:
+        by_group.setdefault(r.group_id, []).append(r.doc_id)
+    must_pairs = {
+        (min(a, b), max(a, b))
+        for ids in by_group.values()
+        for a in ids
+        for b in ids
+        if a != b
+    }
+    assert must_pairs, "fixture corpus must contain exact dups"
+    for hf in ("md5", "xxhash64"):
+        got = {
+            (r.a, r.b)
+            for r in minhash_lsh_candidates(df, hash_fn=hf).collect()
+        }
+        assert must_pairs <= got, (hf, must_pairs - got)
+
+    s1 = sorted(
+        map(tuple, minhash_signatures(df, hash_fn="xxhash64").collect())
+    )
+    s2 = sorted(
+        map(tuple, minhash_signatures(df, hash_fn="xxhash64").collect())
+    )
+    assert s1 == s2  # deterministic, partitioning-independent
+
+
+def test_minhash_rejects_unknown_hash_fn(spark):
+    import pytest as _pytest
+
+    from linkgraph.textops.dedup import minhash_signatures
+
+    with _pytest.raises(ValueError):
+        minhash_signatures(_docs(spark), hash_fn="sha1").collect()
