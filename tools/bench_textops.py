@@ -244,6 +244,17 @@ def main() -> int:
         "minhash_lsh_candidates",
         lambda: materialize(minhash_lsh_candidates(docs)),
     )
+    # production hash family A/B (same shingles, long-valued signatures)
+    timed(
+        "minhash_signatures_xxhash64",
+        lambda: materialize(
+            minhash_signatures(docs, num_hashes=8, hash_fn="xxhash64")
+        ),
+    )
+    timed(
+        "minhash_lsh_candidates_xxhash64",
+        lambda: materialize(minhash_lsh_candidates(docs, hash_fn="xxhash64")),
+    )
 
     timed("quality_scores", lambda: materialize(quality_scores(docs)))
     timed("language_id", lambda: materialize(language_id(docs)))
