@@ -77,16 +77,55 @@ def extract_text(html: bytes) -> str:
     return b.decode("utf-8", errors="replace").strip()
 
 
-def extract_links(html: bytes) -> list[str]:
-    """All href targets of ``<a>`` tags, in document order."""
+_ATAG_RE = re.compile(rb"<a\b[^>]*", re.I)
+# rel value containing the nofollow token (quoted or unquoted form; the
+# same quote-backreference grammar as href, so `rel="nofollow ugc"` and
+# `rel=nofollow` both match while `relx=` / `data-rel=` cannot)
+_REL_NOFOLLOW_RE = re.compile(
+    rb"""(?<![\w:-])rel\s*=\s*(?:(["'])[^"'<>]*?\bnofollow\b[^"'<>]*?\1"""
+    rb"""|[^\s>"']*\bnofollow\b[^\s>"']*)""",
+    re.I,
+)
+_HREF_IN_TAG_RE = re.compile(
+    rb"""(?<![\w:-])href\s*=\s*(?:(["'])([^<>]*?)\1|([^\s>"'][^\s>]*))""",
+    re.I,
+)
+
+
+def extract_links(html: bytes, include_nofollow: bool = True) -> list[str]:
+    """All href targets of ``<a>`` tags, in document order.
+
+    ``include_nofollow=False`` drops links whose ``<a>`` tag carries a
+    ``rel`` value containing the ``nofollow`` token (RFC-style link-spam
+    hygiene: nofollow'd links are exactly the ones a site disavows for
+    ranking, so a spam-aware PageRank excludes them at extraction).  The
+    default keeps every link — the byte-pinned golden-bytes invariant
+    covers the default path, and nofollow-aware extraction is a strict
+    filter on top (per-tag scan instead of the single-document regex
+    pass — ~2× the regex work, same Arrow batch shape).
+    """
     if html is None:
         return []
-    return [
-        (m.group(2) if m.group(2) is not None else m.group(3)).decode(
-            "utf-8", errors="replace"
-        )
-        for m in _HREF_RE.finditer(html)
-    ]
+    if include_nofollow:
+        return [
+            (m.group(2) if m.group(2) is not None else m.group(3)).decode(
+                "utf-8", errors="replace"
+            )
+            for m in _HREF_RE.finditer(html)
+        ]
+    out = []
+    for tag in _ATAG_RE.finditer(html):
+        body = tag.group(0)
+        if _REL_NOFOLLOW_RE.search(body):
+            continue
+        m = _HREF_IN_TAG_RE.search(body)
+        if m is not None:
+            out.append(
+                (m.group(2) if m.group(2) is not None else m.group(3)).decode(
+                    "utf-8", errors="replace"
+                )
+            )
+    return out
 
 
 # --- Spark surface --------------------------------------------------------

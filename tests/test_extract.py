@@ -242,3 +242,35 @@ def test_inlink_host_diversity_farm_vs_editorial(spark):
     pop = got["https://hub.example/popular"]
     assert pop.inlinks == 4 and pop.distinct_hosts == 4
     assert pop.host_diversity == 1.0 and pop.top_host_share == 0.25
+
+
+def test_extract_links_nofollow_filter():
+    from linkgraph.extract import extract_links
+
+    html = (
+        b'<a href="/a">keep</a>'
+        b'<a rel="nofollow" href="/b">drop</a>'
+        b'<a href="/c" rel="ugc nofollow">drop attr-after-href</a>'
+        b"<a rel=nofollow href=/d>drop unquoted</a>"
+        b'<a rel="dofollow" href="/e">keep: token boundary</a>'
+        b'<a data-rel="nofollow" href="/f">keep: not the rel attr</a>'
+        b'<a href="/g" rel="sponsored">keep</a>'
+    )
+    assert extract_links(html) == ["/a", "/b", "/c", "/d", "/e", "/f", "/g"]
+    assert extract_links(html, include_nofollow=False) == [
+        "/a", "/e", "/f", "/g",
+    ]
+
+
+def test_extract_links_nofollow_path_equivalent_without_nofollow():
+    """On nofollow-free html the per-tag path must reproduce the
+    byte-pinned default path exactly."""
+    from linkgraph.extract import extract_links
+    from linkgraph.fixtures import pages_corpus
+
+    rows, _ = pages_corpus(40)
+    for r in rows:
+        html = r[2]
+        assert extract_links(html) == extract_links(
+            html, include_nofollow=False
+        ), html[:200]
