@@ -3718,6 +3718,81 @@ HYGIENE_SQL = (
 )
 
 
+def _recency_pagerank_unrolled_sql(iters: int = 10, alpha: float = 0.85) -> str:
+    """Recency-weighted power iteration over the full vertex graph,
+    unrolled.  Twin of ``q_recency_pagerank``: each source page gets a
+    synthetic capture warc_ts = 2024-01-01 + (doc_id % 365) days; edge
+    weight = 1 / (1 + age_days/30) aged against 2025-01-01 (computed
+    with real date arithmetic on BOTH engines — exact integer day
+    counts, so the weight doubles are bit-identical); walk probability
+    w/Σ_out w; dangling mass redistributed uniformly (same probability
+    form as the engine's PageRank)."""
+    w_expr = (
+        "1.0 / (1.0 + date_diff('day', "
+        "TIMESTAMP '2024-01-01' + INTERVAL (e.src % 365) DAY, "
+        "TIMESTAMP '2025-01-01') / 30.0)"
+    )
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        # EDGE_SQL already defines nn (= COUNT(*) FROM documents) — reuse
+        f"we AS MATERIALIZED (SELECT e.src, e.dst, {w_expr} AS w FROM edges e),",
+        "wdeg AS MATERIALIZED (SELECT src AS vid, SUM(w) AS wsum FROM we GROUP BY src),",
+        "p0 AS MATERIALIZED (SELECT doc_id AS vid, 1.0 / nn.n AS r FROM documents CROSS JOIN nn),",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"p{i - 1}"
+        parts.append(
+            f"""dang{i} AS (
+  SELECT COALESCE(SUM(p.r), 0.0) AS d FROM {prev} p
+  LEFT JOIN wdeg ON wdeg.vid = p.vid WHERE wdeg.vid IS NULL
+),
+p{i} AS MATERIALIZED (
+  SELECT v.vid,
+         {1 - alpha} / nn.n + {alpha} * (COALESCE(s.m, 0.0) + dd.d / nn.n) AS r
+  FROM {prev} v CROSS JOIN nn CROSS JOIN dang{i} dd
+  LEFT JOIN (
+    SELECT we.dst AS vid, SUM(p.r * we.w / wdeg.wsum) AS m
+    FROM we JOIN {prev} p ON p.vid = we.src JOIN wdeg ON wdeg.vid = we.src
+    GROUP BY we.dst
+  ) s ON s.vid = v.vid
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid, ROUND(r, 6) AS rank6 FROM p{iters} ORDER BY vid"
+    )
+    return "\n".join(parts)
+
+
+def q_recency_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-weighted PageRank: the crawl's warc_ts drives the walk
+    (a link from a recently captured page carries more weight — the
+    standard freshness prior of production web ranking).  Capture times
+    are synthesized deterministically (warc_ts = 2024-01-01 +
+    doc_id%365 days) so the DuckDB twin unrolls the same weighted power
+    iteration with REAL date arithmetic on both sides."""
+    from linkgraph.algorithms.pagerank import pagerank
+    from linkgraph.graph import Graph
+
+    e = build_edges_df(spark, sf_dir)
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    warc_ts = F.expr(
+        "timestampadd(DAY, CAST(src % 365 AS INT), TIMESTAMP '2024-01-01')"
+    )
+    age_days = F.datediff(
+        F.lit("2025-01-01").cast("date"), warc_ts.cast("date")
+    )
+    w = F.lit(1.0) / (F.lit(1.0) + age_days.cast("double") / F.lit(30.0))
+    we = (
+        e.select("src", "dst", w.alias("w"))
+        .repartition(parts, "src")
+        .sortWithinPartitions("src", "dst")
+    )
+    g = Graph(we, parts)
+    res = pagerank(g, alpha=0.85, tol=0.0, max_iters=10, weight_col="w")
+    return res.state.select("vid", F.round("rank", 6).alias("rank6"))
+
+
 # Snapshot churn: epoch B = thinned epoch A plus a deterministic batch
 # of reversed links from every 11th source (so added/removed/common are
 # all non-trivially non-zero).
@@ -3999,6 +4074,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "host_quality": q_host_quality,
     "bpe_pieces": q_bpe_pieces,
+    "recency_pagerank": q_recency_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -4102,4 +4178,5 @@ ORACLES: dict[str, str] = {
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
     "host_quality": HOST_QUALITY_SQL,
     "bpe_pieces": BPE_PIECES_SQL,
+    "recency_pagerank": _recency_pagerank_unrolled_sql(10, 0.85),
 }

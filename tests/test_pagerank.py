@@ -132,3 +132,59 @@ def test_weighted_pagerank_rejects_spmv(spark):
     g = Graph(df.repartition(parts, "src"), parts)
     with pytest.raises(ValueError):
         pagerank(g, weight_col="w", strategy="spmv")
+
+
+def test_recency_weighted_pagerank_prefers_fresh_sources(spark):
+    """Freshness weighting must shift rank toward pages linked by
+    RECENT captures: two targets with identical in-link structure
+    except source freshness diverge in the weighted walk, while plain
+    PageRank ties them."""
+    from conftest import edges_df
+
+    from linkgraph.algorithms.pagerank import pagerank
+    from linkgraph.graph import Graph
+    from pyspark.sql import functions as F
+
+    # hub 0 (fresh) -> 10; hub 1 (stale) -> 11; identical shape
+    edges = [(0, 10), (1, 11), (2, 0), (2, 1)]
+    e = edges_df(spark, edges)
+    w = F.when(F.col("src") == 0, F.lit(1.0)).otherwise(
+        F.when(F.col("src") == 1, F.lit(0.1)).otherwise(F.lit(1.0))
+    )
+    def wgraph(edf, wcol):
+        # weighted graphs use the direct constructor: from_edges
+        # normalizes to (src, dst) and would drop the weight column
+        we = (
+            edf.withColumn("w", wcol)
+            .repartition(4, "src")
+            .sortWithinPartitions("src", "dst")
+        )
+        return Graph(we, 4)
+
+    g = wgraph(e, w)
+    plain = {r.vid: r.rank for r in pagerank(g, tol=0.0, max_iters=8).state.collect()}
+    # structurally identical targets tie without weights
+    assert abs(plain[10] - plain[11]) < 1e-12
+    wres = {
+        r.vid: r.rank
+        for r in pagerank(g, tol=0.0, max_iters=8, weight_col="w").state.collect()
+    }
+    # weight only rescales the walk THROUGH 0 and 1 (single out-edge
+    # each: w/Σw = 1 either way) — the discriminating case is a source
+    # with mixed-weight out-edges:
+    edges2 = [(2, 0), (2, 1), (0, 10), (1, 11)]
+    w2 = F.when(
+        (F.col("src") == 2) & (F.col("dst") == 0), F.lit(1.0)
+    ).otherwise(
+        F.when((F.col("src") == 2) & (F.col("dst") == 1), F.lit(0.1)).otherwise(
+            F.lit(1.0)
+        )
+    )
+    g2 = wgraph(edges_df(spark, edges2), w2)
+    wres2 = {
+        r.vid: r.rank
+        for r in pagerank(g2, tol=0.0, max_iters=8, weight_col="w").state.collect()
+    }
+    assert wres2[0] > wres2[1]
+    assert wres2[10] > wres2[11]
+    _ = wres
