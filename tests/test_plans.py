@@ -619,3 +619,19 @@ def test_condensation_round_comp_sized_state(spark, plan_graph):
         assert "BroadcastNestedLoopJoin" not in live, live
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_textop_entries_prune_parquet_scan(spark):
+    """The scan-bound corpus passes must read ONLY (doc_id, text) from
+    the documents parquet — an entry that drags html/lang/warc_ts into
+    the scan multiplies 100 TB of IO for nothing."""
+    from linkgraph.queries import QUERIES
+
+    for name in ("pii_scan", "c4_filters", "encoding_hygiene", "bpe_pieces"):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = formatted_plan(df)
+        scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert scans, (name, plan)
+        for ln in scans:
+            assert "doc_id" in ln and "text" in ln, (name, ln)
+            assert "lang" not in ln and "warc_ts" not in ln, (name, ln)
