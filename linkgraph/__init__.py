@@ -91,6 +91,7 @@ from linkgraph.algorithms.coreness import coreness
 from linkgraph.algorithms.scc import (
     strongly_connected_components,
     bowtie_decomposition,
+    condensation_levels,
 )
 from linkgraph.algorithms.salsa import salsa
 from linkgraph.algorithms.eigen import eigenvector_centrality
@@ -100,7 +101,10 @@ from linkgraph.algorithms.graphstats import (
     degree_assortativity,
     clustering_coefficients,
     global_clustering,
+    bipartite_components,
+    powerlaw_alpha,
 )
+from linkgraph.algorithms.triangles import triad_census
 
 __all__ = [
     "Graph",
@@ -137,6 +141,10 @@ __all__ = [
     "degree_assortativity",
     "clustering_coefficients",
     "global_clustering",
+    "condensation_levels",
+    "bipartite_components",
+    "powerlaw_alpha",
+    "triad_census",
 ]
 
 __version__ = "0.1.0"

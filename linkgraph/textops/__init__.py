@@ -19,8 +19,11 @@ from linkgraph.textops.dedup import (
     simhash_near_duplicates,
 )
 from linkgraph.textops.quality import (
+    bpe_piece_stats,
     doc_fingerprint,
+    encoding_hygiene,
     language_id,
+    pii_scan,
     quality_scores,
     token_counts,
 )
@@ -29,6 +32,8 @@ from linkgraph.textops.ann import (
     embedding_near_duplicates,
     lsh_cosine_topk,
 )
+from linkgraph.textops.corpus import c4_filters, host_rollup
+from linkgraph.textops.dedup import dedup_clusters
 
 __all__ = [
     "exact_duplicates",
@@ -44,4 +49,10 @@ __all__ = [
     "cosine_topk",
     "embedding_near_duplicates",
     "lsh_cosine_topk",
+    "bpe_piece_stats",
+    "encoding_hygiene",
+    "pii_scan",
+    "c4_filters",
+    "host_rollup",
+    "dedup_clusters",
 ]
