@@ -95,7 +95,7 @@ from linkgraph.algorithms.scc import (
 )
 from linkgraph.algorithms.salsa import salsa
 from linkgraph.algorithms.eigen import eigenvector_centrality
-from linkgraph.algorithms.ktruss import k_truss
+from linkgraph.algorithms.ktruss import k_truss, trussness
 from linkgraph.algorithms.graphstats import (
     reciprocity,
     degree_assortativity,
@@ -137,6 +137,7 @@ __all__ = [
     "salsa",
     "eigenvector_centrality",
     "k_truss",
+    "trussness",
     "reciprocity",
     "degree_assortativity",
     "clustering_coefficients",

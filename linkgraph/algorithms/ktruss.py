@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.graph import Graph
+from linkgraph.algorithms.coreness import _H_FOLD
 
 
 def _canon_ab(graph: Graph) -> DataFrame:
@@ -122,4 +123,160 @@ def truss_peel_rounds(graph: Graph, k: int, rounds: int) -> DataFrame:
         )
     return _edge_support(canon).select(
         "a", "b", F.col("support").cast("long").alias("support")
+    )
+
+
+def _triangle_corner_edges(canon: DataFrame) -> DataFrame:
+    """All (edge, other-edge, other-edge) triples of the triangle set
+    over a canonical (a < b) edge table: columns ``(a, b, oa1, ob1,
+    oa2, ob2)`` — three rows per triangle, one per corner edge.
+
+    Built ONCE per decomposition (the h-operator iterates VALUES over
+    this fixed structure, unlike k_truss peeling, which re-enumerates
+    triangles over each shrinking subgraph); enumeration itself uses
+    the same degree-ordered oriented wedge kernel as triangles.py.
+    """
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .unionAll(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = canon.join(
+        deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a"
+    ).join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("x"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("y"),
+    )
+    e1 = o.select(F.col("x").alias("u"), F.col("y").alias("v"))
+    e2 = o.select(F.col("x").alias("v"), F.col("y").alias("w"))
+    wedges = e1.join(e2, "v").select("u", "v", "w")
+    closing = o.select(F.col("x").alias("u"), F.col("y").alias("w"))
+    tris = wedges.join(closing, ["u", "w"], "left_semi")
+    edge = lambda p, q: F.struct(  # noqa: E731
+        F.least(p, q).alias("a"), F.greatest(p, q).alias("b")
+    )
+    uv, vw, uw = (
+        edge(F.col("u"), F.col("v")),
+        edge(F.col("v"), F.col("w")),
+        edge(F.col("u"), F.col("w")),
+    )
+    corners = tris.select(
+        F.explode(
+            F.array(
+                F.struct(uv.alias("e"), vw.alias("o1"), uw.alias("o2")),
+                F.struct(vw.alias("e"), uv.alias("o1"), uw.alias("o2")),
+                F.struct(uw.alias("e"), uv.alias("o1"), vw.alias("o2")),
+            )
+        ).alias("t")
+    )
+    return corners.select(
+        F.col("t.e.a").alias("a"),
+        F.col("t.e.b").alias("b"),
+        F.col("t.o1.a").alias("oa1"),
+        F.col("t.o1.b").alias("ob1"),
+        F.col("t.o2.a").alias("oa2"),
+        F.col("t.o2.b").alias("ob2"),
+    )
+
+
+def trussness(graph: Graph, max_iters: int = 200) -> DataFrame:
+    """Full truss decomposition — per-edge truss number ``(a, b,
+    trussness)``: the max k such that the edge survives in the k-truss;
+    triangle-free edges get 2.  The edge-level companion of
+    :func:`linkgraph.algorithms.coreness.coreness`.
+
+    Local h-operator formulation (Sariyuce, Seshadhri & Pinar, *Local
+    algorithms for hierarchical dense subgraph discovery*, VLDB 2018):
+    with s(e) = t(e) − 2, initialize s₀ = triangle support and iterate
+
+        s'(e) = min(s(e), H({ min(s(f), s(g)) : triangles (e, f, g) }))
+
+    (H = h-index).  Monotone non-increasing from the support upper
+    bound, exact at fixpoint, and idempotent past it — the same
+    convergence argument as the coreness H-operator, which is what lets
+    the DuckDB twin unroll a fixed generous round count.
+
+    Scale shape: triangles are enumerated ONCE (hub-safe oriented
+    kernel) into a fixed 3·T-row corner table; each round is two
+    equi-joins of that table against the |E|-row state plus one
+    histogram-fold h-index aggregation (the same
+    ``max-over-prefixes-of-min`` JVM fold as coreness) — no triangle
+    re-enumeration per round, unlike ``k_truss`` peeling.
+    """
+    from linkgraph.superstep import changed_stats, iterate
+
+    num_parts = graph.num_partitions
+    canon = _canon_ab(graph)
+    corners = (
+        _triangle_corner_edges(canon)
+        .repartition(num_parts, "a", "b")
+        .localCheckpoint()
+    )
+    support = corners.groupBy("a", "b").agg(F.count(F.lit(1)).alias("_sup"))
+    init = (
+        canon.join(support, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce("_sup", F.lit(0)).cast("long").alias("s"),
+            F.lit(True).alias("_changed"),
+        )
+    )
+
+    def _round(state: DataFrame, i: int) -> DataFrame:
+        sv = state.select("a", "b", "s")
+        vals = (
+            corners.join(
+                sv.select(
+                    F.col("a").alias("oa1"),
+                    F.col("b").alias("ob1"),
+                    F.col("s").alias("_s1"),
+                ),
+                ["oa1", "ob1"],
+            )
+            .join(
+                sv.select(
+                    F.col("a").alias("oa2"),
+                    F.col("b").alias("ob2"),
+                    F.col("s").alias("_s2"),
+                ),
+                ["oa2", "ob2"],
+            )
+            .select("a", "b", F.least("_s1", "_s2").alias("_val"))
+        )
+        hist = vals.groupBy("a", "b", "_val").agg(F.count(F.lit(1)).alias("cnt"))
+        h = (
+            hist.groupBy("a", "b")
+            .agg(
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_val").alias("c"), "cnt"))
+                    )
+                ).alias("_hist")
+            )
+            .select("a", "b", F.expr(_H_FOLD).alias("_h"))
+        )
+        merged = F.least("s", F.coalesce("_h", F.col("s")))
+        return state.join(h, ["a", "b"], "left").select(
+            "a",
+            "b",
+            merged.alias("s"),
+            (merged != F.col("s")).alias("_changed"),
+        )
+
+    res = iterate(
+        init.repartition(num_parts, "a", "b"),
+        _round,
+        stats_cols=changed_stats(),
+        converged=lambda st: (st.get("changed") or 0) == 0,
+        max_iters=max_iters,
+        partition_key="a",
+    )
+    return res.state.select(
+        "a", "b", (F.col("s") + 2).cast("long").alias("trussness")
     )

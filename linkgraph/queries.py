@@ -988,6 +988,66 @@ s{i} AS (
     return "\n".join(parts)
 
 
+def _trussness_sql(rounds: int = 16) -> str:
+    """Full truss-decomposition twin (trussness): the edge h-operator
+    unrolled ``rounds`` times from the support upper bound.  The
+    operator is monotone non-increasing and idempotent past the
+    fixpoint (same argument as _coreness_sql), so any unroll ≥ the
+    fixture's convergence depth matches the engine's
+    converge-or-max_iters run exactly.  Naive x<y<z triangle
+    enumeration, ONCE (the h-operator iterates values over the fixed
+    triangle structure — the corner table is built a single time, as in
+    the engine)."""
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        CANON_SQL.strip() + ",",
+        """tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM canon e1
+  JOIN canon e2 ON e2.a = e1.b
+  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+),""",
+        """corners AS MATERIALIZED (
+  SELECT x AS a, y AS b, x AS oa1, z AS ob1, y AS oa2, z AS ob2 FROM tri
+  UNION ALL
+  SELECT x AS a, z AS b, x AS oa1, y AS ob1, y AS oa2, z AS ob2 FROM tri
+  UNION ALL
+  SELECT y AS a, z AS b, x AS oa1, y AS ob1, x AS oa2, z AS ob2 FROM tri
+),""",
+        """s0 AS MATERIALIZED (
+  SELECT c.a, c.b, COALESCE(sup.n, 0) AS s FROM canon c
+  LEFT JOIN (SELECT a, b, COUNT(*) AS n FROM corners GROUP BY a, b) sup
+  ON sup.a = c.a AND sup.b = c.b
+),""",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f"""v{i} AS (
+  SELECT c.a, c.b, LEAST(x1.s, x2.s) AS val
+  FROM corners c
+  JOIN {prev} x1 ON x1.a = c.oa1 AND x1.b = c.ob1
+  JOIN {prev} x2 ON x2.a = c.oa2 AND x2.b = c.ob2
+),
+h{i} AS (
+  SELECT a, b, MAX(LEAST(val, rn)) AS h FROM (
+    SELECT a, b, val,
+           ROW_NUMBER() OVER (PARTITION BY a, b ORDER BY val DESC) AS rn
+    FROM v{i}
+  ) t GROUP BY a, b
+),
+s{i} AS MATERIALIZED (
+  SELECT p.a, p.b, LEAST(p.s, COALESCE(h.h, p.s)) AS s
+  FROM {prev} p LEFT JOIN h{i} h ON h.a = p.a AND h.b = p.b
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT a, b, CAST(s + 2 AS BIGINT) AS trussness "
+        f"FROM s{rounds} ORDER BY a, b"
+    )
+    return "\n".join(parts)
+
+
 def _kcore_peel_sql(k: int = 3, rounds: int = 8) -> str:
     """Fixed-round peel (deterministic partial peel, twin of
     k_core_peel_rounds — both sides run exactly ``rounds`` rounds)."""
@@ -2791,6 +2851,14 @@ def q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trussness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full truss decomposition (algorithms/ktruss.py trussness) over
+    the derived graph; DuckDB twin unrolls the edge h-operator."""
+    from linkgraph.algorithms.ktruss import trussness
+
+    return trussness(build_graph(spark, sf_dir))
+
+
 def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full coreness decomposition (converged H-operator run — the
     production function, not a fixed-round twin; the SQL side unrolls
@@ -4075,6 +4143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_quality": q_host_quality,
     "bpe_pieces": q_bpe_pieces,
     "recency_pagerank": q_recency_pagerank,
+    "trussness": q_trussness,
 }
 
 ORACLES: dict[str, str] = {
@@ -4179,4 +4248,5 @@ ORACLES: dict[str, str] = {
     "host_quality": HOST_QUALITY_SQL,
     "bpe_pieces": BPE_PIECES_SQL,
     "recency_pagerank": _recency_pagerank_unrolled_sql(10, 0.85),
+    "trussness": _trussness_sql(16),
 }

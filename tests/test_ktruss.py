@@ -79,3 +79,67 @@ def test_peel_rounds_prefix_of_fixpoint(spark):
         for r in truss_peel_rounds(g, 3, rounds=0).collect()
     }
     assert raw[(3, 7)] == 0 and raw[(2, 4)] == 0
+
+
+def _trussness_oracle(edges):
+    """Sequential peeling truss decomposition over the simple undirected
+    graph: t(e) = k-1 when e is dropped while peeling toward the
+    k-truss; triangle-free edges get 2."""
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    t = {}
+    k = 3
+    while canon:
+        while True:
+            sup = {e: 0 for e in canon}
+            for x, y in canon:
+                for z in {v for e in canon for v in e}:
+                    if z == x or z == y:
+                        continue
+                    if (min(x, z), max(x, z)) in canon and (
+                        min(y, z), max(y, z)
+                    ) in canon:
+                        sup[(x, y)] += 1
+                sup[(x, y)] //= 1
+            drop = {e for e, s_ in sup.items() if s_ < k - 2}
+            if not drop:
+                break
+            for e in drop:
+                t[e] = k - 1
+            canon -= drop
+        k += 1
+        if k > 64:
+            for e in canon:
+                t[e] = k - 1
+            break
+    return t
+
+
+def test_trussness_hand_graphs(spark):
+    from linkgraph.algorithms.ktruss import trussness
+
+    # K4 (trussness 4) + pendant triangle sharing vertex 3 (trussness 3)
+    # + a chain edge (trussness 2)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    extra = [(3, 4), (3, 5), (4, 5), (5, 6)]
+    g = _graph(spark, k4 + extra)
+    got = {(r.a, r.b): r.trussness for r in trussness(g).collect()}
+    want = _trussness_oracle(k4 + extra)
+    assert got == want, (got, want)
+    assert got[(0, 1)] == 4 and got[(3, 4)] == 3 and got[(5, 6)] == 2
+
+
+def test_trussness_matches_ktruss_slices(spark):
+    """trussness(e) >= k  <=>  e in k_truss(k), for every k present."""
+    import random
+
+    from linkgraph.algorithms.ktruss import k_truss, trussness
+
+    rng = random.Random(5)
+    edges = list({(rng.randrange(12), rng.randrange(12)) for _ in range(46)})
+    edges = [(a, b) for a, b in edges if a != b]
+    g = _graph(spark, edges)
+    tn = {(r.a, r.b): r.trussness for r in trussness(g).collect()}
+    assert tn == _trussness_oracle(edges)
+    for k in sorted({v for v in tn.values() if v >= 3}):
+        in_truss = {(r.a, r.b) for r in k_truss(g, k).collect()}
+        assert in_truss == {e for e, v in tn.items() if v >= k}, k
