@@ -635,3 +635,13 @@ def test_textop_entries_prune_parquet_scan(spark):
         for ln in scans:
             assert "doc_id" in ln and "text" in ln, (name, ln)
             assert "lang" not in ln and "warc_ts" not in ln, (name, ln)
+
+
+def test_trussness_round_plan_no_cartesian(spark, plan_graph):
+    """Truss h-operator: corner-table joins are pair-keyed equi-joins;
+    no cartesian/nested-loop anywhere in the decomposition plan."""
+    from linkgraph.algorithms.ktruss import trussness
+
+    plan = formatted_plan(trussness(plan_graph, max_iters=2))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

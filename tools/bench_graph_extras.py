@@ -120,6 +120,10 @@ def main() -> int:
         "powerlaw_alpha",
         lambda: powerlaw_alpha(g, xmin=2).collect()[0]["alpha"],
     )
+
+    from linkgraph.algorithms.ktruss import trussness
+
+    timed("trussness", lambda: trussness(g).count())
     print(json.dumps(res))
     spark.stop()
     return 0
