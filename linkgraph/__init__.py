@@ -87,6 +87,7 @@ from linkgraph.algorithms.katz import katz
 from linkgraph.algorithms.anf import anf, effective_diameter, harmonic_centrality
 from linkgraph.algorithms.trustrank import trustrank, spam_mass
 from linkgraph.algorithms.walks import random_walks
+from linkgraph.algorithms.opic import opic, crawl_priorities
 from linkgraph.algorithms.coreness import coreness
 from linkgraph.algorithms.scc import (
     strongly_connected_components,
@@ -131,6 +132,8 @@ __all__ = [
     "trustrank",
     "spam_mass",
     "random_walks",
+    "opic",
+    "crawl_priorities",
     "coreness",
     "strongly_connected_components",
     "bowtie_decomposition",

@@ -3786,6 +3786,54 @@ HYGIENE_SQL = (
 )
 
 
+def _opic_unrolled_sql(iters: int = 8) -> str:
+    """Synchronous OPIC unroll (twin of algorithms/opic.py): cash moves
+    along out-links in equal shares each step, history banks the moved
+    cash, dangling cash redistributes uniformly; importance =
+    (hist + cash) / (iters + 1)."""
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        "odeg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS od FROM edges GROUP BY src),",
+        "c0 AS MATERIALIZED (SELECT doc_id AS vid, 1.0 / nn.n AS cash, 0.0 AS hist FROM documents CROSS JOIN nn),",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f"""dang{i} AS (
+  SELECT COALESCE(SUM(c.cash), 0.0) AS d FROM {prev} c
+  LEFT JOIN odeg ON odeg.vid = c.vid WHERE odeg.vid IS NULL
+),
+c{i} AS MATERIALIZED (
+  SELECT v.vid,
+         COALESCE(s.m, 0.0) + dd.d / nn.n AS cash,
+         v.hist + v.cash AS hist
+  FROM {prev} v CROSS JOIN nn CROSS JOIN dang{i} dd
+  LEFT JOIN (
+    SELECT e.dst AS vid, SUM(c.cash / odeg.od) AS m
+    FROM edges e JOIN {prev} c ON c.vid = e.src
+    JOIN odeg ON odeg.vid = e.src
+    GROUP BY e.dst
+  ) s ON s.vid = v.vid
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid, ROUND((hist + cash) / {iters + 1}.0, 6) AS importance6 "
+        f"FROM c{iters} ORDER BY vid"
+    )
+    return "\n".join(parts)
+
+
+def q_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC crawl priorities (algorithms/opic.py crawl_priorities) —
+    8 synchronous cash-flow steps over the derived graph."""
+    from linkgraph.algorithms.opic import crawl_priorities
+
+    return crawl_priorities(build_graph(spark, sf_dir), iters=8).select(
+        "vid", F.round("importance", 6).alias("importance6")
+    )
+
+
 def _recency_pagerank_unrolled_sql(iters: int = 10, alpha: float = 0.85) -> str:
     """Recency-weighted power iteration over the full vertex graph,
     unrolled.  Twin of ``q_recency_pagerank``: each source page gets a
@@ -4144,6 +4192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pieces": q_bpe_pieces,
     "recency_pagerank": q_recency_pagerank,
     "trussness": q_trussness,
+    "opic8": q_opic,
 }
 
 ORACLES: dict[str, str] = {
@@ -4249,4 +4298,5 @@ ORACLES: dict[str, str] = {
     "bpe_pieces": BPE_PIECES_SQL,
     "recency_pagerank": _recency_pagerank_unrolled_sql(10, 0.85),
     "trussness": _trussness_sql(16),
+    "opic8": _opic_unrolled_sql(8),
 }

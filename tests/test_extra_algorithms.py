@@ -487,3 +487,45 @@ def test_luby_mis_knuth32_matches_python_twin(spark, chesapeake_graph):
             expect[v] = -1
         rnd += 1
     assert status == expect
+
+
+def test_opic_invariants_and_python_twin(spark):
+    """Synchronous OPIC: cash conserved (Σ = 1 every step), history
+    grows by exactly 1 per step, trajectory matches a sequential twin."""
+    from conftest import edges_df
+
+    from linkgraph.algorithms.opic import crawl_priorities, opic
+    from linkgraph.graph import Graph
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 2), (4, 0)]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+    iters = 6
+    res = opic(g, iters=iters)
+    rows = {r.vid: (r.cash, r.hist) for r in res.state.collect()}
+    assert abs(sum(c for c, _ in rows.values()) - 1.0) < 1e-9
+    assert abs(sum(h for _, h in rows.values()) - iters) < 1e-9
+
+    # sequential twin
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    out = {v: [d for s, d in edges if s == v] for v in verts}
+    cash = {v: 1.0 / n for v in verts}
+    hist = {v: 0.0 for v in verts}
+    for _ in range(iters):
+        nxt = {v: 0.0 for v in verts}
+        dang = sum(cash[v] for v in verts if not out[v])
+        for v in verts:
+            hist[v] += cash[v]
+            if out[v]:
+                share = cash[v] / len(out[v])
+                for d in out[v]:
+                    nxt[d] += share
+        for v in verts:
+            nxt[v] += dang / n
+        cash = nxt
+    for v in verts:
+        assert abs(rows[v][0] - cash[v]) < 1e-9, v
+        assert abs(rows[v][1] - hist[v]) < 1e-9, v
+
+    imp = {r.vid: r.importance for r in crawl_priorities(g, iters=iters).collect()}
+    assert abs(sum(imp.values()) - 1.0) < 1e-9
