@@ -73,7 +73,7 @@ from linkgraph.algorithms.pagerank import pagerank
 from linkgraph.algorithms.cc import connected_components
 from linkgraph.algorithms.labelprop import label_propagation
 from linkgraph.algorithms.triangles import triangle_count, triangle_counts_per_vertex
-from linkgraph.algorithms.bfs import bfs
+from linkgraph.algorithms.bfs import bfs, multi_source_bfs
 from linkgraph.algorithms.sssp import sssp
 from linkgraph.algorithms.ppr import personalized_pagerank
 from linkgraph.algorithms.hits import hits
@@ -115,6 +115,7 @@ __all__ = [
     "triangle_count",
     "triangle_counts_per_vertex",
     "bfs",
+    "multi_source_bfs",
     "sssp",
     "personalized_pagerank",
     "hits",

@@ -228,3 +228,73 @@ def bfs(
     return IterationResult(
         state=state, iterations=depth, converged=done, history=history
     )
+
+
+def multi_source_bfs(
+    graph: Graph,
+    sources: DataFrame,
+    directed: bool = True,
+    max_iters: int = 200,
+) -> IterationResult:
+    """Depths from the NEAREST of many sources in one traversal:
+    state ``(vid, depth)`` with depth = min over sources of hop
+    distance; unreachable vertices keep NULL.
+
+    ``sources`` is a DataFrame with a ``vid`` column (arbitrary size —
+    a frontier seed set, every component root, a list of seed hosts).
+    All sources start at depth 0 in the SAME fixpoint, so the cost is
+    one BFS over the graph regardless of |sources| — the primitive
+    behind :func:`linkgraph.algorithms.graphstats.bipartite_components`
+    layering and the standard "distance to nearest seed" feature
+    (spam distance, crawl-depth-from-seeds).
+
+    Each round is the engine's delta-frontier min-propagation superstep
+    (exchange-free gather over the persisted layout, map-side-combined
+    min) — identical physics to single-source :func:`bfs`, which it
+    reproduces exactly when ``sources`` has one row (pinned by test).
+    """
+    from linkgraph.superstep import changed_stats, iterate
+
+    edges = graph.edges if directed else graph.symmetrized_edges
+    seeds = sources.select(F.col("vid")).distinct()
+    init = graph.vertices.join(
+        seeds.withColumn("_s", F.lit(True)), "vid", "left"
+    ).select(
+        "vid",
+        F.when(F.col("_s"), F.lit(0).cast("long")).alias("depth"),
+        F.coalesce("_s", F.lit(False)).alias("_changed"),
+    )
+
+    def _round(state: DataFrame, i: int) -> DataFrame:
+        frontier = state.where(F.col("_changed")).select(
+            F.col("vid").alias("src"), "depth"
+        )
+        cand = (
+            edges.join(frontier, "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg((F.min("depth") + F.lit(1)).cast("long").alias("_cand"))
+        )
+        improved = F.col("_cand").isNotNull() & (
+            F.col("depth").isNull() | (F.col("_cand") < F.col("depth"))
+        )
+        return state.join(cand, "vid", "left").select(
+            "vid",
+            F.when(improved, F.col("_cand")).otherwise(F.col("depth")).alias(
+                "depth"
+            ),
+            improved.alias("_changed"),
+        )
+
+    res = iterate(
+        init,
+        _round,
+        stats_cols=changed_stats(),
+        converged=lambda s: (s.get("changed") or 0) == 0,
+        max_iters=max_iters,
+    )
+    return IterationResult(
+        state=res.state.select("vid", "depth"),
+        iterations=res.iterations,
+        converged=res.converged,
+        history=res.history,
+    )

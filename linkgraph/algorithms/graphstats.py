@@ -238,8 +238,8 @@ def bipartite_components(graph: Graph, max_iters: int = 200) -> DataFrame:
     component-keyed aggregation (map-side combined).  No per-component
     driver loop anywhere.
     """
+    from linkgraph.algorithms.bfs import multi_source_bfs
     from linkgraph.algorithms.cc import connected_components
-    from linkgraph.superstep import changed_stats, iterate
 
     sym = graph.symmetrized_edges
     comp = (
@@ -247,43 +247,12 @@ def bipartite_components(graph: Graph, max_iters: int = 200) -> DataFrame:
         .state.select("vid", "comp")
         .localCheckpoint()
     )
-
-    init = comp.select(
-        "vid",
-        F.when(F.col("vid") == F.col("comp"), F.lit(0).cast("long")).alias(
-            "depth"
-        ),
-        (F.col("vid") == F.col("comp")).alias("_changed"),
-    )
-
-    def _round(state: DataFrame, i: int) -> DataFrame:
-        frontier = state.where(F.col("_changed")).select(
-            F.col("vid").alias("src"), "depth"
-        )
-        cand = (
-            sym.join(frontier, "src")
-            .groupBy(F.col("dst").alias("vid"))
-            .agg((F.min("depth") + F.lit(1)).cast("long").alias("_cand"))
-        )
-        improved = F.col("_cand").isNotNull() & (
-            F.col("depth").isNull() | (F.col("_cand") < F.col("depth"))
-        )
-        return state.join(cand, "vid", "left").select(
-            "vid",
-            F.when(improved, F.col("_cand")).otherwise(F.col("depth")).alias(
-                "depth"
-            ),
-            improved.alias("_changed"),
-        )
-
-    res = iterate(
-        init,
-        _round,
-        stats_cols=changed_stats(),
-        converged=lambda s: (s.get("changed") or 0) == 0,
-        max_iters=max_iters,
-    )
-    depth = res.state.select("vid", "depth")
+    # every component root (hash-min label == min vid) layers in ONE
+    # multi-source traversal — cost independent of component count
+    roots = comp.select(F.col("comp").alias("vid")).distinct()
+    depth = multi_source_bfs(
+        graph, roots, directed=False, max_iters=max_iters
+    ).state
 
     und = sym.where(F.col("src") < F.col("dst"))
     tagged = (

@@ -3824,6 +3824,34 @@ c{i} AS MATERIALIZED (
     return "\n".join(parts)
 
 
+# Distance-to-nearest-trusted-seed (directed, seeds = every 100th vid):
+# capped multi-source walk, the same d<64 bound as BFS_SQL.
+SEED_DISTANCE_SQL = f"""
+WITH RECURSIVE {EDGE_SQL.strip()},
+seeds AS (SELECT doc_id AS vid FROM documents WHERE doc_id % 100 = 0),
+walk(vid, d) AS (
+  SELECT vid, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.vid
+  WHERE w.d < 64
+)
+SELECT d.doc_id AS vid, CAST(MIN(w.d) AS BIGINT) AS depth
+FROM documents d LEFT JOIN walk w ON w.vid = d.doc_id
+GROUP BY d.doc_id ORDER BY vid
+"""
+
+
+def q_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance to the nearest trusted seed (bfs.py
+    multi_source_bfs) — the TrustRank-companion locality feature: pages
+    far from every seed are where link spam lives."""
+    from linkgraph.algorithms.bfs import multi_source_bfs
+
+    g = build_graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("vid") % 100 == 0)
+    return multi_source_bfs(g, seeds, directed=True).state.orderBy("vid")
+
+
 def q_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPIC crawl priorities (algorithms/opic.py crawl_priorities) —
     8 synchronous cash-flow steps over the derived graph."""
@@ -4193,6 +4221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recency_pagerank": q_recency_pagerank,
     "trussness": q_trussness,
     "opic8": q_opic,
+    "seed_distance": q_seed_distance,
 }
 
 ORACLES: dict[str, str] = {
@@ -4299,4 +4328,5 @@ ORACLES: dict[str, str] = {
     "recency_pagerank": _recency_pagerank_unrolled_sql(10, 0.85),
     "trussness": _trussness_sql(16),
     "opic8": _opic_unrolled_sql(8),
+    "seed_distance": SEED_DISTANCE_SQL,
 }

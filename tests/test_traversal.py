@@ -87,3 +87,40 @@ def test_bfs_optimized_undirected(spark, chesapeake_graph):
     res = bfs(chesapeake_graph, 0, directed=False, direction="optimized")
     got = {r["vid"]: r["depth"] for r in res.state.collect()}
     assert got == bfs_oracle(chesapeake_edges(), 0, directed=False)
+
+
+def test_multi_source_bfs_single_source_matches_bfs(spark):
+    from conftest import edges_df
+
+    from linkgraph.algorithms.bfs import bfs, multi_source_bfs
+    from linkgraph.graph import Graph
+    from pyspark.sql import functions as F
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (1, 4), (5, 6)]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+    one = g.vertices.where(F.col("vid") == 0)
+    ms = {
+        r.vid: r.depth
+        for r in multi_source_bfs(g, one).state.collect()
+        if r.depth is not None
+    }
+    single = {
+        r.vid: r.depth
+        for r in bfs(g, 0).state.collect()
+        if r.depth is not None
+    }
+    assert ms == single  # reachable depths identical; ms keeps NULL rows
+
+
+def test_multi_source_bfs_nearest_seed(spark):
+    from conftest import edges_df
+
+    from linkgraph.algorithms.bfs import multi_source_bfs
+    from linkgraph.graph import Graph
+
+    # chain 0→1→2→3→4→5 with seeds {0, 4}: depths 0,1,2,3,0,1
+    edges = [(i, i + 1) for i in range(5)]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+    seeds = spark.createDataFrame([(0,), (4,)], "vid long")
+    got = {r.vid: r.depth for r in multi_source_bfs(g, seeds).state.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 0, 5: 1}
