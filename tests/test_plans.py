@@ -645,3 +645,36 @@ def test_trussness_round_plan_no_cartesian(spark, plan_graph):
     plan = formatted_plan(trussness(plan_graph, max_iters=2))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_opic_round_plan_single_live_shuffle(spark, plan_graph):
+    """OPIC step = PageRank's gather/reduce plus a broadcast 1-ROW
+    dangling aggregate — the |V|-sized sides must never broadcast."""
+    from linkgraph.algorithms.opic import opic_round
+
+    g = plan_graph
+    parts = g.num_partitions
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        state = strip_origin_stats(
+            g.vertices.select(
+                "vid",
+                F.lit(1.0 / g.num_vertices).alias("cash"),
+                F.lit(0.0).alias("hist"),
+            )
+            .join(g.out_degrees, "vid", "left")
+            .repartition(parts, "vid")
+            .sortWithinPartitions("vid")
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        )
+        out = opic_round(g, state, g.num_vertices)
+        live = live_tree(formatted_plan(out))
+        # the only broadcast allowed is the 1-row dangling aggregate
+        # (its cross join plans as a broadcast nested loop of ONE row —
+        # by design); the |V|-sized state/sums sides must not broadcast
+        assert live.count("BroadcastExchange") <= 1, live
+        assert "CartesianProduct" not in live, live
+        assert "BroadcastHashJoin" not in live, live
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
