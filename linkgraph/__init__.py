@@ -88,6 +88,7 @@ from linkgraph.algorithms.anf import anf, effective_diameter, harmonic_centralit
 from linkgraph.algorithms.trustrank import trustrank, spam_mass
 from linkgraph.algorithms.walks import random_walks
 from linkgraph.algorithms.opic import opic, crawl_priorities
+from linkgraph.algorithms.matching import maximal_matching, matched_pairs
 from linkgraph.algorithms.coreness import coreness
 from linkgraph.algorithms.scc import (
     strongly_connected_components,
@@ -135,6 +136,8 @@ __all__ = [
     "random_walks",
     "opic",
     "crawl_priorities",
+    "maximal_matching",
+    "matched_pairs",
     "coreness",
     "strongly_connected_components",
     "bowtie_decomposition",

@@ -1048,6 +1048,61 @@ s{i} AS MATERIALIZED (
     return "\n".join(parts)
 
 
+def _matching_sql(rounds: int = 24, seed: int = 42) -> str:
+    """Maximal-matching twin (algorithms/matching.py): the local-max
+    edge-selection rounds unrolled with the SAME md5 edge priority the
+    engine uses, so the trajectory replays exactly.  Rounds are
+    idempotent once no active edge remains, so any unroll ≥ the
+    fixture's convergence depth matches the engine fixpoint."""
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        CANON_SQL.strip() + ",",
+        "m0 AS MATERIALIZED (SELECT doc_id AS vid, CAST(NULL AS BIGINT) AS mate FROM documents),",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"m{i - 1}"
+        parts.append(
+            f"""un{i} AS (SELECT vid FROM {prev} WHERE mate IS NULL),
+ae{i} AS MATERIALIZED (
+  SELECT c.a, c.b,
+         md5(CAST(c.a AS VARCHAR) || ':' || CAST(c.b AS VARCHAR) || ':{seed}') AS p
+  FROM canon c
+  JOIN un{i} x ON x.vid = c.a
+  JOIN un{i} y ON y.vid = c.b
+),
+vm{i} AS (
+  SELECT vid, MAX(p) AS vp FROM (
+    SELECT a AS vid, p FROM ae{i} UNION ALL SELECT b AS vid, p FROM ae{i}
+  ) u GROUP BY vid
+),
+w{i} AS (
+  SELECT e.a, e.b FROM ae{i} e
+  JOIN vm{i} x ON x.vid = e.a AND x.vp = e.p
+  JOIN vm{i} y ON y.vid = e.b AND y.vp = e.p
+),
+m{i} AS MATERIALIZED (
+  SELECT m.vid, COALESCE(m.mate, nm.nm) AS mate
+  FROM {prev} m LEFT JOIN (
+    SELECT a AS vid, b AS nm FROM w{i} UNION ALL SELECT b AS vid, a AS nm FROM w{i}
+  ) nm ON nm.vid = m.vid
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid AS a, CAST(mate AS BIGINT) AS b FROM m{rounds} "
+        f"WHERE mate IS NOT NULL AND vid < mate ORDER BY a, b"
+    )
+    return "\n".join(parts)
+
+
+def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal matching (algorithms/matching.py matched_pairs) over the
+    derived graph; DuckDB twin unrolls the same md5-priority rounds."""
+    from linkgraph.algorithms.matching import matched_pairs
+
+    return matched_pairs(build_graph(spark, sf_dir), seed=42)
+
+
 def _kcore_peel_sql(k: int = 3, rounds: int = 8) -> str:
     """Fixed-round peel (deterministic partial peel, twin of
     k_core_peel_rounds — both sides run exactly ``rounds`` rounds)."""
@@ -4222,6 +4277,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trussness": q_trussness,
     "opic8": q_opic,
     "seed_distance": q_seed_distance,
+    "maximal_matching": q_matching,
 }
 
 ORACLES: dict[str, str] = {
@@ -4329,4 +4385,5 @@ ORACLES: dict[str, str] = {
     "trussness": _trussness_sql(16),
     "opic8": _opic_unrolled_sql(8),
     "seed_distance": SEED_DISTANCE_SQL,
+    "maximal_matching": _matching_sql(24, 42),
 }

@@ -529,3 +529,46 @@ def test_opic_invariants_and_python_twin(spark):
 
     imp = {r.vid: r.importance for r in crawl_priorities(g, iters=iters).collect()}
     assert abs(sum(imp.values()) - 1.0) < 1e-9
+
+
+def test_maximal_matching_valid_and_maximal(spark):
+    import random
+
+    from conftest import edges_df
+
+    from linkgraph.algorithms.matching import matched_pairs, maximal_matching
+    from linkgraph.graph import Graph
+
+    rng = random.Random(13)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(70)})
+    edges = [(a, b) for a, b in edges if a != b]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+    st = {r.vid: r.mate for r in maximal_matching(g).state.collect()}
+    canon = {(min(a, b), max(a, b)) for a, b in edges}
+    # validity: mates are symmetric and edge-backed
+    for v, m in st.items():
+        if m is not None:
+            assert st[m] == v, (v, m)
+            assert (min(v, m), max(v, m)) in canon
+    # maximality: no edge with both endpoints unmatched
+    for a, b in canon:
+        assert st[a] is not None or st[b] is not None, (a, b)
+    pairs = {(r.a, r.b) for r in matched_pairs(g).collect()}
+    assert pairs == {
+        (v, m) for v, m in st.items() if m is not None and v < m
+    }
+
+
+def test_maximal_matching_deterministic_and_seeded(spark):
+    from conftest import edges_df
+
+    from linkgraph.algorithms.matching import matched_pairs
+    from linkgraph.graph import Graph
+
+    edges = [(i, (i + 1) % 12) for i in range(12)] + [(0, 6), (3, 9)]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+    p1 = {(r.a, r.b) for r in matched_pairs(g, seed=42).collect()}
+    p2 = {(r.a, r.b) for r in matched_pairs(g, seed=42).collect()}
+    assert p1 == p2 and p1
+    p3 = {(r.a, r.b) for r in matched_pairs(g, seed=7).collect()}
+    assert p3  # different seed still a valid (possibly different) matching
