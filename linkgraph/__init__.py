@@ -107,6 +107,9 @@ from linkgraph.algorithms.graphstats import (
     powerlaw_alpha,
 )
 from linkgraph.algorithms.triangles import triad_census
+from linkgraph.algorithms.bfs import landmark_bfs, estimate_distance_upper
+from linkgraph.extract import resolve_redirects
+from linkgraph.events import sessionize, session_stats
 
 __all__ = [
     "Graph",
@@ -153,6 +156,11 @@ __all__ = [
     "bipartite_components",
     "powerlaw_alpha",
     "triad_census",
+    "landmark_bfs",
+    "estimate_distance_upper",
+    "resolve_redirects",
+    "sessionize",
+    "session_stats",
 ]
 
 __version__ = "0.1.0"

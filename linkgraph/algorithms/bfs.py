@@ -51,6 +51,8 @@ per-round |V|+|E|-scan floor on deeper graphs.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -297,4 +299,103 @@ def multi_source_bfs(
         iterations=res.iterations,
         converged=res.converged,
         history=res.history,
+    )
+
+
+def landmark_bfs(
+    graph: Graph,
+    landmarks: Sequence[int],
+    directed: bool = False,
+    max_iters: int = 200,
+) -> DataFrame:
+    """Landmark distance index: exact hop distances from every landmark
+    → ``(landmark, vid, depth)`` rows, one per (landmark, reached
+    vertex).
+
+    The standard web-scale shortest-path ESTIMATOR substrate (landmark /
+    sketch-based distance oracles, cf. Potamias et al. CIKM'09 — public
+    method): pick k well-spread landmarks, store d(l, ·) for each, and
+    answer d(u, v) queries with the triangle-inequality upper bound
+    ``min_l d(u,l) + d(l,v)`` (:func:`estimate_distance_upper`) — the
+    only way to serve point-to-point distance queries on a 10⁹-vertex
+    crawl without a per-query traversal.
+
+    All k landmarks run in ONE root-keyed frontier fixpoint (state is
+    (landmark, vid)-keyed, the bc_batched pattern): job count = graph
+    eccentricity, independent of k; per-round work ∝ Σ_l |frontier_l|.
+    Undirected by default (distance estimation wants the symmetric
+    metric; ``directed=True`` gives forward distances).
+
+    Each round is one hash-layout join of the frontier against the
+    persisted edge view + an anti-join against the settled set — the
+    same physics as :func:`bfs`, which this reproduces exactly for a
+    single landmark (pinned by test).
+    """
+    from linkgraph.superstep import plain_checkpoint
+
+    if not landmarks:
+        raise ValueError("landmark_bfs requires ≥1 landmark")
+    edges = graph.edges if directed else graph.symmetrized_edges
+    spark = graph.spark
+    settled = plain_checkpoint(
+        spark.createDataFrame(
+            [(int(l), int(l), 0) for l in dict.fromkeys(landmarks)],
+            "landmark long, vid long, depth long",
+        )
+    )
+    frontier = settled
+    depth = 0
+    for _ in range(max_iters):
+        cand = (
+            edges.join(
+                frontier.select(
+                    "landmark", F.col("vid").alias("src")
+                ).hint("merge"),
+                "src",
+            )
+            .select("landmark", F.col("dst").alias("vid"))
+            .dropDuplicates(["landmark", "vid"])
+        )
+        nxt = plain_checkpoint(
+            cand.join(
+                settled.select("landmark", "vid"),
+                ["landmark", "vid"],
+                "left_anti",
+            ).select(
+                "landmark", "vid", F.lit(depth + 1).cast("long").alias("depth")
+            ),
+            replaces=frontier if frontier is not settled else None,
+        )
+        if nxt.isEmpty():
+            break
+        settled = plain_checkpoint(settled.unionAll(nxt), replaces=settled)
+        frontier = nxt
+        depth += 1
+    return settled
+
+
+def estimate_distance_upper(
+    index: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Triangle-inequality upper bound from a :func:`landmark_bfs`
+    index (symmetric metric — build the index undirected):
+    ``(a, b) → (a, b, dist_ub)`` with
+    ``dist_ub = min_l depth(l,a) + depth(l,b)``; pairs with no common
+    reachable landmark get NULL (different components, as far as the
+    index can see).
+
+    Two broadcast-or-hash joins of the (small) query pair set against
+    the index + one min-agg — no traversal at query time.
+    """
+    da = index.select(
+        "landmark", F.col("vid").alias("a"), F.col("depth").alias("_da")
+    )
+    db = index.select(
+        "landmark", F.col("vid").alias("b"), F.col("depth").alias("_db")
+    )
+    return (
+        pairs.join(da, "a", "left")
+        .join(db, ["landmark", "b"], "left")
+        .groupBy("a", "b")
+        .agg(F.min(F.col("_da") + F.col("_db")).alias("dist_ub"))
     )

@@ -439,3 +439,73 @@ def anchor_index(
         .where(F.col("_rk") <= top_k)
         .drop("_rk")
     )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Collapse redirect/canonical chains by pointer doubling →
+    ``(src, target, hops, resolved)``.
+
+    ``redirects`` is a FUNCTIONAL mapping (≤1 outgoing redirect per
+    source: HTTP 301/302, ``rel=canonical``, mirror aliases).  A crawl
+    stores one hop per page; consumers need the FINAL target —
+    following chains one hop per Spark job costs a job per chain link.
+    Pointer doubling composes the mapping with itself each round
+    (``f ← f∘f``), so a chain of length L resolves in ⌈log₂ L⌉ rounds —
+    at web scale (chains of thousands of hops exist in the wild via
+    redirect loops-with-tails and URL-rewrite cascades) this is the
+    difference between 12 jobs and thousands.
+
+    Per round: ONE self-equi-join of the (src, ptr) state on
+    ``ptr == src`` (AQE handles the skew; state size is |redirects|,
+    CONSTANT across rounds — nothing accumulates) plus the convergence
+    count.  ``hops`` adds through composition (hops_a + hops_b), so the
+    output reports true chain length, not round count.
+
+    Cycles (``a→b→a``): a pointer inside a cycle never leaves it, so
+    such rows are still un-terminal after ``max_rounds`` and are
+    returned with ``resolved = false`` and ``target`` = wherever the
+    pointer stopped — the caller's signal to drop the URL (a redirect
+    cycle serves no content).  Rows whose chain merely PASSES THROUGH
+    long chains resolve normally; ⌈log₂ L⌉ ≤ 64 covers any L that fits
+    in memory anywhere.
+    """
+    from linkgraph.superstep import plain_checkpoint
+
+    state = plain_checkpoint(
+        redirects.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("ptr"),
+            F.lit(1).cast("long").alias("hops"),
+            F.lit(False).alias("done"),
+        )
+    )
+    for _ in range(max_rounds):
+        hop = state.select(
+            F.col("src").alias("_k"),
+            F.col("ptr").alias("_p"),
+            F.col("hops").alias("_h"),
+        )
+        nxt = plain_checkpoint(
+            state.join(hop, state["ptr"] == hop["_k"], "left").select(
+                "src",
+                F.coalesce("_p", "ptr").alias("ptr"),
+                (F.col("hops") + F.coalesce("_h", F.lit(0))).alias("hops"),
+                # terminal ⇔ the pointer is not itself a redirect source
+                (F.col("done") | F.col("_p").isNull()).alias("done"),
+            ),
+            replaces=state,
+        )
+        state = nxt
+        if state.where(~F.col("done")).isEmpty():
+            break
+    return state.select(
+        "src",
+        F.col("ptr").alias("target"),
+        "hops",
+        F.col("done").alias("resolved"),
+    )

@@ -4181,6 +4181,187 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_filters(spark.sql(C4_DOCS_SQL))
 
 
+# ---------------------------------------------------------------------------
+# sessionization (events), mirror hosts, redirect resolution, landmark index
+# ---------------------------------------------------------------------------
+
+# gap-based sessionization twin (linkgraph/events.py session_stats):
+# the gap compare is integer MICROSECONDS on both sides (unix_micros /
+# epoch_us) — exact arithmetic, no float-epoch boundary flakiness.
+# 6-hour gap: the driver events table's inter-event gaps have p10≈1.1h
+# and median≈7.3h per user, so 6h yields a real mix of multi-event and
+# singleton sessions (30min would make nearly every event a session).
+SESSIONIZE_GAP_S = 21600
+
+SESSIONIZE_SQL = f"""
+WITH lagd AS (
+  SELECT user_id, event_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > {SESSIONIZE_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS new_s
+  FROM lagd
+),
+tagged AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       ROUND(SUM(value), 4) AS value_sum4
+FROM tagged GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events log (events.py
+    session_stats): ONE shuffle — the per-session agg reuses the
+    sessionizing window's HashPartitioning(user_id)."""
+    from linkgraph.events import session_stats
+
+    _load(spark, sf_dir, "events")
+    return session_stats(
+        spark.table("events"), gap_seconds=SESSIONIZE_GAP_S
+    ).select(
+        "user_id",
+        "session_seq",
+        "n",
+        "start_ts",
+        "end_ts",
+        F.round("value_sum", 4).alias("value_sum4"),
+    )
+
+
+# mirror-host detection twin (textops/dedup.py mirror_host_pairs) over
+# the docs2 duplicated corpus; hosts synthesized as doc_id % 53 (53 is
+# coprime-ish with the +1000000 dup offset — 1000000 % 53 = 49 — so a
+# duplicate copy always lands on a DIFFERENT host than its original,
+# which is exactly the mirror signal).
+MIRROR_HOSTS_SQL = f"""
+WITH {DOCS2_SQL.strip()},
+fh AS (
+  SELECT DISTINCT md5(text) AS fp,
+         'h' || CAST(doc_id % 53 AS VARCHAR) AS host
+  FROM docs2
+),
+ok AS (
+  SELECT fp FROM fh GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 20
+),
+p AS (
+  SELECT x.host AS host_a, y.host AS host_b
+  FROM fh x JOIN fh y ON x.fp = y.fp AND x.host < y.host
+  JOIN ok ON ok.fp = x.fp
+)
+SELECT host_a, host_b, CAST(COUNT(*) AS BIGINT) AS shared
+FROM p GROUP BY host_a, host_b
+ORDER BY host_a, host_b
+"""
+
+
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection: host pairs sharing exact-content
+    fingerprints (dedup.py mirror_host_pairs — md5-groupBy, capped
+    host-set pair expansion, never corpus-quadratic)."""
+    from linkgraph.textops.dedup import mirror_host_pairs
+
+    docs = _docs2(spark, sf_dir).withColumn(
+        "host", F.concat(F.lit("h"), (F.col("doc_id") % 53).cast("string"))
+    )
+    return mirror_host_pairs(docs, min_shared=1)
+
+
+# redirect-chain synthesis: every doc_id ≡ 1 (mod 3) with doc_id ≥ 11
+# redirects to a STRICTLY SMALLER id (acyclic by construction; chains
+# arise when the target is itself ≡ 1 mod 3).  Shared fragment so the
+# engine and the oracle derive byte-identical mappings.
+REDIRECTS_SQL = """
+redirects AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         CAST(doc_id - 1 - (doc_id % 10) AS BIGINT) AS dst
+  FROM documents WHERE doc_id % 3 = 1 AND doc_id >= 11
+)
+"""
+
+# recursive single-step walk twin of the engine's pointer DOUBLING
+# (extract.py resolve_redirects): the walk follows one hop per level
+# until the pointer leaves the redirect key set; the final row per src
+# (max d) is the resolved target and d is the true chain length — the
+# same (target, hops) the log-round doubling reports.
+REDIRECT_RESOLVE_SQL = f"""
+WITH RECURSIVE {REDIRECTS_SQL.strip()},
+walk(src, cur, d) AS (
+  SELECT src, dst, 1 FROM redirects
+  UNION ALL
+  SELECT w.src, r.dst, w.d + 1
+  FROM walk w JOIN redirects r ON r.src = w.cur
+  WHERE w.d < 64
+),
+fin AS (
+  SELECT src, cur, d,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY d DESC) AS rn
+  FROM walk
+)
+SELECT src AS vid, cur AS target, CAST(d AS BIGINT) AS hops
+FROM fin WHERE rn = 1 ORDER BY vid
+"""
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect/canonical chain collapse by pointer doubling
+    (extract.py resolve_redirects) — ⌈log₂ chain length⌉ self-join
+    rounds over a constant-size (src, ptr) state."""
+    from linkgraph.extract import resolve_redirects
+
+    _load(spark, sf_dir, "documents")
+    redirects = spark.sql(
+        f"WITH {REDIRECTS_SQL.strip()} SELECT src, dst FROM redirects"
+    )
+    res = resolve_redirects(redirects)
+    return res.where(F.col("resolved")).select(
+        F.col("src").alias("vid"), "target", "hops"
+    )
+
+
+# landmark distance index twin (algorithms/bfs.py landmark_bfs): capped
+# multi-landmark recursive walk over the symmetrized graph, min depth
+# per (landmark, vid).  All four landmark ids exist at every sf (the
+# driver documents table has 500 rows at each scale).
+LANDMARK_SQL = f"""
+WITH RECURSIVE {EDGE_SQL.strip()}, {SYM_SQL.strip()},
+lms AS (SELECT CAST(doc_id AS BIGINT) AS lm FROM documents
+        WHERE doc_id IN (0, 7, 13, 101)),
+walk(lm, vid, d) AS (
+  SELECT lm, lm, 0 FROM lms
+  UNION
+  SELECT w.lm, e.dst, w.d + 1
+  FROM walk w JOIN sym e ON e.src = w.vid WHERE w.d < 64
+)
+SELECT lm AS landmark, vid, CAST(MIN(d) AS BIGINT) AS depth
+FROM walk GROUP BY lm, vid ORDER BY landmark, vid
+"""
+
+LANDMARKS = (0, 7, 13, 101)
+
+
+def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark distance index (bfs.py landmark_bfs): exact hop
+    distances from 4 landmarks in ONE root-keyed BFS fixpoint — job
+    count = eccentricity, independent of |landmarks|."""
+    from linkgraph.algorithms.bfs import landmark_bfs
+
+    g = build_graph(spark, sf_dir)
+    return landmark_bfs(g, LANDMARKS, directed=False).select(
+        "landmark", "vid", "depth"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_edges": q_extract_edges,
     "anchor_index": q_anchor_index,
@@ -4278,6 +4459,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "opic8": q_opic,
     "seed_distance": q_seed_distance,
     "maximal_matching": q_matching,
+    "sessionize": q_sessionize,
+    "mirror_hosts": q_mirror_hosts,
+    "redirect_resolve": q_redirect_resolve,
+    "landmark_distances": q_landmark_distances,
 }
 
 ORACLES: dict[str, str] = {
@@ -4386,4 +4571,8 @@ ORACLES: dict[str, str] = {
     "opic8": _opic_unrolled_sql(8),
     "seed_distance": SEED_DISTANCE_SQL,
     "maximal_matching": _matching_sql(24, 42),
+    "sessionize": SESSIONIZE_SQL,
+    "mirror_hosts": MIRROR_HOSTS_SQL,
+    "redirect_resolve": REDIRECT_RESOLVE_SQL,
+    "landmark_distances": LANDMARK_SQL,
 }

@@ -33,7 +33,7 @@ from linkgraph.textops.ann import (
     lsh_cosine_topk,
 )
 from linkgraph.textops.corpus import c4_filters, host_rollup
-from linkgraph.textops.dedup import dedup_clusters
+from linkgraph.textops.dedup import dedup_clusters, mirror_host_pairs
 
 __all__ = [
     "exact_duplicates",
@@ -55,4 +55,5 @@ __all__ = [
     "c4_filters",
     "host_rollup",
     "dedup_clusters",
+    "mirror_host_pairs",
 ]

@@ -476,3 +476,70 @@ def dedup_clusters(
     finally:
         g.unpersist()
     return out
+
+
+def mirror_host_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    max_hosts_per_fp: int | None = 20,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Mirror-site detection: host pairs ranked by shared exact-content
+    fingerprints → ``(host_a, host_b, shared)`` with ``host_a < host_b``.
+
+    Two hosts serving many byte-identical documents are mirrors (or a
+    scraper/CDN pair) — a first-class training-data signal: mirrored
+    corpora inflate dedup clusters and double-count quality stats, and
+    the standard hygiene move is to keep one host of each mirror pair
+    (Common-Crawl-style curation; cf. the host-level rollups in
+    textops/corpus.py `host_rollup`).
+
+    Physical shape at 100 TB:
+    - fingerprint = ``md5(text)`` — the shuffle carries 32-byte hashes,
+      never document bodies (same contract as :func:`exact_duplicates`).
+    - per-fingerprint DISTINCT host sets via map-side-combined
+      ``collect_set`` (bounded by ``max_hosts_per_fp``), then host
+      PAIRS exploded per fingerprint — cost Σ min(|hosts_fp|, cap)²,
+      never corpus-quadratic.
+    - ``max_hosts_per_fp`` is the boilerplate guard (the analog of
+      ``minhash_lsh_candidates.max_bucket``): a fingerprint served by
+      hundreds of hosts is template/boilerplate content, which carries
+      all of the quadratic pair blow-up and none of the mirror signal —
+      such fingerprints are dropped BEFORE pair expansion.
+    - final ``groupBy(host_a, host_b).count()`` is map-side combined;
+      output cardinality is |host pairs with shared content|, tiny.
+
+    ``min_shared`` suppresses incidental single-document overlaps.
+    """
+    fp_host = (
+        df.select(
+            F.md5(F.col(text_col)).alias("fp"), F.col(host_col).alias("host")
+        )
+        .dropDuplicates(["fp", "host"])
+    )
+    hosts_per_fp = fp_host.groupBy("fp").agg(
+        F.collect_set("host").alias("hosts")
+    )
+    if max_hosts_per_fp is not None:
+        hosts_per_fp = hosts_per_fp.where(
+            F.size("hosts") <= max_hosts_per_fp
+        )
+    hosts_per_fp = hosts_per_fp.where(F.size("hosts") >= 2).select(
+        F.array_sort("hosts").alias("hosts")
+    )
+    pairs = hosts_per_fp.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(hosts, (x, i) -> "
+                "transform(slice(hosts, i + 2, size(hosts)), "
+                "y -> struct(x as host_a, y as host_b))))"
+            )
+        ).alias("p")
+    ).select("p.host_a", "p.host_b")
+    return (
+        pairs.groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )

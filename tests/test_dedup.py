@@ -284,3 +284,29 @@ def test_minhash_rejects_unknown_hash_fn(spark):
 
     with _pytest.raises(ValueError):
         minhash_signatures(_docs(spark), hash_fn="sha1").collect()
+
+
+def test_mirror_host_pairs_finds_mirrors_and_caps_boilerplate(spark):
+    from linkgraph.textops.dedup import mirror_host_pairs
+
+    rows = []
+    # hosts m1/m2 mirror 3 documents; host solo has unique content
+    for i, txt in enumerate(["alpha doc", "beta doc", "gamma doc"]):
+        rows.append((i, txt, "m1"))
+        rows.append((100 + i, txt, "m2"))
+    rows.append((200, "unique doc", "solo"))
+    # boilerplate text served by 30 hosts — must be dropped by the cap,
+    # contributing ZERO pairs despite being the biggest fingerprint group
+    for h in range(30):
+        rows.append((300 + h, "copyright footer", f"b{h}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, host string")
+
+    got = {
+        (r.host_a, r.host_b): r.shared
+        for r in mirror_host_pairs(df, max_hosts_per_fp=20).collect()
+    }
+    assert got == {("m1", "m2"): 3}
+
+    # cap disabled: the boilerplate group explodes into C(30,2) pairs
+    uncapped = mirror_host_pairs(df, max_hosts_per_fp=None, min_shared=1)
+    assert uncapped.count() == 1 + 30 * 29 // 2

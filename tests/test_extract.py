@@ -274,3 +274,51 @@ def test_extract_links_nofollow_path_equivalent_without_nofollow():
         assert extract_links(html) == extract_links(
             html, include_nofollow=False
         ), html[:200]
+
+
+def test_resolve_redirects_chain_and_terminal(spark):
+    # 5 → 4 → 2 → 0 (terminal), 9 → 0, 1 → 0; all resolve
+    mapping = spark.createDataFrame(
+        [(5, 4), (4, 2), (2, 0), (9, 0), (1, 0)], "src long, dst long"
+    )
+    from linkgraph.extract import resolve_redirects
+
+    got = {
+        r.src: (r.target, r.hops, r.resolved)
+        for r in resolve_redirects(mapping).collect()
+    }
+    assert got == {
+        5: (0, 3, True),
+        4: (0, 2, True),
+        2: (0, 1, True),
+        9: (0, 1, True),
+        1: (0, 1, True),
+    }
+
+
+def test_resolve_redirects_flags_cycles(spark):
+    # a→b→a cycle plus a tail c→a: ALL THREE land in the cycle and are
+    # unresolved (a tail into a loop never reaches content either)
+    mapping = spark.createDataFrame(
+        [(10, 11), (11, 10), (12, 10)], "src long, dst long"
+    )
+    from linkgraph.extract import resolve_redirects
+
+    rows = resolve_redirects(mapping, max_rounds=8).collect()
+    assert all(not r.resolved for r in rows)
+    assert {r.src for r in rows} == {10, 11, 12}
+
+
+def test_resolve_redirects_log_rounds(spark):
+    """A 64-hop chain resolves within far fewer than 64 composition
+    rounds (pointer doubling: ⌈log₂ 64⌉ = 6 < 10)."""
+    mapping = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 65)], "src long, dst long"
+    )
+    from linkgraph.extract import resolve_redirects
+
+    got = {r.src: (r.target, r.hops) for r in
+           resolve_redirects(mapping, max_rounds=10).collect()}
+    assert got[64] == (0, 64)
+    assert got[1] == (0, 1)
+    assert all(t == 0 for t, _ in got.values())

@@ -124,3 +124,49 @@ def test_multi_source_bfs_nearest_seed(spark):
     seeds = spark.createDataFrame([(0,), (4,)], "vid long")
     got = {r.vid: r.depth for r in multi_source_bfs(g, seeds).state.collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 0, 5: 1}
+
+
+def test_landmark_bfs_single_landmark_matches_bfs(spark, chesapeake_graph):
+    from linkgraph.algorithms.bfs import landmark_bfs
+
+    idx = landmark_bfs(chesapeake_graph, [0], directed=False)
+    got = {r.vid: r.depth for r in idx.collect()}
+    exact = bfs_oracle(chesapeake_edges(), 0, directed=False)
+    reached = {v: d for v, d in exact.items() if d is not None}
+    assert got == reached
+
+
+def test_landmark_bfs_multi_root_keyed(spark, chesapeake_graph):
+    from linkgraph.algorithms.bfs import landmark_bfs
+
+    idx = landmark_bfs(chesapeake_graph, [0, 5, 11], directed=False)
+    by_lm = {}
+    for r in idx.collect():
+        by_lm.setdefault(r.landmark, {})[r.vid] = r.depth
+    assert set(by_lm) == {0, 5, 11}
+    for lm, got in by_lm.items():
+        exact = bfs_oracle(chesapeake_edges(), lm, directed=False)
+        assert got == {v: d for v, d in exact.items() if d is not None}
+
+
+def test_landmark_estimate_is_valid_upper_bound(spark, chesapeake_graph):
+    """min_l d(l,u)+d(l,v) ≥ d(u,v), with equality when a landmark lies
+    on a shortest path (u or v itself being a landmark guarantees it)."""
+    from linkgraph.algorithms.bfs import estimate_distance_upper, landmark_bfs
+
+    idx = landmark_bfs(chesapeake_graph, [0, 7], directed=False)
+    pairs = spark.createDataFrame(
+        [(2, 9), (0, 13), (4, 4), (7, 21)], "a long, b long"
+    )
+    ub = {
+        (r.a, r.b): r.dist_ub
+        for r in estimate_distance_upper(idx, pairs).collect()
+    }
+    for (a, b), bound in ub.items():
+        exact_a = bfs_oracle(chesapeake_edges(), a, directed=False)
+        d = exact_a[b]
+        assert bound is not None and d is not None
+        assert bound >= d
+    # an endpoint that IS a landmark: the bound is exact
+    exact_0 = bfs_oracle(chesapeake_edges(), 0, directed=False)
+    assert ub[(0, 13)] == exact_0[13]

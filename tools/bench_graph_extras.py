@@ -124,6 +124,35 @@ def main() -> int:
     from linkgraph.algorithms.ktruss import trussness
 
     timed("trussness", lambda: trussness(g).count())
+
+    from linkgraph.algorithms.bfs import landmark_bfs
+
+    timed(
+        "landmark_bfs_k4",
+        lambda: landmark_bfs(g, [0, 7, 13, 101], directed=False).count(),
+    )
+
+    # redirect-chain resolution at crawl scale: a functional graph over
+    # |V| ids where 1/3 of ids redirect to a strictly smaller id — the
+    # same shape as the catalog's REDIRECTS_SQL, with chains up to
+    # hundreds of hops at 10^7 ids (log-round pointer doubling's case)
+    from pyspark.sql import functions as F2
+
+    from linkgraph.extract import resolve_redirects
+
+    n_ids = g.num_vertices
+    redirects = (
+        spark.range(n_ids)
+        .where((F2.col("id") % 3 == 1) & (F2.col("id") >= 11))
+        .select(
+            F2.col("id").alias("src"),
+            (F2.col("id") - 1 - (F2.col("id") % 10)).alias("dst"),
+        )
+    )
+    timed(
+        "resolve_redirects",
+        lambda: resolve_redirects(redirects).where("resolved").count(),
+    )
     print(json.dumps(res))
     spark.stop()
     return 0

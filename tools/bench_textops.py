@@ -304,6 +304,40 @@ def main() -> int:
         ),
     )
 
+    # mirror-site detection over the same corpus: 1000 synthetic hosts;
+    # the exact-dup pairs (id%20==7 copies id−1) land on DIFFERENT hosts
+    # (adjacent ids), so every dup is a cross-host mirror signal
+    from linkgraph.textops.dedup import mirror_host_pairs
+
+    hosted = docs.withColumn(
+        "host", F.concat(F.lit("h"), (F.col("doc_id") % 1000).cast("string"))
+    )
+    timed(
+        "mirror_hosts",
+        lambda: materialize(mirror_host_pairs(hosted, min_shared=1)),
+    )
+
+    # sessionization at 10× the doc count (events are narrower rows):
+    # deterministic synthetic event log, ~N/1000 users, arithmetic gaps
+    # spanning the 6h threshold so sessions actually split
+    from linkgraph.events import session_stats
+
+    n_ev = args.docs * 10
+    events = spark.range(n_ev).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            (F.col("id") % 1000) * 86_400_000_000
+            + (F.col("id") / 1000).cast("long") * 3_600_000_000
+            + (F.col("id") % 11) * 7_200_000_000
+        ).alias("ts"),
+        (F.col("id") % (args.docs // 100)).alias("user_id"),
+        ((F.col("id") % 997) / 997.0).alias("value"),
+    )
+    timed(
+        "sessionize_10x",
+        lambda: materialize(session_stats(events, gap_seconds=21600)),
+    )
+
     out_path = os.path.join(REPO, "BENCH", "textops.json")
     res["generated_by"] = "tools/bench_textops.py"
     with open(out_path, "w") as f:
