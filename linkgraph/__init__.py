@@ -108,7 +108,9 @@ from linkgraph.algorithms.graphstats import (
 )
 from linkgraph.algorithms.triangles import triad_census
 from linkgraph.algorithms.bfs import landmark_bfs, estimate_distance_upper
-from linkgraph.extract import resolve_redirects
+from linkgraph.algorithms.triangles import butterfly_count
+from linkgraph.algorithms.ppr import ppr_push
+from linkgraph.extract import resolve_redirects, robots_allowed
 from linkgraph.events import sessionize, session_stats
 
 __all__ = [
@@ -159,8 +161,11 @@ __all__ = [
     "landmark_bfs",
     "estimate_distance_upper",
     "resolve_redirects",
+    "robots_allowed",
     "sessionize",
     "session_stats",
+    "butterfly_count",
+    "ppr_push",
 ]
 
 __version__ = "0.1.0"

@@ -4362,6 +4362,194 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# butterflies (link-farm census), push-PPR, robots filter, token Zipf
+# ---------------------------------------------------------------------------
+
+# butterfly census twin (algorithms/triangles.py butterfly_count):
+# identical out-degree cap (2..64) on the wedge center, integer
+# division — the hash is exact, not approximate.
+BUTTERFLIES_SQL = f"""
+WITH {EDGE_SQL.strip()},
+od AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+cap AS (SELECT src FROM od WHERE od BETWEEN 2 AND 64),
+e2 AS (SELECT e.src, e.dst FROM edges e JOIN cap USING (src)),
+w AS (
+  SELECT x.dst AS d1, y.dst AS d2, COUNT(*) AS c
+  FROM e2 x JOIN e2 y ON x.src = y.src AND x.dst < y.dst
+  GROUP BY x.dst, y.dst
+  HAVING COUNT(*) >= 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_copairs,
+       CAST(COALESCE(SUM((c * (c - 1)) // 2), 0) AS BIGINT) AS n_butterflies
+FROM w
+"""
+
+
+def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly ((2,2)-biclique) census — the link-farm density
+    signal (triangles.py butterfly_count, hub-safe capped wedges)."""
+    from linkgraph.algorithms.triangles import butterfly_count
+
+    return butterfly_count(build_graph(spark, sf_dir), max_out_degree=64)
+
+
+def _ppr_push_unrolled_sql(
+    rounds: int, alpha: float, eps: float, src: int
+) -> str:
+    """Twin of algorithms/ppr.py ppr_push with ``rounds`` pinned: the
+    same synchronous push rounds unrolled as CTEs.  The frontier test
+    compares ROUND(r, 12) > eps·max(od,1) exactly as the engine does
+    (quantized threshold — see ppr_push docstring), and every merge
+    arm (settle α·r, zero pushed residuals, add incoming pushes,
+    restart dangling mass at the source) is replayed with the same
+    COALESCE structure, so the touched sets evolve identically."""
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        "od AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS od FROM edges GROUP BY src),",
+        f"s0 AS MATERIALIZED (SELECT CAST({src} AS BIGINT) AS vid, 0.0 AS p, 1.0 AS r),",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f"""f{i} AS MATERIALIZED (
+  SELECT s.vid, s.p, s.r, COALESCE(o.od, 0) AS od,
+         (ROUND(s.r, 12) > {eps} * GREATEST(COALESCE(o.od, 0), 1)) AS push
+  FROM {prev} s LEFT JOIN od o ON o.vid = s.vid
+),
+push{i} AS (
+  SELECT e.dst AS vid, SUM({1 - alpha} * f.r / f.od) AS m
+  FROM f{i} f JOIN edges e ON e.src = f.vid
+  WHERE f.push AND f.od > 0 GROUP BY e.dst
+),
+dang{i} AS (
+  SELECT COALESCE(SUM(r), 0.0) AS d FROM f{i} WHERE push AND od = 0
+),
+s{i} AS MATERIALIZED (
+  SELECT COALESCE(f.vid, pu.vid) AS vid,
+         COALESCE(f.p, 0.0)
+           + CASE WHEN COALESCE(f.push, FALSE) THEN {alpha} * f.r ELSE 0.0 END AS p,
+         CASE WHEN COALESCE(f.push, FALSE) THEN 0.0 ELSE COALESCE(f.r, 0.0) END
+           + COALESCE(pu.m, 0.0)
+           + CASE WHEN COALESCE(f.vid, pu.vid) = {src}
+                  THEN {1 - alpha} * d.d ELSE 0.0 END AS r
+  FROM f{i} f FULL OUTER JOIN push{i} pu ON pu.vid = f.vid CROSS JOIN dang{i} d
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT vid, ROUND(p, 6) AS p6, ROUND(r, 6) AS r6 "
+        f"FROM s{rounds} ORDER BY vid"
+    )
+    return "\n".join(parts)
+
+
+def q_ppr_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-push PPR from vertex 0, 6 synchronous rounds (ppr.py
+    ppr_push) — the work-proportional-to-mass-moved local algorithm;
+    state covers TOUCHED vertices only."""
+    from linkgraph.algorithms.ppr import ppr_push
+
+    g = build_graph(spark, sf_dir)
+    return (
+        ppr_push(g, 0, alpha=0.15, eps=1e-4, rounds=6)
+        .select(
+            "vid",
+            F.round("p", 6).alias("p6"),
+            F.round("r", 6).alias("r6"),
+        )
+        .orderBy("vid")
+    )
+
+
+# robots synthesis shared by engine and twin: 53 hosts; even hosts
+# disallow /p/ wholesale; hosts ≡ 0 (mod 3) carry BOTH an Allow and a
+# Disallow for the LONGER prefix /p/1 (longest-match override + the
+# RFC 9309 allow-wins-ties rule, both exercised); /private/ never
+# matches (noise rule on every host).
+ROBOTS_HOSTS_SQL = """
+hosts AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 53 AS STRING) || '.example' AS host,
+         doc_id % 53 AS hid
+  FROM documents
+),
+rules AS (
+  SELECT host, '/p/' AS path_prefix, FALSE AS allow FROM hosts WHERE hid % 2 = 0
+  UNION ALL
+  SELECT host, '/p/1' AS path_prefix, TRUE AS allow FROM hosts WHERE hid % 3 = 0
+  UNION ALL
+  SELECT host, '/p/1' AS path_prefix, FALSE AS allow FROM hosts WHERE hid % 3 = 0
+  UNION ALL
+  SELECT host, '/private/' AS path_prefix, FALSE AS allow FROM hosts
+),
+urls AS (
+  SELECT 'https://h' || CAST(doc_id % 53 AS STRING) || '.example/p/'
+           || CAST(doc_id AS STRING) AS url,
+         'h' || CAST(doc_id % 53 AS STRING) || '.example' AS host,
+         '/p/' || CAST(doc_id AS STRING) AS path
+  FROM documents
+)
+"""
+
+ROBOTS_SQL = f"""
+WITH {ROBOTS_HOSTS_SQL.strip()},
+m AS (
+  SELECT u.url, r.path_prefix, r.allow,
+         ROW_NUMBER() OVER (
+           PARTITION BY u.url
+           ORDER BY length(r.path_prefix) DESC, CAST(r.allow AS INT) DESC
+         ) AS rn
+  FROM urls u
+  JOIN rules r ON r.host = u.host AND starts_with(u.path, r.path_prefix)
+)
+SELECT u.url, COALESCE(m.allow, TRUE) AS allowed,
+       m.path_prefix AS matched_prefix
+FROM urls u LEFT JOIN m ON m.url = u.url AND m.rn = 1
+ORDER BY u.url
+"""
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 longest-match robots filtering (extract.py
+    robots_allowed) over synthesized per-host rule groups."""
+    from linkgraph.extract import robots_allowed
+
+    _load(spark, sf_dir, "documents")
+    rules = spark.sql(
+        f"WITH {ROBOTS_HOSTS_SQL.strip()} "
+        "SELECT host, path_prefix, allow FROM rules"
+    )
+    urls = spark.sql(
+        f"WITH {ROBOTS_HOSTS_SQL.strip()} SELECT url FROM urls"
+    )
+    return robots_allowed(urls, rules).orderBy("url")
+
+
+# token-frequency Zipf exponent twin (textops/corpus.py
+# token_zipf_alpha over the raw documents table, xmin=2)
+TOKEN_ZIPF_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_CORPUS_TOKS}) AS term FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS tf FROM toks GROUP BY term),
+vocab AS (SELECT COUNT(*) AS v FROM tf)
+SELECT CAST(2 AS BIGINT) AS xmin,
+       CAST(v AS BIGINT) AS n_vocab,
+       CAST(COUNT(*) AS BIGINT) AS n_tail,
+       ROUND(1.0 + COUNT(*) / SUM(ln(tf / 1.5)), 6) AS alpha
+FROM tf CROSS JOIN vocab WHERE tf >= 2 GROUP BY v
+"""
+
+
+def q_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term-frequency Zipf exponent (corpus.py
+    token_zipf_alpha) — the one-number vocabulary-health check."""
+    from linkgraph.textops.corpus import token_zipf_alpha
+
+    _load(spark, sf_dir, "documents")
+    return token_zipf_alpha(spark.table("documents"), xmin=2)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_edges": q_extract_edges,
     "anchor_index": q_anchor_index,
@@ -4463,6 +4651,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mirror_hosts": q_mirror_hosts,
     "redirect_resolve": q_redirect_resolve,
     "landmark_distances": q_landmark_distances,
+    "butterflies": q_butterflies,
+    "ppr_push6": q_ppr_push,
+    "robots_filter": q_robots_filter,
+    "token_zipf": q_token_zipf,
 }
 
 ORACLES: dict[str, str] = {
@@ -4575,4 +4767,8 @@ ORACLES: dict[str, str] = {
     "mirror_hosts": MIRROR_HOSTS_SQL,
     "redirect_resolve": REDIRECT_RESOLVE_SQL,
     "landmark_distances": LANDMARK_SQL,
+    "butterflies": BUTTERFLIES_SQL,
+    "ppr_push6": _ppr_push_unrolled_sql(6, 0.15, 1e-4, 0),
+    "robots_filter": ROBOTS_SQL,
+    "token_zipf": TOKEN_ZIPF_SQL,
 }

@@ -32,7 +32,7 @@ from linkgraph.textops.ann import (
     embedding_near_duplicates,
     lsh_cosine_topk,
 )
-from linkgraph.textops.corpus import c4_filters, host_rollup
+from linkgraph.textops.corpus import c4_filters, host_rollup, token_zipf_alpha
 from linkgraph.textops.dedup import dedup_clusters, mirror_host_pairs
 
 __all__ = [
@@ -56,4 +56,5 @@ __all__ = [
     "host_rollup",
     "dedup_clusters",
     "mirror_host_pairs",
+    "token_zipf_alpha",
 ]

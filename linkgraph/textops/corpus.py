@@ -665,3 +665,44 @@ def host_rollup(
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
         F.sum(F.coalesce("_dup", F.lit(0))).cast("long").alias("n_dup_docs"),
     )
+
+
+def token_zipf_alpha(
+    df: DataFrame,
+    xmin: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf/power-law exponent of the corpus TERM-FREQUENCY
+    distribution via the Clauset–Shalizi–Newman continuous-MLE
+    approximation (SIAM Rev. 2009 eq. 3.7 — the same estimator
+    :func:`linkgraph.algorithms.graphstats.powerlaw_alpha` applies to
+    in-degrees): 1 row ``(xmin, n_vocab, n_tail, alpha)``.
+
+    A natural-language corpus has α ≈ 2 over term frequencies (Zipf's
+    law); machine-generated/templated spam and tokenizer breakage push
+    it far off — a one-number corpus-health check next to
+    ``repetition_stats``.
+
+    Physical shape: one map-side-combined term-count aggregation (the
+    hot term reaches the reducer once per map partition) + one filtered
+    1-row aggregate — the 10⁹-term vocabulary never leaves the
+    executors.
+    """
+    if xmin < 1:
+        raise ValueError(f"xmin must be >= 1, got {xmin}")
+    tf = (
+        df.select(F.explode(_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tail = tf.where(F.col("tf") >= xmin)
+    logs = F.log(F.col("tf").cast("double") / (xmin - 0.5))
+    n_vocab = tf.count()
+    return tail.agg(
+        F.lit(xmin).cast("long").alias("xmin"),
+        F.lit(n_vocab).cast("long").alias("n_vocab"),
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.round(
+            F.lit(1.0) + F.count(F.lit(1)).cast("double") / F.sum(logs), 6
+        ).alias("alpha"),
+    )

@@ -278,3 +278,23 @@ def test_host_rollup_hand_computed(spark):
     # mirror detection is the point of the rollup
     assert got["a.example"] == (3, 1, round(1 / 3, 6), 3)
     assert got["b.example"] == (1, 1, 1.0, 1)
+
+
+def test_token_zipf_alpha_matches_numpy(spark):
+    import math
+
+    from linkgraph.textops.corpus import token_zipf_alpha
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a b b c d"),
+            (1, "a a b c e"),
+            (2, "a b f"),
+        ],
+        "doc_id long, text string",
+    )
+    row = token_zipf_alpha(docs, xmin=2).collect()[0]
+    # tf: a=7, b=4, c=2, d=1, e=1, f=1 → vocab 6, tail {7,4,2}
+    assert (row.n_vocab, row.n_tail) == (6, 3)
+    expected = 1.0 + 3 / sum(math.log(f / 1.5) for f in (7, 4, 2))
+    assert abs(row.alpha - round(expected, 6)) < 1e-9

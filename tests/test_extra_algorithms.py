@@ -572,3 +572,59 @@ def test_maximal_matching_deterministic_and_seeded(spark):
     assert p1 == p2 and p1
     p3 = {(r.a, r.b) for r in matched_pairs(g, seed=7).collect()}
     assert p3  # different seed still a valid (possibly different) matching
+
+
+def test_ppr_push_mass_conservation(spark):
+    """Σ(p + r) = 1 after every round (cash-conservation of push)."""
+    from conftest import edges_df
+    from linkgraph.algorithms.ppr import ppr_push
+    from linkgraph.graph import Graph
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 0), (2, 4)]  # 4 dangling
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
+    for rounds in (1, 3, 6):
+        st = ppr_push(g, 0, alpha=0.15, eps=1e-6, rounds=rounds)
+        total = st.selectExpr("sum(p + r) AS t").collect()[0].t
+        assert abs(total - 1.0) < 1e-12, (rounds, total)
+    g.unpersist()
+
+
+def test_ppr_push_converges_to_power_iteration(spark):
+    """At tiny eps the settled vector matches the power-iteration PPR
+    within the paper's residual bound (dangling restart-at-source on
+    both sides: push's dangling rule == teleport-to-seed with one
+    seed)."""
+    from conftest import edges_df
+    from linkgraph.algorithms.ppr import personalized_pagerank, ppr_push
+    from linkgraph.graph import Graph
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 0), (2, 4), (4, 1), (1, 5)]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
+    exact = {
+        r.vid: r.rank
+        for r in personalized_pagerank(
+            g, [0], alpha=0.85, tol=1e-12, max_iters=300
+        ).state.collect()
+    }
+    push = {
+        r.vid: r.p
+        for r in ppr_push(g, 0, alpha=0.15, eps=1e-9, max_rounds=400).collect()
+    }
+    for vid, rank in exact.items():
+        assert abs(push.get(vid, 0.0) - rank) < 1e-6, (vid, rank, push.get(vid))
+    g.unpersist()
+
+
+def test_ppr_push_state_is_sparse(spark):
+    """Push from a vertex in a small component must not touch the rest
+    of the graph — the locality property that motivates the operator."""
+    from conftest import edges_df
+    from linkgraph.algorithms.ppr import ppr_push
+    from linkgraph.graph import Graph
+
+    # two components: a triangle 0-1-2 and a big chain 10..30
+    edges = [(0, 1), (1, 2), (2, 0)] + [(i, i + 1) for i in range(10, 30)]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
+    touched = {r.vid for r in ppr_push(g, 0, eps=1e-10, max_rounds=200).collect()}
+    assert touched == {0, 1, 2}
+    g.unpersist()

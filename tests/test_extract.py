@@ -322,3 +322,56 @@ def test_resolve_redirects_log_rounds(spark):
     assert got[64] == (0, 64)
     assert got[1] == (0, 1)
     assert all(t == 0 for t, _ in got.values())
+
+
+def _robots_fixture(spark):
+    rules = spark.createDataFrame(
+        [
+            ("a.example", "/p/", False),
+            ("a.example", "/p/public/", True),
+            ("a.example", "/tie/", True),
+            ("a.example", "/tie/", False),
+            ("b.example", "/x/", False),
+        ],
+        "host string, path_prefix string, allow boolean",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://a.example/p/secret",),        # /p/ disallow
+            ("https://a.example/p/public/doc",),    # longer allow wins
+            ("https://a.example/tie/page",),        # equal length: allow wins
+            ("https://a.example/other",),           # no matching rule
+            ("https://b.example/y",),               # host has rules, none match
+            ("https://c.example/anything",),        # host without rules
+        ],
+        "url string",
+    )
+    return urls, rules
+
+
+def test_robots_longest_match_and_tie_rules(spark):
+    from linkgraph.extract import robots_allowed
+
+    urls, rules = _robots_fixture(spark)
+    got = {
+        r.url: (r.allowed, r.matched_prefix)
+        for r in robots_allowed(urls, rules).collect()
+    }
+    assert got == {
+        "https://a.example/p/secret": (False, "/p/"),
+        "https://a.example/p/public/doc": (True, "/p/public/"),
+        "https://a.example/tie/page": (True, "/tie/"),
+        "https://a.example/other": (True, None),
+        "https://b.example/y": (True, None),
+        "https://c.example/anything": (True, None),
+    }
+
+
+def test_robots_no_window_in_plan(spark):
+    """The winner pick must be a max_by aggregation, not a sort-based
+    window — a host with 10^9 urls must not pay a per-host sort."""
+    from linkgraph.extract import robots_allowed
+
+    urls, rules = _robots_fixture(spark)
+    plan = robots_allowed(urls, rules)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan

@@ -91,3 +91,34 @@ def test_triad_census_random_differential(spark):
             nc += int((x, z) in es and (z, y) in es and (y, x) in es)
     row = triad_census(_graph(spark, edges)).collect()[0]
     assert (row.n_triangles, row.n_cyclic, row.n_transitive) == (nt, nc, ntr)
+
+
+def test_butterfly_count_exact_fixture(spark):
+    from conftest import edges_df
+    from linkgraph.algorithms.triangles import butterfly_count
+    from linkgraph.graph import Graph
+
+    # sources 10,11 both link targets {0,1,2}: co-pairs (0,1),(0,2),(1,2)
+    # each with c=2 → 3 copairs, 3 butterflies; source 12 links {0,1} →
+    # (0,1) gets c=3 → C(3,2)=3 butterflies on that pair.
+    edges = [(10, 0), (10, 1), (10, 2), (11, 0), (11, 1), (11, 2), (12, 0), (12, 1)]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
+    row = butterfly_count(g).collect()[0]
+    # pairs: (0,1) c=3, (0,2) c=2, (1,2) c=2 → butterflies 3+1+1 = 5
+    assert (row.n_copairs, row.n_butterflies) == (3, 5)
+    g.unpersist()
+
+
+def test_butterfly_cap_excludes_directory_hubs(spark):
+    from conftest import edges_df
+    from linkgraph.algorithms.triangles import butterfly_count
+    from linkgraph.graph import Graph
+
+    # a directory page linking 10 targets creates C(10,2) wedges but
+    # must contribute nothing under a cap of 4
+    edges = [(99, t) for t in range(10)]
+    edges += [(1, 0), (1, 3), (2, 0), (2, 3)]  # a real butterfly pair
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
+    row = butterfly_count(g, max_out_degree=4).collect()[0]
+    assert (row.n_copairs, row.n_butterflies) == (1, 1)
+    g.unpersist()

@@ -141,6 +141,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--ab", action="store_true", help="time round-1 simhash too")
+    ap.add_argument(
+        "--repeats",
+        type=int,
+        default=1,
+        help="runs per op; >1 records best-of-N as <op>_s plus the "
+        "sorted <op>_runs_s list (this shared VM has minutes-long "
+        "CPU-steal bursts — a single run is a point estimate)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -198,11 +206,17 @@ def main() -> int:
         return int(row["n"])
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        res[name + "_s"] = round(time.perf_counter() - t0, 2)
+        runs = []
+        for _ in range(max(1, args.repeats)):
+            t0 = time.perf_counter()
+            out = fn()
+            runs.append(round(time.perf_counter() - t0, 2))
+        runs.sort()
+        res[name + "_s"] = runs[0]
         res[name + "_rows"] = out
-        print(f"{name}: {res[name + '_s']} s ({out} rows)", flush=True)
+        if len(runs) > 1:
+            res[name + "_runs_s"] = runs
+        print(f"{name}: {runs} s ({out} rows)", flush=True)
 
     timed("simhash_jvm", lambda: materialize(simhash64(docs)))
     if args.ab:
