@@ -110,7 +110,13 @@ from linkgraph.algorithms.triangles import triad_census
 from linkgraph.algorithms.bfs import landmark_bfs, estimate_distance_upper
 from linkgraph.algorithms.triangles import butterfly_count
 from linkgraph.algorithms.ppr import ppr_push
-from linkgraph.extract import resolve_redirects, robots_allowed
+from linkgraph.extract import (
+    resolve_redirects,
+    robots_allowed,
+    host_url_cardinality,
+    anchor_entropy,
+)
+from linkgraph.algorithms.opic import allocate_crawl_budget
 from linkgraph.events import sessionize, session_stats
 
 __all__ = [
@@ -166,6 +172,9 @@ __all__ = [
     "session_stats",
     "butterfly_count",
     "ppr_push",
+    "host_url_cardinality",
+    "anchor_entropy",
+    "allocate_crawl_budget",
 ]
 
 __version__ = "0.1.0"

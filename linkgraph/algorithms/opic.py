@@ -89,3 +89,54 @@ def crawl_priorities(graph: Graph, iters: int = 8) -> DataFrame:
             "importance"
         ),
     )
+
+
+def allocate_crawl_budget(
+    weights: DataFrame,
+    total_slots: int,
+    key_col: str = "host",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Integer fetch-slot allocation proportional to ``weight_col`` by
+    the largest-remainder (Hamilton) method: ``(key, slots)`` with
+    ``Σ slots = total_slots`` exactly.
+
+    The crawl-scheduling step downstream of OPIC/PageRank: a politeness
+    budget of N fetches per cycle split across hosts in proportion to
+    importance, with the rounding residue assigned deterministically
+    (largest fractional part first, key ASC on ties) so every scheduler
+    replica computes the identical allocation.
+
+    Physical shape: one 1-row total aggregate (broadcast), one
+    projection computing ``floor(w·N/T)`` + fractional parts, and ONE
+    global top-R selection for the residue — R < |keys| but the
+    selection is a ``TakeOrdered`` (per-partition top-R then driver
+    merge of R-row heads), never a full sort of the 10⁸-host table.
+    The +1 set joins back broadcast-style.
+    """
+    if total_slots < 0:
+        raise ValueError(f"total_slots must be >= 0, got {total_slots}")
+    tot = weights.agg(F.sum(weight_col).alias("_t"))
+    base = weights.crossJoin(F.broadcast(tot)).select(
+        F.col(key_col),
+        F.floor(
+            F.col(weight_col) * float(total_slots) / F.col("_t")
+        ).alias("_base"),
+        (
+            F.col(weight_col) * float(total_slots) / F.col("_t")
+            - F.floor(F.col(weight_col) * float(total_slots) / F.col("_t"))
+        ).alias("_frac"),
+    )
+    used = base.agg(F.sum("_base").alias("_u")).collect()[0]["_u"] or 0
+    residue = int(total_slots - used)
+    plus = (
+        base.orderBy(F.desc("_frac"), F.asc(key_col))
+        .limit(residue)
+        .select(key_col, F.lit(1).alias("_plus"))
+    )
+    return base.join(plus, key_col, "left").select(
+        key_col,
+        (F.col("_base") + F.coalesce("_plus", F.lit(0)))
+        .cast("long")
+        .alias("slots"),
+    )

@@ -574,3 +574,123 @@ def robots_allowed(
         F.coalesce(F.col("_best.allow") == 1, F.lit(True)).alias("allowed"),
         F.col("_best.pfx").alias("matched_prefix"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog per-host URL cardinality (portable deterministic registers)
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # registers; standard error 1.04/√m ≈ 13%
+_HLL_ALPHA_64 = 0.709  # Flajolet et al. 2007 bias constant for m = 64
+
+
+def _hll_h32_sql(url_expr: str) -> str:
+    """32-bit integer from the md5 of the url, Spark-side: ``conv(hex,
+    16, 10)`` (Spark's ANSI CAST rejects '0x…' strings).  The DuckDB
+    twin derives the IDENTICAL unsigned value with the hex-literal CAST
+    the ANF sketches use — 8 hex chars ≤ 2³²−1, no sign wraparound on
+    either path."""
+    return f"CAST(conv(substr(md5({url_expr}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def _hll_rank_sql(w_expr: str) -> str:
+    """Leading-zero rank of the 26-bit sub-hash ``w`` (1-based; w = 0 →
+    27): an exact integer CASE over power-of-two thresholds — float
+    log2 at a power-of-two boundary is 1 ulp from flipping the
+    register, the same reason anf.py's rank uses the mod-37 CASE."""
+    arms = " ".join(
+        f"WHEN {w_expr} >= {1 << (25 - i)} THEN {i + 1}" for i in range(26)
+    )
+    return f"(CASE {arms} ELSE 27 END)"
+
+
+def _hll_pow2neg_sql(m_expr: str) -> str:
+    """2^(−M) for register value M in 1..27 as exact double literals
+    (negative powers of two are exactly representable; a pow() call
+    would be a cross-engine 1-ulp risk)."""
+    arms = " ".join(f"WHEN {m_expr} = {r} THEN {2.0 ** -r!r}" for r in range(1, 28))
+    return f"(CASE {arms} ELSE 1.0 END)"
+
+
+def host_url_cardinality(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Approximate DISTINCT-URL count per host via a deterministic
+    HyperLogLog sketch (Flajolet, Fusy, Gandouet & Meunier, AofA 2007 —
+    public method): ``(host, occupied, est)``.
+
+    The crawl-dashboard cardinality op: "how many unique URLs has each
+    host contributed" over a 10¹²-row fetch log, without a
+    count-distinct shuffle of the URLs themselves.  Spark's built-in
+    ``approx_count_distinct`` is the same sketch family but its
+    register layout is engine-private; this implementation's registers
+    are md5-derived integer arithmetic (portable SQL subset), so the
+    driver's DuckDB gate replays the ESTIMATE bit-for-bit — determinism
+    you can hash-check, which approx_count_distinct cannot give.
+
+    Physical shape: one (host, bucket) max-aggregation — map-side
+    combined, so a host with 10⁹ log rows sends ≤ m=64 register rows
+    per map partition — then a per-host fold over ≤ 64 registers.
+    Nothing heavier than the hash of each URL ever shuffles.
+
+    Estimator: αm·m²/Σ 2^(−M_j) with the standard small-range
+    correction (linear counting ``m·ln(m/V)`` when the raw estimate is
+    ≤ 2.5m and empty registers remain).  The branch compares the
+    ROUNDED raw estimate (6 decimals) so float-sum ulps cannot flip
+    the branch between engines.
+    """
+    h = F.expr(_hll_h32_sql(url_col))
+    regs = (
+        urls.select(
+            F.col("host"),
+            (h % HLL_M).alias("bucket"),
+            F.expr(_hll_rank_sql(f"({_hll_h32_sql(url_col)} div {HLL_M})")).alias(
+                "rank"
+            ),
+        )
+        .groupBy("host", "bucket")
+        .agg(F.max("rank").alias("m_reg"))
+    )
+    per_host = regs.groupBy("host").agg(
+        F.count(F.lit(1)).alias("occupied"),
+        F.sum(F.expr(_hll_pow2neg_sql("m_reg"))).alias("_occ_sum"),
+    )
+    m = float(HLL_M)
+    denom = F.col("_occ_sum") + (F.lit(m) - F.col("occupied"))
+    raw = F.lit(_HLL_ALPHA_64 * m * m) / denom
+    zeros = F.lit(m) - F.col("occupied")
+    est = F.when(
+        (F.round(raw, 6) <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(m) * F.log(F.lit(m) / zeros),
+    ).otherwise(raw)
+    return per_host.select(
+        "host", F.col("occupied").cast("long").alias("occupied"), est.alias("est")
+    )
+
+
+def anchor_entropy(counts: DataFrame, target_col: str = "target") -> DataFrame:
+    """Per-target Shannon entropy of the inbound anchor-text
+    distribution → ``(target, n_anchors, n_links, entropy)``.
+
+    The classic anchor-spam signal: organically linked pages accumulate
+    DIVERSE anchor texts (navigational, topical, url-as-anchor), so
+    entropy grows with inlink count; a page whose thousands of inlinks
+    all carry one exact-match phrase (entropy ≈ 0 at high n_links) is
+    the anchor-stuffing signature (cf. the anchor-text spam analyses
+    following Ntoulas et al., *Detecting spam web pages through content
+    analysis*, WWW 2006 — public method).
+
+    Input is an anchor-count table (:func:`anchor_index` output
+    ``(target, anchor, n)``); entropy per target over the count
+    distribution is computed as ``ln(N) − Σ n·ln(n) / N`` — one
+    map-side-combinable aggregation over the (already aggregated)
+    counts; group size is bounded by the target's distinct-anchor
+    count, never its raw inlink count.
+    """
+    nd = F.col("n").cast("double")
+    return counts.groupBy(target_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        F.sum("n").cast("long").alias("n_links"),
+        (
+            F.log(F.sum(nd))
+            - F.sum(nd * F.log(nd)) / F.sum(nd)
+        ).alias("entropy"),
+    )

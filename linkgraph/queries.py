@@ -4550,6 +4550,157 @@ def q_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_zipf_alpha(spark.table("documents"), xmin=2)
 
 
+# ---------------------------------------------------------------------------
+# HLL host cardinality, crawl-budget allocation, anchor entropy
+# ---------------------------------------------------------------------------
+
+
+def _hll_twin_sql() -> str:
+    """Twin of extract.host_url_cardinality over the robots urls (plus
+    an ``*all*`` union row so BOTH estimator branches run: per-host
+    groups take the linear-counting small-range branch, the global
+    group the raw-HLL branch).  Registers replay bit-for-bit (md5 hex
+    CAST + integer CASEs); the branch compares the ROUNDED raw
+    estimate exactly as the engine does; αm² is the engine's PYTHON
+    float product repr'd, not re-derived in SQL (0.709*64*64 evaluated
+    left-associatively is one ulp off 0.709*4096)."""
+    from linkgraph.extract import (
+        _HLL_ALPHA_64,
+        _hll_pow2neg_sql,
+        _hll_rank_sql,
+    )
+
+    am2 = repr(_HLL_ALPHA_64 * 64.0 * 64.0)
+    rank = _hll_rank_sql("(h // 64)")
+    p2 = _hll_pow2neg_sql("m_reg")
+    raw = f"{am2} / (occ_sum + (64.0 - occupied))"
+    return f"""
+WITH {ROBOTS_HOSTS_SQL.strip()},
+u2 AS (
+  SELECT url, host FROM urls
+  UNION ALL
+  SELECT url, '*all*' AS host FROM urls
+),
+hx AS (
+  SELECT host, CAST(concat('0x', substr(md5(url), 1, 8)) AS BIGINT) AS h
+  FROM u2
+),
+regs AS (
+  SELECT host, h % 64 AS bucket, MAX({rank}) AS m_reg
+  FROM hx GROUP BY host, h % 64
+),
+ph AS (
+  SELECT host, COUNT(*) AS occupied, SUM({p2}) AS occ_sum
+  FROM regs GROUP BY host
+)
+SELECT host, CAST(occupied AS BIGINT) AS occupied,
+       ROUND(CASE WHEN ROUND({raw}, 6) <= 160.0 AND (64.0 - occupied) > 0
+                  THEN 64.0 * ln(64.0 / (64.0 - occupied))
+                  ELSE {raw} END, 4) AS est4
+FROM ph ORDER BY host
+"""
+
+
+def q_host_url_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host distinct-URL cardinality via the portable deterministic
+    HLL sketch (extract.py host_url_cardinality) — plus a global
+    ``*all*`` group so both estimator branches are value-hash-gated."""
+    from linkgraph.extract import host_url_cardinality
+
+    _load(spark, sf_dir, "documents")
+    urls = spark.sql(
+        f"WITH {ROBOTS_HOSTS_SQL.strip()} SELECT url, host FROM urls"
+    )
+    u2 = urls.unionAll(urls.select("url", F.lit("*all*").alias("host")))
+    return host_url_cardinality(u2).select(
+        "host", "occupied", F.round("est", 4).alias("est4")
+    ).orderBy("host")
+
+
+HOST_WEIGHTS_SQL = """
+hw AS (
+  SELECT 'h' || CAST(doc_id % 53 AS STRING) AS host,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents GROUP BY doc_id % 53
+)
+"""
+
+CRAWL_BUDGET_SQL = f"""
+WITH {HOST_WEIGHTS_SQL.strip()},
+t AS (SELECT SUM(n) AS t FROM hw),
+b AS (
+  SELECT host, FLOOR(n * 777.0 / t.t) AS base,
+         n * 777.0 / t.t - FLOOR(n * 777.0 / t.t) AS frac
+  FROM hw CROSS JOIN t
+),
+u AS (SELECT SUM(base) AS used FROM b),
+r AS (
+  SELECT host, ROW_NUMBER() OVER (ORDER BY frac DESC, host ASC) AS rk FROM b
+)
+SELECT b.host AS host,
+       CAST(b.base + CASE WHEN r.rk <= 777 - u.used THEN 1 ELSE 0 END
+            AS BIGINT) AS slots
+FROM b JOIN r ON r.host = b.host CROSS JOIN u ORDER BY b.host
+"""
+
+
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder fetch-slot allocation (opic.py
+    allocate_crawl_budget): 777 slots across the 53 synthetic hosts
+    proportional to page count — Σslots = 777 exactly."""
+    from linkgraph.algorithms.opic import allocate_crawl_budget
+
+    _load(spark, sf_dir, "documents")
+    hw = spark.sql(
+        f"WITH {HOST_WEIGHTS_SQL.strip()} SELECT host, n FROM hw"
+    )
+    return allocate_crawl_budget(
+        hw, 777, key_col="host", weight_col="n"
+    ).orderBy("host")
+
+
+ANCHOR_ENTROPY_SQL = f"""
+WITH {EDGE_SQL.strip()},
+c AS (
+  SELECT e.dst AS target_id,
+         'a' || CAST((e.src + e.dst) % 7 AS STRING) AS anchor,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM edges e GROUP BY e.dst, (e.src + e.dst) % 7
+)
+SELECT target_id, CAST(COUNT(*) AS BIGINT) AS n_anchors,
+       CAST(SUM(n) AS BIGINT) AS n_links,
+       ROUND(ln(SUM(n)) - SUM(n * ln(n)) / SUM(n), 4) AS entropy4
+FROM c GROUP BY target_id ORDER BY target_id
+"""
+
+
+def q_anchor_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text entropy (extract.py anchor_entropy) —
+    the anchor-stuffing spam signal, over the same arithmetic anchor
+    rule the `anchor_index` entry byte-gates through the real
+    extractor."""
+    from linkgraph.extract import anchor_entropy
+
+    _load(spark, sf_dir, "documents")
+    counts = spark.sql(
+        f"WITH {EDGE_SQL.strip()} "
+        "SELECT e.dst AS target_id, "
+        "'a' || CAST((e.src + e.dst) % 7 AS STRING) AS anchor, "
+        "CAST(COUNT(*) AS DOUBLE) AS n "
+        "FROM edges e GROUP BY e.dst, (e.src + e.dst) % 7"
+    )
+    return (
+        anchor_entropy(counts, target_col="target_id")
+        .select(
+            "target_id",
+            "n_anchors",
+            "n_links",
+            F.round("entropy", 4).alias("entropy4"),
+        )
+        .orderBy("target_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_edges": q_extract_edges,
     "anchor_index": q_anchor_index,
@@ -4655,6 +4806,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ppr_push6": q_ppr_push,
     "robots_filter": q_robots_filter,
     "token_zipf": q_token_zipf,
+    "host_url_hll": q_host_url_hll,
+    "crawl_budget": q_crawl_budget,
+    "anchor_entropy": q_anchor_entropy,
 }
 
 ORACLES: dict[str, str] = {
@@ -4771,4 +4925,7 @@ ORACLES: dict[str, str] = {
     "ppr_push6": _ppr_push_unrolled_sql(6, 0.15, 1e-4, 0),
     "robots_filter": ROBOTS_SQL,
     "token_zipf": TOKEN_ZIPF_SQL,
+    "host_url_hll": _hll_twin_sql(),
+    "crawl_budget": CRAWL_BUDGET_SQL,
+    "anchor_entropy": ANCHOR_ENTROPY_SQL,
 }

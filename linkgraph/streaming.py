@@ -319,3 +319,41 @@ def stream_first_seen(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_session_stats(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming sessionization with SESSION WINDOWS: per (user,
+    session) aggregates ``(user_id, session, n, value_sum)`` where
+    ``session`` is the merged event-time window.
+
+    The streaming complement to batch
+    :func:`linkgraph.events.session_stats`: ``F.session_window`` gives
+    Structured Streaming's native gap-merged dynamic windows — state
+    merges adjacent windows as events arrive and the WATERMARK both
+    bounds state AND finalizes sessions (a session closes only once the
+    watermark passes its end + gap, the correctness condition for
+    emitting in append mode).  Boundary semantics differ from the batch
+    operator by design: ``session_window`` starts a new session at
+    gap ≥ duration, the batch rule at gap > duration — parity is
+    asserted against a BATCH ``session_window`` aggregation
+    (micro-batch vs batch execution of the same construct), not against
+    the lag+cumsum form.
+    """
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), gap).alias("session"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("value_sum"),
+        )
+    )

@@ -628,3 +628,30 @@ def test_ppr_push_state_is_sparse(spark):
     touched = {r.vid for r in ppr_push(g, 0, eps=1e-10, max_rounds=200).collect()}
     assert touched == {0, 1, 2}
     g.unpersist()
+
+
+def test_crawl_budget_sums_exact_and_proportional(spark):
+    from linkgraph.algorithms.opic import allocate_crawl_budget
+
+    w = spark.createDataFrame(
+        [("a", 5.0), ("b", 3.0), ("c", 1.0), ("d", 1.0)],
+        "host string, w double",
+    )
+    for total in (0, 1, 7, 100, 101):
+        got = {r.host: r.slots for r in
+               allocate_crawl_budget(w, total).collect()}
+        assert sum(got.values()) == total, (total, got)
+        # largest-remainder: every host within 1 of its exact quota
+        for h, wt in (("a", 5.0), ("b", 3.0), ("c", 1.0), ("d", 1.0)):
+            quota = wt * total / 10.0
+            assert quota - 1 < got[h] < quota + 1, (total, h, got[h], quota)
+
+
+def test_crawl_budget_rejects_negative(spark):
+    import pytest as _pytest
+
+    from linkgraph.algorithms.opic import allocate_crawl_budget
+
+    w = spark.createDataFrame([("a", 1.0)], "host string, w double")
+    with _pytest.raises(ValueError):
+        allocate_crawl_budget(w, -1)

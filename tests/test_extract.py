@@ -375,3 +375,46 @@ def test_robots_no_window_in_plan(spark):
     urls, rules = _robots_fixture(spark)
     plan = robots_allowed(urls, rules)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_hll_host_cardinality_accuracy_and_determinism(spark):
+    from linkgraph.extract import host_url_cardinality
+
+    rows = []
+    for h, n in (("small.example", 9), ("mid.example", 60), ("big.example", 400)):
+        rows += [(f"https://{h}/p/{i}", h) for i in range(n)]
+        # duplicates must not change the estimate (set semantics)
+        rows += [(f"https://{h}/p/0", h)] * 5
+    df = spark.createDataFrame(rows, "url string, host string")
+    got = {r.host: (r.occupied, r.est) for r in host_url_cardinality(df).collect()}
+    for h, n in (("small.example", 9), ("mid.example", 60), ("big.example", 400)):
+        occ, est = got[h]
+        assert occ <= 64
+        # m=64 → standard error ≈13%; allow 3σ
+        assert abs(est - n) / n < 0.4, (h, n, est)
+    # partitioning invariance: registers are max-folds, order-free
+    got2 = {
+        r.host: (r.occupied, round(r.est, 6))
+        for r in host_url_cardinality(df.repartition(16)).collect()
+    }
+    assert {h: (o, round(e, 6)) for h, (o, e) in got.items()} == got2
+
+
+def test_anchor_entropy_known_values(spark):
+    import math
+
+    from linkgraph.extract import anchor_entropy
+
+    counts = spark.createDataFrame(
+        [
+            (1, "click here", 5), (1, "example", 5),   # uniform 2 → ln 2
+            (2, "buy cheap meds", 1000),               # single anchor → 0
+            (3, "a", 1), (3, "b", 1), (3, "c", 1), (3, "d", 1),  # ln 4
+        ],
+        "target long, anchor string, n long",
+    )
+    got = {r.target: r for r in anchor_entropy(counts).collect()}
+    assert abs(got[1].entropy - math.log(2)) < 1e-12
+    assert abs(got[2].entropy - 0.0) < 1e-12
+    assert got[2].n_links == 1000
+    assert abs(got[3].entropy - math.log(4)) < 1e-12

@@ -678,3 +678,44 @@ def test_opic_round_plan_single_live_shuffle(spark, plan_graph):
         assert "BroadcastHashJoin" not in live, live
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_butterfly_plan_is_capped_equijoin_wedges(spark, plan_graph):
+    """Wedge generation must be an equi-join on the capped source key —
+    no cartesian/nested-loop join — and both aggregations partial."""
+    from linkgraph.algorithms.triangles import butterfly_count
+
+    plan = formatted_plan(butterfly_count(plan_graph))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan or "partial" in plan, plan
+
+
+def test_redirect_doubling_round_is_single_self_join(spark):
+    """One pointer-doubling round = one equi-join of the state against
+    itself; no cartesian, no Python."""
+    from linkgraph.extract import resolve_redirects
+
+    mapping = spark.createDataFrame(
+        [(i, i - 1) for i in range(1, 40)], "src long, dst long"
+    )
+    plan = formatted_plan(resolve_redirects(mapping, max_rounds=1))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_hll_plan_two_partial_aggs_no_url_shuffle_of_bodies(spark):
+    """The HLL sketch must reach the reducer as (host, bucket, rank)
+    rows via partial aggregation — both groupBys map-side combined, no
+    Window, no Python."""
+    from linkgraph.extract import host_url_cardinality
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i%5}.x/p/{i}", f"h{i%5}.x") for i in range(50)],
+        "url string, host string",
+    )
+    plan = formatted_plan(host_url_cardinality(urls))
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # partial+final for the register max and the per-host fold
+    assert plan.count("HashAggregate") >= 4, plan

@@ -292,3 +292,61 @@ def test_stream_first_seen_stateful_dedup(spark, tmp_path):
     assert {u for u, _ in got2} == {"u://a", "u://c", "u://e"}, got2
     # exactly one row per distinct content
     assert len(got2) == 3
+
+
+def test_stream_session_stats_matches_batch_session_window(spark, tmp_path):
+    """Streaming session windows over availableNow micro-batches must
+    equal a BATCH aggregation with the same session_window construct
+    (finalized sessions only; complete mode sidesteps watermark
+    finalization timing)."""
+    import datetime as dt
+
+    from linkgraph.streaming import stream_session_stats
+
+    ev_dir = str(tmp_path / "events")
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(4):
+        # two bursts separated by 3 hours → two sessions per user
+        for burst in (0, 180):
+            for k in range(5):
+                rows.append(
+                    (eid, t0 + dt.timedelta(minutes=burst + u * 2 + k * 5), u, 1.0 * k)
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    df.write.mode("overwrite").parquet(ev_dir)
+
+    stream = spark.readStream.schema(df.schema).parquet(ev_dir)
+    q = (
+        stream_session_stats(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session.start, r.session.end): (r.n, r.value_sum)
+        for r in spark.table("sessions_stream").collect()
+    }
+    want = {
+        (r.user_id, r.session.start, r.session.end): (r.n, r.value_sum)
+        for r in (
+            df.groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("session")
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+            .collect()
+        )
+    }
+    assert got == want
+    # every user got exactly two sessions (the 3h burst gap splits)
+    users = {}
+    for (u, _s, _e) in got:
+        users[u] = users.get(u, 0) + 1
+    assert users == {0: 2, 1: 2, 2: 2, 3: 2}

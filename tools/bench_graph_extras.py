@@ -153,6 +153,22 @@ def main() -> int:
         "resolve_redirects",
         lambda: resolve_redirects(redirects).where("resolved").count(),
     )
+
+    from linkgraph.algorithms.triangles import butterfly_count
+
+    timed(
+        "butterflies_cap64",
+        lambda: butterfly_count(g, max_out_degree=64).collect()[0][
+            "n_butterflies"
+        ],
+    )
+
+    from linkgraph.algorithms.ppr import ppr_push
+
+    timed(
+        "ppr_push_eps1e-4",
+        lambda: ppr_push(g, 0, alpha=0.15, eps=1e-4, max_rounds=100).count(),
+    )
     print(json.dumps(res))
     spark.stop()
     return 0

@@ -357,6 +357,43 @@ def main() -> int:
         "LIVE TREE (final round):\n" + live13 + "\n\nFULL PLAN:\n" + plan13,
     ))
 
+    # -- 13. forward-push PPR round (sparse touched-only state) -------------
+    from linkgraph.algorithms.ppr import ppr_push
+
+    with _aqe_disabled(spark):
+        plan14 = formatted(ppr_push(g, 0, rounds=1))
+    live14 = live_tree(plan14)
+    assert "CartesianProduct" not in live14, live14
+    assert "BatchEvalPython" not in plan14, plan14
+    sections.append((
+        "Forward-push PPR round (sparse state)",
+        "One push round: the frontier filter is a no-shuffle predicate "
+        "over the (touched-only) state leaf; the gather joins the "
+        "persisted hash(src) edges; the incoming-mass reduce is a "
+        "partial+final HashAggregate; the state update is a full-outer "
+        "merge of two SPARSE sides plus a broadcast 1-row dangling "
+        "aggregate.  Nothing in the round touches |V| rows — work is "
+        "proportional to residual mass moved, the ACL push guarantee.",
+        "LIVE TREE:\n" + live14 + "\n\nFULL PLAN:\n" + plan14,
+    ))
+
+    # -- 14. butterfly census (capped wedge self-join) ----------------------
+    from linkgraph.algorithms.triangles import butterfly_count
+
+    plan15 = formatted(butterfly_count(g, max_out_degree=64))
+    live15 = live_tree(plan15)
+    assert "CartesianProduct" not in plan15, plan15
+    assert "BroadcastNestedLoopJoin" not in plan15, plan15
+    sections.append((
+        "Butterfly census (capped source wedges)",
+        "Wedges come from a self-equi-join of the out-degree-capped "
+        "adjacency on the source key (the link_prediction kernel "
+        "centered on sources): cost Σ outdeg² is bounded at |V|·cap² "
+        "by construction.  Both the co-citation count and the final "
+        "2-counter census are partial+final aggregates.",
+        "LIVE TREE:\n" + live15 + "\n\nFULL PLAN:\n" + plan15,
+    ))
+
     out = ["# BENCH/PLANS.md — physical-plan evidence (asserted, not aspirational)\n"]
     out.append(
         "Generated by `python tools/explain_plans.py` on a 5,000-page "
