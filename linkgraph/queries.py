@@ -4701,6 +4701,102 @@ def q_anchor_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-mixture planning and dedup token accounting
+# ---------------------------------------------------------------------------
+
+# per-source weight = 1 + (index % 3); budget 30,000 tokens over a
+# supply of ~1,250 tokens/source, so the plan mixes capped (deficit)
+# and fractional-rate sources.  Targets (w/39·30000 ≈ 769/1538/2308)
+# sit nowhere near the integer supplies, so the deficit compare has no
+# float-boundary risk.
+MIXTURE_BUDGET = 30_000
+
+MIXTURE_SQL = f"""
+WITH t AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_CORPUS_TOKS})) AS BIGINT) AS tokens,
+         1.0 + CAST(substr(source, 4) AS INT) % 3 AS w
+  FROM documents GROUP BY source
+),
+s AS (SELECT SUM(w) AS ws FROM t)
+SELECT source, n_docs, tokens,
+       ROUND(LEAST(1.0, w / ws * {MIXTURE_BUDGET}.0 / tokens), 6) AS rate6,
+       ROUND(LEAST(1.0, w / ws * {MIXTURE_BUDGET}.0 / tokens) * tokens, 6)
+         AS kept6,
+       (w / ws * {MIXTURE_BUDGET}.0 > tokens) AS deficit
+FROM t CROSS JOIN s ORDER BY source
+"""
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-mixture sampling plan (corpus.py mixture_plan): token
+    targets ∝ per-source weights under a global budget, deficit
+    sources surfaced."""
+    from linkgraph.textops.corpus import mixture_plan
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    sources = sorted(
+        r.source for r in docs.select("source").distinct().collect()
+    )
+    weights = {s: 1.0 + int(s[3:]) % 3 for s in sources}
+    return (
+        mixture_plan(docs, weights, MIXTURE_BUDGET)
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.round("rate", 6).alias("rate6"),
+            F.round("kept_tokens", 6).alias("kept6"),
+            "deficit",
+        )
+        .orderBy("source")
+    )
+
+
+# docs2 with the source column carried through (dup copies keep their
+# original's source, so each source shows ~10% duplicate token mass)
+DOCS2SRC_SQL = """
+d2 AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, source
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+DEDUP_SAVINGS_SQL = f"""
+WITH {DOCS2SRC_SQL.strip()},
+g AS (
+  SELECT doc_id, source, len({_CORPUS_TOKS}) AS nt,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS gid
+  FROM d2
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS tokens,
+       CAST(SUM(CASE WHEN doc_id <> gid THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_docs,
+       CAST(SUM(CASE WHEN doc_id <> gid THEN nt ELSE 0 END) AS BIGINT)
+         AS dup_tokens,
+       ROUND(CAST(SUM(CASE WHEN doc_id <> gid THEN nt ELSE 0 END) AS DOUBLE)
+             / SUM(nt), 6) AS savings
+FROM g GROUP BY source ORDER BY source
+"""
+
+
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-dedup token accounting (corpus.py
+    dedup_token_savings) over the duplicated docs2 corpus."""
+    from linkgraph.textops.corpus import dedup_token_savings
+
+    _load(spark, sf_dir, "documents")
+    d2 = spark.sql(
+        f"WITH {DOCS2SRC_SQL.strip()} SELECT doc_id, text, source FROM d2"
+    )
+    return dedup_token_savings(d2).orderBy("source")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_edges": q_extract_edges,
     "anchor_index": q_anchor_index,
@@ -4809,6 +4905,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_url_hll": q_host_url_hll,
     "crawl_budget": q_crawl_budget,
     "anchor_entropy": q_anchor_entropy,
+    "mixture_plan": q_mixture_plan,
+    "dedup_savings": q_dedup_savings,
 }
 
 ORACLES: dict[str, str] = {
@@ -4928,4 +5026,6 @@ ORACLES: dict[str, str] = {
     "host_url_hll": _hll_twin_sql(),
     "crawl_budget": CRAWL_BUDGET_SQL,
     "anchor_entropy": ANCHOR_ENTROPY_SQL,
+    "mixture_plan": MIXTURE_SQL,
+    "dedup_savings": DEDUP_SAVINGS_SQL,
 }

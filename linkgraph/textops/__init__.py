@@ -32,7 +32,13 @@ from linkgraph.textops.ann import (
     embedding_near_duplicates,
     lsh_cosine_topk,
 )
-from linkgraph.textops.corpus import c4_filters, host_rollup, token_zipf_alpha
+from linkgraph.textops.corpus import (
+    c4_filters,
+    dedup_token_savings,
+    host_rollup,
+    mixture_plan,
+    token_zipf_alpha,
+)
 from linkgraph.textops.dedup import dedup_clusters, mirror_host_pairs
 
 __all__ = [
@@ -57,4 +63,6 @@ __all__ = [
     "dedup_clusters",
     "mirror_host_pairs",
     "token_zipf_alpha",
+    "mixture_plan",
+    "dedup_token_savings",
 ]

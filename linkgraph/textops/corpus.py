@@ -706,3 +706,112 @@ def token_zipf_alpha(
             F.lit(1.0) + F.count(F.lit(1)).cast("double") / F.sum(logs), 6
         ).alias("alpha"),
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mixture sampling plan: per-source keep rates that hit a
+    token budget at fixed mixture proportions →
+    ``(source, n_docs, tokens, rate, kept_tokens, deficit)``.
+
+    The standard pretraining-data step (fixed-mixture sampling as in
+    the GPT-3 / Pile recipes — public method): each source s gets a
+    token target ``budget·w_s/Σw``; the sampling rate is
+    ``min(1, target_s/T_s)`` where T_s is the source's available
+    tokens.  ``deficit = true`` marks sources whose target exceeds
+    their supply (rate capped at 1 — the caller must re-normalize or
+    oversample, surfaced rather than silently under-filled).
+
+    Sources absent from ``weights`` get weight 0 (rate 0 — excluded).
+
+    Physical shape: ONE map-side-combined per-source aggregation over
+    token counts (the token counting is a codegen projection); the
+    weight table is a broadcast literal map.  Nothing about a 10¹²-doc
+    corpus reaches the driver but |sources| rows.
+    """
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    w = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
+        )[F.col(source_col)],
+        F.lit(0.0),
+    )
+    per_src = (
+        df.select(
+            F.col(source_col), F.size(_tokens(text_col)).alias("_nt")
+        )
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("tokens"),
+        )
+    )
+    target = w / F.lit(wsum) * F.lit(float(token_budget))
+    rate = F.least(F.lit(1.0), target / F.col("tokens").cast("double"))
+    return per_src.select(
+        source_col,
+        "n_docs",
+        "tokens",
+        rate.alias("rate"),
+        (rate * F.col("tokens").cast("double")).alias("kept_tokens"),
+        (target > F.col("tokens").cast("double")).alias("deficit"),
+    )
+
+
+def dedup_token_savings(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token accounting for exact dedup, per source:
+    ``(source, n_docs, tokens, dup_docs, dup_tokens, savings)`` where
+    ``savings = dup_tokens / tokens`` — the fraction of a source's
+    token mass that exact dedup removes (non-canonical copies of a
+    duplicate group).
+
+    The dashboard number behind every dedup decision: which sources
+    are mirror-heavy enough that deduping them changes the mixture
+    (pair this with :func:`mixture_plan` — post-dedup token supply is
+    ``tokens − dup_tokens``).
+
+    Physical shape: the :func:`linkgraph.textops.dedup.exact_duplicates`
+    md5-groupBy (hashes shuffle, bodies don't) joined back on the doc
+    id, then ONE map-side-combined per-source aggregation.
+    """
+    from linkgraph.textops.dedup import exact_duplicates
+
+    dups = exact_duplicates(df, text_col, id_col).select(
+        id_col, (F.col(id_col) != F.col("group_id")).alias("_is_dup")
+    )
+    toks = df.select(
+        id_col, F.col(source_col), F.size(_tokens(text_col)).alias("_nt")
+    )
+    joined = toks.join(dups, id_col, "left").select(
+        source_col,
+        "_nt",
+        F.coalesce("_is_dup", F.lit(False)).alias("_is_dup"),
+    )
+    return joined.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("tokens"),
+        F.sum(F.col("_is_dup").cast("long")).cast("long").alias("dup_docs"),
+        F.sum(F.when(F.col("_is_dup"), F.col("_nt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup_tokens"),
+        F.round(
+            F.sum(F.when(F.col("_is_dup"), F.col("_nt")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum("_nt"),
+            6,
+        ).alias("savings"),
+    )

@@ -298,3 +298,57 @@ def test_token_zipf_alpha_matches_numpy(spark):
     assert (row.n_vocab, row.n_tail) == (6, 3)
     expected = 1.0 + 3 / sum(math.log(f / 1.5) for f in (7, 4, 2))
     assert abs(row.alpha - round(expected, 6)) < 1e-9
+
+
+def test_mixture_plan_budget_and_deficit(spark):
+    from linkgraph.textops.corpus import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(i, "t " * 100, "web" if i < 8 else "code") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    # web: 8 docs × 100 tokens = 800; code: 2 × 100 = 200
+    got = {
+        r.source: r
+        for r in mixture_plan(
+            docs, {"web": 1.0, "code": 1.0}, token_budget=500
+        ).collect()
+    }
+    # each target = 250: web rate 250/800, code rate 1.0 + deficit
+    assert abs(got["web"].rate - 250 / 800) < 1e-12
+    assert not got["web"].deficit
+    assert got["code"].rate == 1.0 and got["code"].deficit
+    assert abs(got["web"].kept_tokens - 250.0) < 1e-9
+    assert abs(got["code"].kept_tokens - 200.0) < 1e-9
+
+
+def test_mixture_plan_unknown_source_excluded(spark):
+    from linkgraph.textops.corpus import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "web"), (1, "d e f", "spam")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r.rate for r in
+           mixture_plan(docs, {"web": 1.0}, 2).collect()}
+    assert got["spam"] == 0.0 and got["web"] > 0
+
+
+def test_dedup_token_savings_counts(spark):
+    from linkgraph.textops.corpus import dedup_token_savings
+
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three", "a"),     # canonical (min id of group)
+            (1, "one two three", "a"),     # dup of 0
+            (2, "unique text here", "a"),
+            (3, "one two three", "b"),     # cross-source dup of 0
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in dedup_token_savings(docs).collect()}
+    assert got["a"].tokens == 9 and got["a"].dup_docs == 1
+    assert got["a"].dup_tokens == 3
+    assert abs(got["a"].savings - round(3 / 9, 6)) < 1e-12
+    # source b's only doc is a non-canonical copy of group 0
+    assert got["b"].dup_docs == 1 and abs(got["b"].savings - 1.0) < 1e-12
