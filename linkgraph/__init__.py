@@ -74,7 +74,7 @@ from linkgraph.algorithms.cc import connected_components
 from linkgraph.algorithms.labelprop import label_propagation
 from linkgraph.algorithms.triangles import triangle_count, triangle_counts_per_vertex
 from linkgraph.algorithms.bfs import bfs, multi_source_bfs
-from linkgraph.algorithms.sssp import sssp
+from linkgraph.algorithms.sssp import sssp, delta_stepping
 from linkgraph.algorithms.ppr import personalized_pagerank
 from linkgraph.algorithms.hits import hits
 from linkgraph.algorithms.kcore import k_core
@@ -129,6 +129,7 @@ __all__ = [
     "bfs",
     "multi_source_bfs",
     "sssp",
+    "delta_stepping",
     "personalized_pagerank",
     "hits",
     "k_core",

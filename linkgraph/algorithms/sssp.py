@@ -118,3 +118,115 @@ def sssp(
             break
         improved = leaf.where("_improved").select("vid", "dist")
     return IterationResult(state=state, iterations=it, converged=done, history=history)
+
+
+def delta_stepping(
+    graph: Graph,
+    source: int,
+    delta: float = 10.0,
+    weight_col: str | None = None,
+    max_buckets: int = 10_000,
+    max_light_rounds: int = 10_000,
+) -> IterationResult:
+    """SSSP by Δ-stepping (Meyer & Sanders, *Δ-stepping: a parallelizable
+    shortest path algorithm*, J. Algorithms 2003) — the bucketed relax
+    the reference's sssp.hxx implements on GPU [ref:
+    include/gunrock/algorithms/sssp.hxx — UNVERIFIED; SURVEY.md §2.3 A6
+    "delta-ish advance+filter"]: ``(vid, dist)``, EXACT (equal to
+    :func:`sssp` at convergence — differential-tested).
+
+    Why a second SSSP: Bellman-Ford's frontier re-relaxes a vertex once
+    per distance improvement — on weighted web graphs a vertex's
+    tentative distance can improve many times, each re-expanding its
+    out-edges.  Δ-stepping settles vertices bucket by bucket
+    ([iΔ, (i+1)Δ)): LIGHT edges (w ≤ Δ) relax to fixpoint INSIDE the
+    bucket (they cannot re-open an earlier bucket), HEAVY edges (w > Δ)
+    relax ONCE per bucket member — each heavy edge is traversed at most
+    once per endpoint settlement, the work bound Bellman-Ford lacks.
+
+    Physical shape: the light/heavy edge split is computed once and
+    both sides stay on the persisted hash(src) layout; every relax
+    round is the engine's standard exchange-keyed gather + min-reduce +
+    full-outer merge on checkpoint leaves.  Driver-side control: one
+    1-row aggregate per bucket (the next bucket index) plus the light
+    fixpoint's convergence probes — job count O(#buckets + Σ light
+    rounds), each touching only frontier-adjacent edges.
+    """
+    spark = graph.spark
+    edges = graph.edges
+    if weight_col is None:
+        edges = edges.withColumn("_w", F.lit(1.0))
+    else:
+        edges = edges.withColumn("_w", F.col(weight_col).cast("double"))
+    light = edges.where(F.col("_w") <= delta)
+    heavy = edges.where(F.col("_w") > delta)
+
+    state = plain_checkpoint(
+        spark.createDataFrame([(int(source), 0.0)], "vid long, dist double")
+    )
+    rounds = 0
+
+    def _relax(frontier, edge_side, st):
+        cand = (
+            edge_side.join(
+                frontier.select(F.col("vid").alias("src"), "dist"), "src"
+            )
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.min(F.col("dist") + F.col("_w")).alias("cand"))
+        )
+        merged = st.join(cand, "vid", "full_outer").select(
+            "vid",
+            F.least(
+                F.coalesce("dist", F.lit(float("inf"))),
+                F.coalesce("cand", F.lit(float("inf"))),
+            ).alias("dist"),
+            (
+                F.col("cand").isNotNull()
+                & (F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            ).alias("_improved"),
+        )
+        return merged
+
+    history = []
+    processed_below = 0.0
+    buckets_done = 0
+    while buckets_done < max_buckets:
+        nxt_row = (
+            state.where(F.col("dist") >= processed_below)
+            .agg(F.min("dist").alias("m"))
+            .collect()[0]
+        )
+        if nxt_row.m is None:
+            break
+        i = int(nxt_row.m // delta)
+        lo_b, hi_b = i * delta, (i + 1) * delta
+        # light-edge fixpoint inside bucket i
+        frontier = state.where(
+            (F.col("dist") >= lo_b) & (F.col("dist") < hi_b)
+        )
+        for _ in range(max_light_rounds):
+            rounds += 1
+            merged = _relax(frontier, light, state)
+            state = plain_checkpoint(merged, replaces=state)
+            frontier = state.where(
+                F.col("_improved") & (F.col("dist") < hi_b)
+            ).select("vid", "dist")
+            if frontier.isEmpty():
+                break
+        # heavy relax ONCE from the bucket's settled members
+        members = state.where(
+            (F.col("dist") >= lo_b) & (F.col("dist") < hi_b)
+        ).select("vid", "dist")
+        rounds += 1
+        state = plain_checkpoint(
+            _relax(members, heavy, state), replaces=state
+        )
+        processed_below = hi_b
+        buckets_done += 1
+        history.append({"bucket": i, "rounds": rounds})
+    return IterationResult(
+        state=state.select("vid", "dist"),
+        iterations=rounds,
+        converged=buckets_done < max_buckets,
+        history=history,
+    )

@@ -4797,6 +4797,36 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_token_savings(d2).orderBy("source")
 
 
+def _sssp_converged_sql(rounds: int = 24) -> str:
+    """Converged-distance twin for ``q_delta_sssp``: Bellman-Ford
+    unrolled past the graph's weighted-hop diameter (extra rounds are
+    idempotent — min-fold fixpoint), so it equals ANY exact SSSP
+    algorithm's output; the engine side runs Δ-stepping, whose
+    bucket/light/heavy schedule the oracle need not replay because the
+    OUTPUT is algorithm-independent (convergence asserted in
+    tests/test_traversal.py)."""
+    return _sssp_unrolled_sql(rounds)
+
+
+def q_delta_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Δ-stepping SSSP (sssp.py delta_stepping, Δ=4 so the 1..10
+    weights split into real light/heavy classes) run to settlement —
+    same weights as `sssp7`, exact converged distances."""
+    from linkgraph.algorithms.sssp import delta_stepping
+    from linkgraph.graph import Graph
+
+    g = build_graph(spark, sf_dir)
+    weighted = g.edges.withColumn(
+        "w",
+        (F.lit(1) + (F.col("src") * 7 + F.col("dst") * 13) % 10).cast(
+            "double"
+        ),
+    )
+    gw = Graph(weighted, g.num_partitions)
+    res = delta_stepping(gw, 0, delta=4.0, weight_col="w")
+    return res.state.select("vid", F.round("dist", 6).alias("dist6"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_edges": q_extract_edges,
     "anchor_index": q_anchor_index,
@@ -4907,6 +4937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_entropy": q_anchor_entropy,
     "mixture_plan": q_mixture_plan,
     "dedup_savings": q_dedup_savings,
+    "delta_sssp": q_delta_sssp,
 }
 
 ORACLES: dict[str, str] = {
@@ -5028,4 +5059,5 @@ ORACLES: dict[str, str] = {
     "anchor_entropy": ANCHOR_ENTROPY_SQL,
     "mixture_plan": MIXTURE_SQL,
     "dedup_savings": DEDUP_SAVINGS_SQL,
+    "delta_sssp": _sssp_converged_sql(24),
 }

@@ -170,3 +170,39 @@ def test_landmark_estimate_is_valid_upper_bound(spark, chesapeake_graph):
     # an endpoint that IS a landmark: the bound is exact
     exact_0 = bfs_oracle(chesapeake_edges(), 0, directed=False)
     assert ub[(0, 13)] == exact_0[13]
+
+
+def test_delta_stepping_matches_bellman_ford(spark):
+    """Δ-stepping at several Δ values equals converged Bellman-Ford on
+    a weighted digraph with real light/heavy edge classes."""
+    from linkgraph.algorithms.sssp import delta_stepping
+
+    edges = [
+        (0, 1, 1.0), (0, 2, 9.0), (1, 2, 1.0), (2, 3, 2.0),
+        (1, 4, 8.0), (4, 3, 1.0), (3, 5, 5.0), (0, 5, 30.0),
+        (5, 6, 1.0), (2, 6, 20.0),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    g = Graph(df, 2)
+    exact = {
+        r.vid: r.dist for r in sssp(g, 0, weight_col="w").state.collect()
+    }
+    for delta in (1.5, 4.0, 100.0):
+        res = delta_stepping(g, 0, delta=delta, weight_col="w")
+        assert res.converged
+        got = {r.vid: r.dist for r in res.state.collect()}
+        assert got == exact, (delta, got, exact)
+
+
+def test_delta_stepping_unit_weights_matches_bfs_depths(spark):
+    from linkgraph.algorithms.sssp import delta_stepping
+    from oracles import bfs_oracle
+
+    edges = [(i, i + 1) for i in range(5)] + [(0, 3), (2, 5)]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
+    res = delta_stepping(g, 0, delta=2.0)
+    got = {r.vid: int(r.dist) for r in res.state.collect()}
+    want = {
+        v: d for v, d in bfs_oracle(edges, 0).items() if d is not None
+    }
+    assert got == want
