@@ -380,3 +380,41 @@ def test_census_layering_bipartite_match_oracles(spark, edges):
         for r in bipartite_components(g).collect()
     }
     assert got_bp == want_bp
+
+
+@given(edges=edge_lists)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    print_blob=True,
+)
+def test_delta_stepping_matches_sssp_on_random_digraphs(spark, edges):
+    """Δ-stepping ≡ frontier Bellman-Ford on arbitrary digraphs with
+    arithmetic weights — both exact SSSP, any divergence is a bucket
+    boundary/settlement bug."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.algorithms.sssp import delta_stepping, sssp
+
+    norm = {(s, d) for s, d in edges if s != d}
+    if not norm:
+        return
+    base = edges_df(spark, edges).withColumn(
+        "w",
+        (F.lit(1) + (F.col("src") * 7 + F.col("dst") * 13) % 10).cast(
+            "double"
+        ),
+    )
+    g = Graph(base, 4)
+    exact = {
+        r.vid: r.dist for r in sssp(g, 0, weight_col="w").state.collect()
+    }
+    got = {
+        r.vid: r.dist
+        for r in delta_stepping(
+            g, 0, delta=4.0, weight_col="w"
+        ).state.collect()
+    }
+    # sssp() seeds vertex 0 even when absent from the edge list; both do
+    assert got == exact
