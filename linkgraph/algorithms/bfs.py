@@ -345,6 +345,7 @@ def landmark_bfs(
     )
     frontier = settled
     depth = 0
+    done = False
     for _ in range(max_iters):
         cand = (
             edges.join(
@@ -367,10 +368,19 @@ def landmark_bfs(
             replaces=frontier if frontier is not settled else None,
         )
         if nxt.isEmpty():
+            done = True
             break
         settled = plain_checkpoint(settled.unionAll(nxt), replaces=settled)
         frontier = nxt
         depth += 1
+    if not done:
+        # a truncated index is indistinguishable from a converged one
+        # downstream (estimate_distance_upper reads missing rows as
+        # "unreachable"), so refuse to return it silently
+        raise RuntimeError(
+            f"landmark_bfs did not settle within max_iters={max_iters} "
+            f"(graph eccentricity exceeds the cap); raise max_iters"
+        )
     return settled
 
 

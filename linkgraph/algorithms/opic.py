@@ -116,17 +116,28 @@ def allocate_crawl_budget(
     """
     if total_slots < 0:
         raise ValueError(f"total_slots must be >= 0, got {total_slots}")
-    tot = weights.agg(F.sum(weight_col).alias("_t"))
-    base = weights.crossJoin(F.broadcast(tot)).select(
-        F.col(key_col),
-        F.floor(
-            F.col(weight_col) * float(total_slots) / F.col("_t")
-        ).alias("_base"),
-        (
-            F.col(weight_col) * float(total_slots) / F.col("_t")
-            - F.floor(F.col(weight_col) * float(total_slots) / F.col("_t"))
-        ).alias("_frac"),
+    tot = weights.agg(F.sum(weight_col).alias("_t")).collect()[0]["_t"]
+    if tot is None or float(tot) <= 0.0:
+        raise ValueError(
+            f"weights must sum to a positive value, got {tot} — a cold "
+            "crawl cycle should seed uniform weights, not zeros"
+        )
+    # quota quantized to 9 decimals BEFORE floor/frac: the total is a
+    # driver-side scalar (deterministic), but real-valued weights still
+    # leave the floor/ranking one ulp from flipping at integer quota
+    # boundaries across replicas — the same quantize-before-compare
+    # discipline as ppr_push's frontier threshold
+    quota = F.round(
+        F.col(weight_col).cast("double")
+        * float(total_slots)
+        / float(tot),
+        9,
     )
+    base = weights.select(
+        F.col(key_col),
+        F.floor(quota).alias("_base"),
+        F.round(quota - F.floor(quota), 9).alias("_frac"),
+    ).localCheckpoint(eager=True)  # reused 3× below: one computation
     used = base.agg(F.sum("_base").alias("_u")).collect()[0]["_u"] or 0
     residue = int(total_slots - used)
     plus = (

@@ -190,6 +190,7 @@ def delta_stepping(
     history = []
     processed_below = 0.0
     buckets_done = 0
+    settled_all = False
     while buckets_done < max_buckets:
         nxt_row = (
             state.where(F.col("dist") >= processed_below)
@@ -197,6 +198,7 @@ def delta_stepping(
             .collect()[0]
         )
         if nxt_row.m is None:
+            settled_all = True
             break
         i = int(nxt_row.m // delta)
         lo_b, hi_b = i * delta, (i + 1) * delta
@@ -224,9 +226,20 @@ def delta_stepping(
         processed_below = hi_b
         buckets_done += 1
         history.append({"bucket": i, "rounds": rounds})
+    if not settled_all and buckets_done >= max_buckets:
+        # the bucket cap may have landed exactly on the last needed
+        # bucket — probe once more so a fully-settled run reports
+        # converged=True regardless of where the cap fell
+        m = (
+            state.where(F.col("dist") >= processed_below)
+            .agg(F.min("dist").alias("m"))
+            .collect()[0]
+            .m
+        )
+        settled_all = m is None
     return IterationResult(
         state=state.select("vid", "dist"),
         iterations=rounds,
-        converged=buckets_done < max_buckets,
+        converged=settled_all,
         history=history,
     )

@@ -494,7 +494,16 @@ def resolve_redirects(
             state.join(hop, state["ptr"] == hop["_k"], "left").select(
                 "src",
                 F.coalesce("_p", "ptr").alias("ptr"),
-                (F.col("hops") + F.coalesce("_h", F.lit(0))).alias("hops"),
+                # clamp: a CYCLE row's hop count doubles every round and
+                # would overflow BIGINT at round ~63 (ANSI mode raises,
+                # killing the job on the exact input the resolved=false
+                # contract exists for); 2^40 is far beyond any real
+                # chain, and resolved rows stop accumulating at their
+                # true length long before the clamp
+                F.least(
+                    F.col("hops") + F.coalesce("_h", F.lit(0)),
+                    F.lit(1 << 40).cast("long"),
+                ).alias("hops"),
                 # terminal ⇔ the pointer is not itself a redirect source
                 (F.col("done") | F.col("_p").isNull()).alias("done"),
             ),

@@ -1805,7 +1805,7 @@ def _sssp_unrolled_sql(rounds: int = 7) -> str:
     parts = [
         "WITH " + EDGE_SQL.strip() + ",",
         "w AS MATERIALIZED (SELECT src, dst, "
-        "CAST(1 + (src * 7 + dst * 13) % 10 AS DOUBLE) AS w FROM edges),",
+        f"CAST({EDGE_WEIGHT_SQL} AS DOUBLE) AS w FROM edges),",
         "d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS vid, "
         "CAST(0 AS DOUBLE) AS dist),",
     ]
@@ -2667,22 +2667,33 @@ def q_bfs_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).state.select("vid", F.col("depth").cast("long").alias("depth"))
 
 
-def q_sssp7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted SSSP from vertex 0, 7 relaxation rounds (reference A6).
+# ONE definition of the arithmetic edge-weight rule (engine entries and
+# the Bellman-Ford twins must agree on it byte-for-byte)
+EDGE_WEIGHT_SQL = "1 + (src * 7 + dst * 13) % 10"
 
-    Weight = 1 + (src*7 + dst*13) % 10, attached as a narrow projection
-    over the shared cached graph (keeps hash(src) partitioning, so the
-    gather join stays exchange-free).
-    """
-    from linkgraph.algorithms.sssp import sssp
+
+def _weighted_graph(spark: SparkSession, sf_dir: str):
+    """Shared cached graph with the arithmetic weight column attached
+    as a narrow projection (keeps hash(src) partitioning, so the
+    gather joins stay exchange-free)."""
     from linkgraph.graph import Graph
 
     g = build_graph(spark, sf_dir)
     weighted = g.edges.withColumn(
-        "w", (F.lit(1) + (F.col("src") * 7 + F.col("dst") * 13) % 10).cast("double")
+        "w", F.expr(f"CAST({EDGE_WEIGHT_SQL} AS DOUBLE)")
     )
-    gw = Graph(weighted, g.num_partitions)
-    res = sssp(gw, 0, weight_col="w", max_iters=7)
+    return Graph(weighted, g.num_partitions)
+
+
+def q_sssp7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP from vertex 0, 7 relaxation rounds (reference A6).
+
+    Weight = 1 + (src*7 + dst*13) % 10 (EDGE_WEIGHT_SQL — one
+    definition shared with q_delta_sssp and the Bellman-Ford twins).
+    """
+    from linkgraph.algorithms.sssp import sssp
+
+    res = sssp(_weighted_graph(spark, sf_dir), 0, weight_col="w", max_iters=7)
     return res.state.select("vid", F.round("dist", 6).alias("dist6"))
 
 
@@ -4659,14 +4670,20 @@ def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host")
 
 
+# ONE definition of the arithmetic anchor-count relation (shared by
+# the engine entry and the DuckDB twin — the anchor rule is
+# load-bearing for oracle parity, so it must not exist as drift-prone
+# copies; same rule as anchor_index's synthesized pages)
+ANCHOR_COUNTS_SQL = """
+SELECT e.dst AS target_id,
+       'a' || CAST((e.src + e.dst) % 7 AS STRING) AS anchor,
+       CAST(COUNT(*) AS DOUBLE) AS n
+FROM edges e GROUP BY e.dst, (e.src + e.dst) % 7
+"""
+
 ANCHOR_ENTROPY_SQL = f"""
 WITH {EDGE_SQL.strip()},
-c AS (
-  SELECT e.dst AS target_id,
-         'a' || CAST((e.src + e.dst) % 7 AS STRING) AS anchor,
-         CAST(COUNT(*) AS DOUBLE) AS n
-  FROM edges e GROUP BY e.dst, (e.src + e.dst) % 7
-)
+c AS ({ANCHOR_COUNTS_SQL.strip()})
 SELECT target_id, CAST(COUNT(*) AS BIGINT) AS n_anchors,
        CAST(SUM(n) AS BIGINT) AS n_links,
        ROUND(ln(SUM(n)) - SUM(n * ln(n)) / SUM(n), 4) AS entropy4
@@ -4683,11 +4700,7 @@ def q_anchor_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _load(spark, sf_dir, "documents")
     counts = spark.sql(
-        f"WITH {EDGE_SQL.strip()} "
-        "SELECT e.dst AS target_id, "
-        "'a' || CAST((e.src + e.dst) % 7 AS STRING) AS anchor, "
-        "CAST(COUNT(*) AS DOUBLE) AS n "
-        "FROM edges e GROUP BY e.dst, (e.src + e.dst) % 7"
+        f"WITH {EDGE_SQL.strip()} {ANCHOR_COUNTS_SQL.strip()}"
     )
     return (
         anchor_entropy(counts, target_col="target_id")
@@ -4813,17 +4826,10 @@ def q_delta_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights split into real light/heavy classes) run to settlement —
     same weights as `sssp7`, exact converged distances."""
     from linkgraph.algorithms.sssp import delta_stepping
-    from linkgraph.graph import Graph
 
-    g = build_graph(spark, sf_dir)
-    weighted = g.edges.withColumn(
-        "w",
-        (F.lit(1) + (F.col("src") * 7 + F.col("dst") * 13) % 10).cast(
-            "double"
-        ),
+    res = delta_stepping(
+        _weighted_graph(spark, sf_dir), 0, delta=4.0, weight_col="w"
     )
-    gw = Graph(weighted, g.num_partitions)
-    res = delta_stepping(gw, 0, delta=4.0, weight_col="w")
     return res.state.select("vid", F.round("dist", 6).alias("dist6"))
 
 

@@ -695,15 +695,21 @@ def token_zipf_alpha(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    tail = tf.where(F.col("tf") >= xmin)
-    logs = F.log(F.col("tf").cast("double") / (xmin - 0.5))
-    n_vocab = tf.count()
-    return tail.agg(
+    # ONE pass over the term counts: vocab size and the tail MLE are
+    # conditional aggregates over the same tf relation (an eager
+    # tf.count() would run the corpus-wide explode+groupBy — the
+    # expensive job — twice per call)
+    in_tail = F.col("tf") >= xmin
+    logs = F.when(
+        in_tail, F.log(F.col("tf").cast("double") / (xmin - 0.5))
+    )
+    n_tail = F.count(F.when(in_tail, F.lit(1)))
+    return tf.agg(
         F.lit(xmin).cast("long").alias("xmin"),
-        F.lit(n_vocab).cast("long").alias("n_vocab"),
-        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        n_tail.cast("long").alias("n_tail"),
         F.round(
-            F.lit(1.0) + F.count(F.lit(1)).cast("double") / F.sum(logs), 6
+            F.lit(1.0) + n_tail.cast("double") / F.sum(logs), 6
         ).alias("alpha"),
     )
 
@@ -756,7 +762,12 @@ def mixture_plan(
         )
     )
     target = w / F.lit(wsum) * F.lit(float(token_budget))
-    rate = F.least(F.lit(1.0), target / F.col("tokens").cast("double"))
+    # tokens = 0 (a source whose docs are all empty/whitespace) must
+    # report rate 0 + deficit, not DIVIDE_BY_ZERO under ANSI mode
+    rate = F.when(
+        F.col("tokens") > 0,
+        F.least(F.lit(1.0), target / F.col("tokens").cast("double")),
+    ).otherwise(F.lit(0.0))
     return per_src.select(
         source_col,
         "n_docs",

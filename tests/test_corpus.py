@@ -352,3 +352,20 @@ def test_dedup_token_savings_counts(spark):
     assert abs(got["a"].savings - round(3 / 9, 6)) < 1e-12
     # source b's only doc is a non-canonical copy of group 0
     assert got["b"].dup_docs == 1 and abs(got["b"].savings - 1.0) < 1e-12
+
+
+def test_mixture_plan_zero_token_source(spark):
+    """Review regression: an all-whitespace source must report
+    rate 0 + deficit, not DIVIDE_BY_ZERO under ANSI mode."""
+    from linkgraph.textops.corpus import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(0, "real text here", "web"), (1, "   ", "empty")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.source: r
+        for r in mixture_plan(docs, {"web": 1.0, "empty": 1.0}, 10).collect()
+    }
+    assert got["empty"].rate == 0.0 and got["empty"].deficit
+    assert got["web"].rate > 0

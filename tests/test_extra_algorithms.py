@@ -655,3 +655,17 @@ def test_crawl_budget_rejects_negative(spark):
     w = spark.createDataFrame([("a", 1.0)], "host string, w double")
     with _pytest.raises(ValueError):
         allocate_crawl_budget(w, -1)
+
+
+def test_crawl_budget_rejects_zero_weights(spark):
+    """Review regression: an all-zero weight table must raise a clear
+    ValueError, not DIVIDE_BY_ZERO inside the quota projection."""
+    import pytest as _pytest
+
+    from linkgraph.algorithms.opic import allocate_crawl_budget
+
+    w = spark.createDataFrame(
+        [("a", 0.0), ("b", 0.0)], "host string, w double"
+    )
+    with _pytest.raises(ValueError, match="positive"):
+        allocate_crawl_budget(w, 10)

@@ -418,3 +418,16 @@ def test_anchor_entropy_known_values(spark):
     assert abs(got[2].entropy - 0.0) < 1e-12
     assert got[2].n_links == 1000
     assert abs(got[3].entropy - math.log(4)) < 1e-12
+
+
+def test_resolve_redirects_cycle_survives_default_rounds(spark):
+    """Review regression: a redirect cycle at the DEFAULT max_rounds
+    must flag resolved=false, not overflow BIGINT at round ~63 (hops
+    doubles every composition round; ANSI mode raises on overflow)."""
+    from linkgraph.extract import resolve_redirects
+
+    mapping = spark.createDataFrame(
+        [(10, 11), (11, 10), (12, 10)], "src long, dst long"
+    )
+    rows = resolve_redirects(mapping).collect()  # default max_rounds=64
+    assert len(rows) == 3 and all(not r.resolved for r in rows)
