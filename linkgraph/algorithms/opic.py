@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from linkgraph.graph import Graph
 from linkgraph.operators.neighbor_reduce import neighbor_reduce
-from linkgraph.superstep import IterationResult, iterate
+from linkgraph.superstep import IterationResult, iterate, plain_checkpoint
 
 
 def opic_round(graph: Graph, state: DataFrame, n: int) -> DataFrame:
@@ -145,9 +145,14 @@ def allocate_crawl_budget(
         .limit(residue)
         .select(key_col, F.lit(1).alias("_plus"))
     )
-    return base.join(plus, key_col, "left").select(
+    out = base.join(plus, key_col, "left").select(
         key_col,
         (F.col("_base") + F.coalesce("_plus", F.lit(0)))
         .cast("long")
         .alias("slots"),
     )
+    # Materialize the (compact, |keys|-row) allocation as its own leaf and
+    # free base's MEMORY_AND_DISK blocks — repeated scheduler invocations
+    # in one session must not accumulate checkpoint storage for the
+    # ContextCleaner (same replaces discipline as the iterate runtime).
+    return plain_checkpoint(out, replaces=base)

@@ -621,10 +621,14 @@ def _hll_pow2neg_sql(m_expr: str) -> str:
     return f"(CASE {arms} ELSE 1.0 END)"
 
 
-def host_url_cardinality(urls: DataFrame, url_col: str = "url") -> DataFrame:
+def host_url_cardinality(
+    urls: DataFrame, url_col: str = "url", host_col: str = "host"
+) -> DataFrame:
     """Approximate DISTINCT-URL count per host via a deterministic
     HyperLogLog sketch (Flajolet, Fusy, Gandouet & Meunier, AofA 2007 —
-    public method): ``(host, occupied, est)``.
+    public method): ``(host, occupied, est)``.  ``host_col`` names the
+    grouping key (the output keeps the caller's column name), matching
+    the parameterized-key convention of the rest of the extract surface.
 
     The crawl-dashboard cardinality op: "how many unique URLs has each
     host contributed" over a 10¹²-row fetch log, without a
@@ -649,7 +653,7 @@ def host_url_cardinality(urls: DataFrame, url_col: str = "url") -> DataFrame:
     h = F.expr(_hll_h32_sql(url_col))
     regs = (
         urls.select(
-            F.col("host"),
+            F.col(host_col).alias("host"),
             (h % HLL_M).alias("bucket"),
             F.expr(_hll_rank_sql(f"({_hll_h32_sql(url_col)} div {HLL_M})")).alias(
                 "rank"
@@ -671,7 +675,9 @@ def host_url_cardinality(urls: DataFrame, url_col: str = "url") -> DataFrame:
         F.lit(m) * F.log(F.lit(m) / zeros),
     ).otherwise(raw)
     return per_host.select(
-        "host", F.col("occupied").cast("long").alias("occupied"), est.alias("est")
+        F.col("host").alias(host_col),
+        F.col("occupied").cast("long").alias("occupied"),
+        est.alias("est"),
     )
 
 

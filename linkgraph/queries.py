@@ -4792,8 +4792,9 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          AS dup_docs,
        CAST(SUM(CASE WHEN doc_id <> gid THEN nt ELSE 0 END) AS BIGINT)
          AS dup_tokens,
-       ROUND(CAST(SUM(CASE WHEN doc_id <> gid THEN nt ELSE 0 END) AS DOUBLE)
-             / SUM(nt), 6) AS savings
+       ROUND(CASE WHEN SUM(nt) > 0 THEN
+             CAST(SUM(CASE WHEN doc_id <> gid THEN nt ELSE 0 END) AS DOUBLE)
+             / SUM(nt) ELSE 0.0 END, 6) AS savings
 FROM g GROUP BY source ORDER BY source
 """
 

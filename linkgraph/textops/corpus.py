@@ -820,9 +820,15 @@ def dedup_token_savings(
         .cast("long")
         .alias("dup_tokens"),
         F.round(
-            F.sum(F.when(F.col("_is_dup"), F.col("_nt")).otherwise(F.lit(0)))
-            .cast("double")
-            / F.sum("_nt"),
+            # zero-token guard (mirrors mixture_plan): a source whose docs
+            # all tokenize empty gets savings 0.0, not NaN from 0.0/0.0
+            F.when(
+                F.sum("_nt") > 0,
+                F.sum(
+                    F.when(F.col("_is_dup"), F.col("_nt")).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("_nt"),
+            ).otherwise(F.lit(0.0)),
             6,
         ).alias("savings"),
     )

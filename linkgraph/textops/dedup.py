@@ -499,15 +499,21 @@ def mirror_host_pairs(
     Physical shape at 100 TB:
     - fingerprint = ``md5(text)`` — the shuffle carries 32-byte hashes,
       never document bodies (same contract as :func:`exact_duplicates`).
-    - per-fingerprint DISTINCT host sets via map-side-combined
-      ``collect_set`` (bounded by ``max_hosts_per_fp``), then host
-      PAIRS exploded per fingerprint — cost Σ min(|hosts_fp|, cap)²,
-      never corpus-quadratic.
     - ``max_hosts_per_fp`` is the boilerplate guard (the analog of
       ``minhash_lsh_candidates.max_bucket``): a fingerprint served by
       hundreds of hosts is template/boilerplate content, which carries
-      all of the quadratic pair blow-up and none of the mirror signal —
-      such fingerprints are dropped BEFORE pair expansion.
+      all of the quadratic pair blow-up and none of the mirror signal.
+      The guard is a TWO-PASS plan, mirroring ``max_bucket``: a
+      map-side-combined ``count`` per fingerprint first, then a
+      ``left_semi`` join keeps only fingerprints with ≤ cap hosts, and
+      only THOSE reach ``collect_set`` — so no aggregation buffer ever
+      materializes an over-cap host array (a boilerplate fingerprint
+      served by millions of hosts would otherwise OOM the executor in
+      the set build itself, before the size() filter could run).
+    - per-surviving-fingerprint DISTINCT host sets via ``collect_set``
+      (now bounded by construction), then host PAIRS exploded per
+      fingerprint — cost Σ_{|hosts_fp| ≤ cap} |hosts_fp|², never
+      corpus-quadratic, in the set build AND the pair explode.
     - final ``groupBy(host_a, host_b).count()`` is map-side combined;
       output cardinality is |host pairs with shared content|, tiny.
 
@@ -519,15 +525,22 @@ def mirror_host_pairs(
         )
         .dropDuplicates(["fp", "host"])
     )
-    hosts_per_fp = fp_host.groupBy("fp").agg(
-        F.collect_set("host").alias("hosts")
-    )
     if max_hosts_per_fp is not None:
-        hosts_per_fp = hosts_per_fp.where(
-            F.size("hosts") <= max_hosts_per_fp
+        # Pass 1: bounded count agg (map-side combined) → keep only
+        # fingerprints whose host fan-out fits the cap. This runs BEFORE
+        # collect_set so no executor ever buffers an over-cap host array.
+        small_fps = (
+            fp_host.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_nh"))
+            .where(F.col("_nh") <= max_hosts_per_fp)
+            .select("fp")
         )
-    hosts_per_fp = hosts_per_fp.where(F.size("hosts") >= 2).select(
-        F.array_sort("hosts").alias("hosts")
+        fp_host = fp_host.join(small_fps, "fp", "left_semi")
+    hosts_per_fp = (
+        fp_host.groupBy("fp")
+        .agg(F.collect_set("host").alias("hosts"))
+        .where(F.size("hosts") >= 2)
+        .select(F.array_sort("hosts").alias("hosts"))
     )
     pairs = hosts_per_fp.select(
         F.explode(

@@ -369,3 +369,21 @@ def test_mixture_plan_zero_token_source(spark):
     }
     assert got["empty"].rate == 0.0 and got["empty"].deficit
     assert got["web"].rate > 0
+
+
+def test_dedup_token_savings_zero_token_source(spark):
+    """A source whose docs all tokenize to zero tokens must report
+    savings 0.0, not NaN from 0.0/0.0 (ADVICE r02 — mirrors
+    mixture_plan's zero-token guard)."""
+    import math
+
+    from linkgraph.textops.corpus import dedup_token_savings
+
+    docs = spark.createDataFrame(
+        [(1, "", "empty"), (2, "", "empty"), (3, "real words here", "ok")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in dedup_token_savings(docs).collect()}
+    assert got["empty"].tokens == 0
+    assert not math.isnan(got["empty"].savings)
+    assert got["empty"].savings == 0.0

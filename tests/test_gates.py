@@ -160,3 +160,35 @@ def test_ivf_train_collects_at_most_train_size(spark, monkeypatch):
     assert cent.shape == (4, 4)
     assert seen, "training must collect its bounded sample"
     assert max(seen) <= train_size
+
+
+# ---------------------------------------------------------------------------
+# 4. Crawl-budget scheduler must not accumulate checkpoint blocks
+# ---------------------------------------------------------------------------
+
+
+def test_allocate_crawl_budget_releases_intermediate_blocks(spark):
+    """ADVICE r02: repeated scheduler invocations in one session must not
+    pile up the intermediate `base` localCheckpoint blocks — only the
+    returned (caller-held) allocation leaf may remain persisted per call."""
+    from linkgraph.algorithms.opic import allocate_crawl_budget
+
+    weights = spark.createDataFrame(
+        [(f"h{i}", float(i + 1)) for i in range(20)], "host string, w double"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_persisted():
+        return jsc.getPersistentRDDs().size()
+
+    before = n_persisted()
+    outs = []
+    for _ in range(3):
+        out = allocate_crawl_budget(weights, total_slots=100)
+        assert out.agg(F.sum("slots")).collect()[0][0] == 100
+        outs.append(out)
+    # 3 invocations → at most 3 surviving leaves (the returned outputs);
+    # the leaked-base behavior would leave 6.
+    assert n_persisted() - before <= 3, (
+        f"checkpoint blocks accumulated: {before} -> {n_persisted()}"
+    )

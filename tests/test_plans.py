@@ -719,3 +719,21 @@ def test_hll_plan_two_partial_aggs_no_url_shuffle_of_bodies(spark):
     assert "BatchEvalPython" not in plan, plan
     # partial+final for the register max and the per-host fold
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_mirror_hosts_cap_is_two_pass_before_collect_set(spark):
+    """mirror_host_pairs' boilerplate guard (ADVICE r02): the cap must be
+    enforced by a COUNT pass + left_semi BEFORE the collect_set, so no
+    aggregation buffer ever builds an over-cap host array.  Plan shape:
+    a LeftSemi join, and ≥2 aggregate pairs (count, then collect_set)."""
+    from linkgraph.textops.dedup import mirror_host_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"body {i % 7}", f"h{i % 11}.x") for i in range(60)],
+        "doc_id long, text string, host string",
+    )
+    plan = formatted_plan(mirror_host_pairs(docs, max_hosts_per_fp=5))
+    assert "LeftSemi" in plan, plan
+    # capped path still never goes all-pairs
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
