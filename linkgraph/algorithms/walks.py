@@ -9,10 +9,14 @@ Spark-first shape — every step is ONE hub-safe equi-join, never an
 explode of the neighbor list:
 
 1. **edge index (once, persisted)**: rank each source's out-edges by dst
-   (`row_number` over ``partitionBy(src).orderBy(dst)`` − 1) → ``(src,
-   idx, dst)`` with ``idx ∈ [0, outdeg)``; ``(src, idx)`` is a unique
-   key.  Build cost is one |E| window sort — the walk analog of the CSR
-   build, amortized over all steps and walks.
+   → ``(src, idx, dst)`` with ``idx ∈ [0, outdeg)``; ``(src, idx)`` is a
+   unique key.  Derived from the graph's persisted CSR-style layout
+   (hash(src)-partitioned, sorted within partitions by (src, dst) —
+   graph.py from_edges) by ONE Arrow pass running a cumulative per-run
+   counter — no Window: a ``row_number over partitionBy(src)`` would put
+   a 10⁸-out-link hub's entire edge list into a single window task
+   (VERDICT r02 watch item); the Arrow pass is embarrassingly parallel
+   per partition and the hub's run is already contiguous and sorted.
 2. **choice**: the walker at ``v`` on step ``t`` picks
    ``idx = ((walk_id·A₁ + t·A₂ + seed) mod P) mod outdeg(v)`` — the same
    public multiplicative-hash family as the engine's BC source sampling
@@ -34,7 +38,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from linkgraph.graph import Graph
 from linkgraph.superstep import plain_checkpoint
@@ -49,13 +52,48 @@ WALK_P = 2147483647
 def indexed_edges(graph: Graph) -> DataFrame:
     """``(src, idx, dst)`` with idx = dense rank of dst within src.
 
-    One |E| window pass over the persisted hash(src) layout (the
-    partitionBy matches the edge partitioning, so no extra exchange);
-    callers should persist the result when walking multiple steps.
+    ONE Arrow map pass over the graph's persisted layout — from_edges
+    guarantees hash(src) partitioning (every src's edges land in one
+    partition) and a (src, dst) sort within partitions (every src's run
+    is contiguous and dst-ascending), so idx is a vectorized cumulative
+    counter per run, carried across Arrow batch boundaries.  No shuffle,
+    no Window: cost is |E|/P per task regardless of hub degree, where
+    the former ``row_number over partitionBy(src)`` gave the largest hub
+    a task sized by ITS degree (single-task straggler at web scale).
+    Callers should persist the result when walking multiple steps.
     """
-    w = Window.partitionBy("src").orderBy("dst")
-    return graph.edges.select(
-        "src", (F.row_number().over(w) - 1).alias("idx"), "dst"
+    import numpy as np
+    import pyarrow as pa
+
+    def add_idx(batches):
+        # (src of the run in progress, #rows already indexed for it) —
+        # carried across batches; a hub's run may span many Arrow batches
+        cur_src = None
+        cur_count = 0
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            src = b.column(0).to_numpy(zero_copy_only=False)
+            pos = np.arange(n, dtype=np.int64)
+            change = np.empty(n, dtype=bool)
+            change[0] = cur_src is None or src[0] != cur_src
+            np.not_equal(src[1:], src[:-1], out=change[1:])
+            # forward-filled start position of each run; −1 = the batch
+            # head continues the previous batch's run
+            run_start = np.maximum.accumulate(np.where(change, pos, -1))
+            idx = np.where(
+                run_start >= 0, pos - run_start, pos + cur_count
+            )
+            cur_src = int(src[-1])
+            cur_count = int(idx[-1]) + 1
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pa.array(idx, type=pa.int64()), b.column(1)],
+                names=["src", "idx", "dst"],
+            )
+
+    return graph.edges.select("src", "dst").mapInArrow(
+        add_idx, "src long, idx long, dst long"
     )
 
 

@@ -669,3 +669,38 @@ def test_crawl_budget_rejects_zero_weights(spark):
     )
     with _pytest.raises(ValueError, match="positive"):
         allocate_crawl_budget(w, 10)
+
+
+def test_indexed_edges_matches_window_twin_across_arrow_batches(spark):
+    """indexed_edges' Arrow cumulative-run counter must equal the dense
+    row_number-within-src ranking — including when a hub's edge run spans
+    multiple Arrow batches (maxRecordsPerBatch forced tiny here)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from linkgraph.algorithms.walks import indexed_edges
+    from linkgraph.graph import Graph
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        # hub 0 with 100 out-edges (spans many 7-row batches) + scatter
+        edges = [(0, d) for d in range(1, 101)] + [
+            (s, (s * 13 + 1) % 50) for s in range(1, 50)
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        g = Graph.from_edges(df, num_partitions=4)
+        got = {
+            (r.src, r.dst): r.idx for r in indexed_edges(g).collect()
+        }
+        w = W.partitionBy("src").orderBy("dst")
+        want = {
+            (r.src, r.dst): r.idx
+            for r in g.edges.select(
+                "src", (F.row_number().over(w) - 1).alias("idx"), "dst"
+            ).collect()
+        }
+        assert got == want
+        assert got[(0, 100)] == 99  # the hub's full run is densely ranked
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)

@@ -737,3 +737,16 @@ def test_mirror_hosts_cap_is_two_pass_before_collect_set(spark):
     # capped path still never goes all-pairs
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_indexed_edges_plan_no_window_no_shuffle(spark, plan_graph):
+    """The walk edge-index build must be a narrow Arrow pass over the
+    persisted CSR layout — no Window (hub-sized single task straggler)
+    and no Exchange (the layout already clusters each src's run)."""
+    from linkgraph.algorithms.walks import indexed_edges
+
+    plan = formatted_plan(indexed_edges(plan_graph))
+    live = live_tree(plan)
+    assert "Window" not in live, plan
+    assert "Exchange" not in live, plan
+    assert "MapInArrow" in live, plan
