@@ -47,6 +47,14 @@ from linkgraph.superstep import plain_checkpoint
 WALK_A1 = 1000003
 WALK_A2 = 10007
 WALK_P = 2147483647
+#: per-attempt stride for the node2vec rejection sampler (prime,
+#: distinct from A1/A2 so attempts decorrelate from steps/walks)
+WALK_A3 = 9973
+#: fixed-point scale for the node2vec class weights: weights become
+#: integers round(SCALE/p), SCALE, round(SCALE/q) so the acceptance test
+#: is pure int64 comparison — bit-replayable in the DuckDB twin (no
+#: cross-engine float-division ulp risk)
+N2V_SCALE = 1_000_000
 
 
 def indexed_edges(graph: Graph) -> DataFrame:
@@ -178,5 +186,203 @@ def random_walks(
             if not grew:
                 break
         return state
+    finally:
+        idx.unpersist()
+
+
+def _n2v_weights(p: float, q: float) -> tuple[int, int, int, int]:
+    """Fixed-point (w_return, w_neighbor, w_far, w_max) for (p, q)."""
+    if p <= 0 or q <= 0:
+        raise ValueError(f"p and q must be > 0, got p={p} q={q}")
+    wp = round(N2V_SCALE / p)
+    w1 = N2V_SCALE
+    wq = round(N2V_SCALE / q)
+    return wp, w1, wq, max(wp, w1, wq)
+
+
+def node2vec_walks(
+    graph: Graph,
+    num_steps: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    starts: DataFrame | None = None,
+    seed: int = 42,
+    attempts: int = 4,
+) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec, KDD 2016
+    — public method) → ``(walk_id, step, vid)``.
+
+    The transition out of ``v`` given previous vertex ``u`` weights each
+    neighbor ``x`` by 1/p (x == u, return), 1 (edge u→x exists, stays
+    near), or 1/q (else, explores) — BFS-ish for small p, DFS-ish for
+    small q.  Step 1 has no previous vertex and is the uniform
+    first-order pick (same arithmetic as :func:`random_walks`).
+
+    **Scale shape — deterministic rejection sampling** (the distributed
+    node2vec trick, cf. KnightKing, SOSP 2019 — public method): exact
+    weighted choice would join each walker to its vertex's FULL neighbor
+    list (a 10⁸-out-link hub costs 10⁸ rows per visiting walker).
+    Instead each walker draws a FIXED number of uniform candidates via
+    the hub-safe ``(src, idx)`` probe — ``attempts`` rows per walker,
+    regardless of degree — classifies each candidate (== prev → 1/p;
+    one edge-existence equi-join against the indexed edges on
+    (prev, candidate) → 1; else 1/q), and accepts candidate ``a`` iff
+    ``H₂(walk, t, a) mod w_max < w_class`` (pure int64 fixed-point —
+    acceptance probability w_class/w_max).  The walker takes the FIRST
+    accepted attempt; if all ``attempts`` reject (probability
+    (1−w̄/w_max)^attempts), it falls back to attempt 0's uniform
+    candidate — a bounded, documented bias that keeps walks fixed-length
+    and the whole trajectory replayable as unrolled SQL (the catalog
+    twin).  Raise ``attempts`` to shrink the fallback rate.
+
+    Every per-round leaf is ``plain_checkpoint``-ed like
+    :func:`random_walks`; the per-step cost is attempts·|frontier| probe
+    rows — hub-safe by construction.
+    """
+    if num_steps < 0:
+        raise ValueError("num_steps must be >= 0")
+    if attempts < 1:
+        raise ValueError("attempts must be >= 1")
+    wp, w1, wq, wmax = _n2v_weights(p, q)
+    if starts is None:
+        starts = graph.vertices
+    idx = indexed_edges(graph).select(
+        F.col("src").alias("_isrc"),
+        F.col("idx").alias("_idx"),
+        F.col("dst").alias("_idst"),
+    ).persist()
+    # edge-existence probe side (dedup'd by construction in from_edges)
+    exist = idx.select(
+        F.col("_isrc").alias("_esrc"), F.col("_idst").alias("_edst")
+    )
+    deg = graph.out_degrees
+    att = F.array(*[F.lit(a) for a in range(attempts)])
+
+    # state rows: (walk_id, step, prev, vid); prev at step t is the
+    # walker's position at t-1 (needed for the 2nd-order class test)
+    state = plain_checkpoint(
+        starts.select(
+            F.col("vid").alias("walk_id"),
+            F.lit(0).alias("step"),
+            F.col("vid").alias("prev"),
+            F.col("vid").alias("vid"),
+        )
+    )
+    try:
+        for t in range(1, num_steps + 1):
+            frontier = state.where(F.col("step") == t - 1).select(
+                "walk_id", "prev", "vid"
+            )
+            with_deg = frontier.join(
+                deg.withColumnRenamed("vid", "_dv"),
+                frontier["vid"] == F.col("_dv"),
+            ).select("walk_id", "prev", "vid", "outdeg")
+            if t == 1:
+                # uniform first step — identical arithmetic to random_walks
+                picked = with_deg.select(
+                    "walk_id",
+                    "vid",
+                    walk_choice(
+                        F.col("walk_id"), t, F.col("outdeg"), seed
+                    ).alias("_choice"),
+                )
+                nxt = picked.join(
+                    idx,
+                    (picked["vid"] == idx["_isrc"])
+                    & (picked["_choice"] == idx["_idx"]),
+                ).select(
+                    "walk_id",
+                    F.lit(t).alias("step"),
+                    picked["vid"].alias("prev"),
+                    idx["_idst"].alias("vid"),
+                )
+            else:
+                cand = (
+                    with_deg.select(
+                        "walk_id",
+                        "prev",
+                        "vid",
+                        "outdeg",
+                        F.explode(att).alias("_a"),
+                    )
+                    .withColumn(
+                        "_h1",
+                        (
+                            F.col("walk_id") * F.lit(WALK_A1)
+                            + F.col("_a") * F.lit(WALK_A3)
+                            + F.lit(t * WALK_A2 + seed)
+                        )
+                        % F.lit(WALK_P),
+                    )
+                    .withColumn("_choice", F.col("_h1") % F.col("outdeg"))
+                )
+                cand = cand.join(
+                    idx,
+                    (cand["vid"] == idx["_isrc"])
+                    & (cand["_choice"] == idx["_idx"]),
+                ).select(
+                    "walk_id",
+                    "prev",
+                    "vid",
+                    "_a",
+                    idx["_idst"].alias("_cand"),
+                )
+                cand = cand.join(
+                    exist,
+                    (cand["prev"] == F.col("_esrc"))
+                    & (cand["_cand"] == F.col("_edst")),
+                    "left",
+                ).select(
+                    "walk_id",
+                    "prev",
+                    "vid",
+                    "_a",
+                    "_cand",
+                    F.when(F.col("_cand") == F.col("prev"), F.lit(wp))
+                    .when(F.col("_esrc").isNotNull(), F.lit(w1))
+                    .otherwise(F.lit(wq))
+                    .alias("_w"),
+                )
+                accepted = (
+                    (
+                        F.col("walk_id") * F.lit(WALK_A2)
+                        + F.col("_a") * F.lit(WALK_A3)
+                        + F.lit(t * WALK_A1 + seed)
+                    )
+                    % F.lit(WALK_P)
+                    % F.lit(wmax)
+                ) < F.col("_w")
+                # first accepted attempt wins; all-rejected falls back to
+                # attempt 0 (keys attempts..2·attempts−1 sort after all
+                # accepted keys) — struct-min argmin, skew-safe
+                ranked = cand.select(
+                    "walk_id",
+                    "vid",
+                    F.struct(
+                        F.when(accepted, F.col("_a"))
+                        .otherwise(F.col("_a") + F.lit(attempts))
+                        .alias("k"),
+                        F.col("_cand").alias("c"),
+                    ).alias("_kc"),
+                )
+                nxt = ranked.groupBy("walk_id", "vid").agg(
+                    F.min("_kc").alias("_best")
+                ).select(
+                    "walk_id",
+                    F.lit(t).alias("step"),
+                    F.col("vid").alias("prev"),
+                    F.col("_best.c").alias("vid"),
+                )
+            new_state = plain_checkpoint(
+                state.unionAll(nxt).repartition(
+                    graph.num_partitions, "walk_id"
+                ),
+                replaces=state,
+            )
+            grew = new_state.where(F.col("step") == t).isEmpty() is False
+            state = new_state
+            if not grew:
+                break
+        return state.select("walk_id", "step", "vid")
     finally:
         idx.unpersist()

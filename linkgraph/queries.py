@@ -539,6 +539,74 @@ def _random_walks_unrolled_sql(steps: int = 5, seed: int = 0) -> str:
     return "\n".join(parts)
 
 
+def _node2vec_walks_unrolled_sql(
+    steps: int = 4,
+    p: float = 4.0,
+    q: float = 0.25,
+    seed: int = 0,
+    attempts: int = 4,
+) -> str:
+    """Twin of ``q_node2vec_walks``: replays the deterministic rejection
+    sampler bit-for-bit — same edge index, same int64 hash choices, same
+    fixed-point acceptance test, same first-accepted-else-attempt-0 pick
+    (arg_min over the shifted attempt key)."""
+    from linkgraph.algorithms.walks import (
+        WALK_A1,
+        WALK_A2,
+        WALK_A3,
+        WALK_P,
+        _n2v_weights,
+    )
+
+    wp, w1, wq, wmax = _n2v_weights(p, q)
+    att_vals = ",".join(f"({a})" for a in range(attempts))
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        "ie AS MATERIALIZED (SELECT src, ROW_NUMBER() OVER "
+        "(PARTITION BY src ORDER BY dst) - 1 AS idx, dst FROM edges),",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),",
+        f"att AS (SELECT a FROM (VALUES {att_vals}) AS t(a)),",
+        "w0 AS MATERIALIZED (SELECT d.doc_id AS walk_id, d.doc_id AS prev, "
+        "d.doc_id AS vid FROM documents d WHERE d.doc_id % 20 = 0),",
+        # step 1: uniform first-order pick (no previous vertex yet)
+        f"""w1 AS MATERIALIZED (
+  SELECT w.walk_id, w.vid AS prev, ie.dst AS vid
+  FROM w0 w
+  JOIN deg ON deg.src = w.vid
+  JOIN ie ON ie.src = w.vid
+         AND ie.idx = ((w.walk_id * {WALK_A1} + {WALK_A2 + seed}) % {WALK_P}) % deg.outdeg
+),""",
+    ]
+    for t in range(2, steps + 1):
+        parts.append(
+            f"""c{t} AS (
+  SELECT w.walk_id, w.vid, a.a, ie.dst AS cand,
+         CASE WHEN ie.dst = w.prev THEN {wp}
+              WHEN e2.src IS NOT NULL THEN {w1}
+              ELSE {wq} END AS wgt
+  FROM w{t - 1} w
+  JOIN deg ON deg.src = w.vid
+  CROSS JOIN att a
+  JOIN ie ON ie.src = w.vid
+         AND ie.idx = ((w.walk_id * {WALK_A1} + a.a * {WALK_A3} + {t * WALK_A2 + seed}) % {WALK_P}) % deg.outdeg
+  LEFT JOIN edges e2 ON e2.src = w.prev AND e2.dst = ie.dst
+),
+w{t} AS MATERIALIZED (
+  SELECT walk_id, vid AS prev,
+         arg_min(cand, CASE WHEN ((walk_id * {WALK_A2} + a * {WALK_A3} + {t * WALK_A1 + seed}) % {WALK_P}) % {wmax} < wgt
+                            THEN a ELSE a + {attempts} END) AS vid
+  FROM c{t} GROUP BY walk_id, vid
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    selects = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({t} AS INT) AS step, vid FROM w{t}"
+        for t in range(steps + 1)
+    )
+    parts.append(selects + " ORDER BY walk_id, step")
+    return "\n".join(parts)
+
+
 def _host_pagerank_unrolled_sql(iters: int = 10, alpha: float = 0.85) -> str:
     """Weighted power iteration over the host rollup, unrolled.
 
@@ -3143,6 +3211,21 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 4-step node2vec walks (p=4, q=0.25 — DFS-leaning)
+    from every 20th vertex (algorithms/walks.py node2vec_walks).  The
+    rejection sampler is pure int64 arithmetic, so the DuckDB twin
+    unrolls the identical candidate probes, edge-existence classification
+    and fixed-point acceptance per step."""
+    from linkgraph.algorithms.walks import node2vec_walks
+
+    g = build_graph(spark, sf_dir)
+    starts = g.vertices.where(F.col("vid") % 20 == 0)
+    return node2vec_walks(
+        g, num_steps=4, p=4.0, q=0.25, starts=starts, seed=0, attempts=4
+    ).select("walk_id", F.col("step").cast("int").alias("step"), "vid")
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the host-graph rollup (the Common-Crawl
     host-ranking artifact): walk probability ∝ inter-host link count.
@@ -4880,6 +4963,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_diversity": q_host_diversity,
     "host_pagerank": q_host_pagerank,
     "random_walks5": q_random_walks,
+    "node2vec_walks4": q_node2vec_walks,
     "katz8": q_katz,
     "anf4": q_anf4,
     "harmonic8": q_harmonic8,
@@ -4955,6 +5039,7 @@ ORACLES: dict[str, str] = {
     "pagerank10": _pagerank_unrolled_sql(10, 0.85),
     "host_pagerank": _host_pagerank_unrolled_sql(10, 0.85),
     "random_walks5": _random_walks_unrolled_sql(5, 0),
+    "node2vec_walks4": _node2vec_walks_unrolled_sql(4, 4.0, 0.25, 0, 4),
     "katz8": _katz_unrolled_sql(8, 0.05, 1.0),
     "anf4": _anf_unrolled_sql(4, 4),
     "harmonic8": _harmonic_unrolled_sql(8, 4),

@@ -704,3 +704,114 @@ def test_indexed_edges_matches_window_twin_across_arrow_batches(spark):
         assert got[(0, 100)] == 99  # the hub's full run is densely ranked
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def _n2v_python_twin(edges, num_steps, p, q, seed, attempts, starts):
+    """Pure-Python replay of node2vec_walks' deterministic arithmetic."""
+    import collections
+
+    from linkgraph.algorithms.walks import (
+        WALK_A1,
+        WALK_A2,
+        WALK_A3,
+        WALK_P,
+        _n2v_weights,
+    )
+
+    wp, w1, wq, wmax = _n2v_weights(p, q)
+    adj = collections.defaultdict(list)
+    eset = set()
+    for s, d in sorted(set(edges)):
+        if s != d:
+            adj[s].append(d)
+            eset.add((s, d))
+    want = {}
+    for w in starts:
+        prev, cur = w, w
+        want[(w, 0)] = cur
+        for t in range(1, num_steps + 1):
+            outs = adj.get(cur)
+            if not outs:
+                break
+            if t == 1:
+                nxt = outs[((w * WALK_A1 + t * WALK_A2 + seed) % WALK_P) % len(outs)]
+            else:
+                chosen = None
+                first_cand = None
+                for a in range(attempts):
+                    h1 = (w * WALK_A1 + a * WALK_A3 + t * WALK_A2 + seed) % WALK_P
+                    c = outs[h1 % len(outs)]
+                    if a == 0:
+                        first_cand = c
+                    if c == prev:
+                        wc = wp
+                    elif (prev, c) in eset:
+                        wc = w1
+                    else:
+                        wc = wq
+                    r = (w * WALK_A2 + a * WALK_A3 + t * WALK_A1 + seed) % WALK_P % wmax
+                    if r < wc:
+                        chosen = c
+                        break
+                nxt = chosen if chosen is not None else first_cand
+            prev, cur = cur, nxt
+            want[(w, t)] = cur
+    return want
+
+
+def test_node2vec_walks_match_python_twin(spark):
+    """Exact trajectory equality vs the pure-Python replay of the
+    rejection sampler, including the all-rejected fallback and
+    dangling truncation."""
+    from linkgraph.algorithms.walks import node2vec_walks
+    from linkgraph.graph import Graph
+
+    edges = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 0), (2, 0), (2, 3),
+        (3, 4), (3, 1), (4, 5), (2, 4),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(df, num_partitions=4)
+    got = {
+        (r.walk_id, r.step): r.vid
+        for r in node2vec_walks(
+            g, num_steps=6, p=4.0, q=0.25, seed=11, attempts=3
+        ).collect()
+    }
+    starts = sorted({v for e in edges for v in e})
+    want = _n2v_python_twin(edges, 6, 4.0, 0.25, 11, 3, starts)
+    assert got == want
+    # vertex 5 is dangling: only the step-0 row
+    assert (5, 0) in got and (5, 1) not in got
+
+
+def test_node2vec_bias_shifts_return_rate(spark):
+    """Distribution check: small p (return-loving) must produce a higher
+    immediate-return rate than large p on the same graph/seed."""
+    from linkgraph.algorithms.walks import node2vec_walks
+    from linkgraph.fixtures import synthetic_crawl
+    from linkgraph.graph import Graph
+
+    edges = synthetic_crawl(120)
+    df = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in edges] +
+        [(int(d), int(s)) for s, d in edges],  # symmetrize: returns exist
+        "src long, dst long",
+    )
+    g = Graph.from_edges(df, num_partitions=4)
+
+    def return_rate(p, q):
+        rows = node2vec_walks(
+            g, num_steps=8, p=p, q=q, seed=5, attempts=6
+        ).collect()
+        pos = {(r.walk_id, r.step): r.vid for r in rows}
+        ret = tot = 0
+        for (w, t), v in pos.items():
+            if t >= 2 and (w, t - 2) in pos:
+                tot += 1
+                ret += int(pos[(w, t - 2)] == v)
+        return ret / max(tot, 1)
+
+    lo_p = return_rate(0.1, 1.0)   # 1/p = 10 → returns favored
+    hi_p = return_rate(10.0, 1.0)  # 1/p = 0.1 → returns suppressed
+    assert lo_p > hi_p, (lo_p, hi_p)
