@@ -129,13 +129,45 @@ def connected_components(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 10,
     resume: bool = True,
+    init_labels: DataFrame | None = None,
 ) -> IterationResult:
-    """Label each vertex with min vid of its component: state ``(vid, comp)``."""
+    """Label each vertex with min vid of its component: state ``(vid, comp)``.
+
+    ``init_labels`` — warm start: a ``(vid, comp)`` table (typically the
+    previous crawl epoch's converged labels over a
+    ``graph_from_link_log`` increment).  Hash-min is monotone
+    non-increasing and a previous epoch's label ``comp(v)`` names a
+    vertex connected to v in that epoch — still connected after an
+    APPEND-ONLY increment (components only merge when edges are added),
+    so seeding ``comp = least(prev_label, vid)`` is a valid intermediate
+    state of the cold run's own trajectory: the fixpoint is identical
+    and the loop only pays rounds for the regions the new edges changed
+    (tests/test_streaming.py::test_incremental_cc_warm_start — strictly
+    fewer rounds than cold on a grown crawl).  NOT valid if edges were
+    REMOVED between epochs (a stale label could bridge split
+    components) — rebuild cold on compaction/deletion epochs.
+    Vertices absent from ``init_labels`` (new urls) seed ``comp = vid``.
+    """
     sym = graph.symmetrized_edges
     # _changed=True seeds round 1's frontier with every vertex
-    init = graph.vertices.select(
-        "vid", F.col("vid").alias("comp"), F.lit(True).alias("_changed")
-    )
+    if init_labels is None:
+        init = graph.vertices.select(
+            "vid", F.col("vid").alias("comp"), F.lit(True).alias("_changed")
+        )
+    else:
+        prev = init_labels.select(
+            "vid", F.col("comp").alias("_prev_comp")
+        )
+        init = (
+            graph.vertices.join(prev.hint("merge"), "vid", "left")
+            .select(
+                "vid",
+                F.least(
+                    F.coalesce("_prev_comp", F.col("vid")), F.col("vid")
+                ).alias("comp"),
+                F.lit(True).alias("_changed"),
+            )
+        )
 
     def step(state: DataFrame, i: int) -> DataFrame:
         return cc_round(

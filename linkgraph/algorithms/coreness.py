@@ -114,11 +114,37 @@ def coreness_round(sym: DataFrame, state: DataFrame) -> DataFrame:
     )
 
 
-def coreness(graph: Graph, max_iters: int = 500) -> IterationResult:
+def coreness(
+    graph: Graph,
+    max_iters: int = 500,
+    init_bound: DataFrame | None = None,
+) -> IterationResult:
     """Core number of every vertex: state ``(vid, coreness)``.
 
     Exact (fixpoint of the H-operator == coreness, Lü et al.); isolated
     vertices (if the graph has any) get coreness 0.
+
+    ``init_bound`` — warm start: a ``(vid, bound)`` table of per-vertex
+    UPPER bounds on the new coreness; init becomes
+    ``min(deg, coalesce(bound, deg))``.  Exactness from any upper bound:
+    (i) T(c)(v) = min(c(v), H(neighbor c)) is monotone, and T(core) =
+    core (locality theorem), so iterates stay ≥ core; (ii) at any
+    fixpoint, S = {v : c(v) ≥ k} has ≥ k neighbors-in-S per member — an
+    induced subgraph of min degree ≥ k — so c(v) ≥ k ⟹ core(v) ≥ k,
+    i.e. every fixpoint ≤ core.  Hence the fixpoint from any upper-bound
+    init IS core (tests assert equality with the cold run).
+
+    Incremental-crawl recipe (append-only epochs): a single edge
+    insertion raises any core number by at most 1 (standard streaming
+    k-core bound — Sarıyüce et al., VLDB 2013, public), so ``bound =
+    prev_coreness + m`` with m = the increment's edge count is valid.
+    The head start pre-collapses vertices with ``deg ≫ core + m`` (hub
+    pages: degree 10⁶, core ~10¹), so the delta rounds shuffle strictly
+    fewer CHANGED rows (the scale win — measured in the warm-start
+    test); round COUNT is governed by cascade length, which a value
+    bound cannot shorten, so expect equal-or-fewer rounds, not fewer.
+    An UNDER-estimate bound silently converges to a wrong fixpoint —
+    callers own the validity argument (rebuild cold after deletions).
     """
     sym = graph.symmetrized_edges
     deg = sym.groupBy(F.col("src").alias("vid")).agg(
@@ -132,6 +158,18 @@ def coreness(graph: Graph, max_iters: int = 500) -> IterationResult:
             F.lit(True).alias("_changed"),
         )
     )
+    if init_bound is not None:
+        bound = init_bound.select("vid", F.col("bound").alias("_wb"))
+        init = (
+            init.join(bound.hint("merge"), "vid", "left")
+            .select(
+                "vid",
+                F.least(
+                    F.col("c"), F.coalesce("_wb", F.col("c"))
+                ).alias("c"),
+                F.col("_changed"),
+            )
+        )
 
     def step(state: DataFrame, i: int) -> DataFrame:
         return coreness_round(sym, state)

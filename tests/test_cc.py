@@ -63,3 +63,33 @@ def test_frontier_gather_trajectory_identical_to_full(spark):
     assert [h.get("changed") for h in b.history] == [
         h.get("changed") for h in a.history
     ]
+
+
+def test_incremental_cc_warm_start(spark):
+    """Append-only epoch increment: warm-starting hash-min from the
+    previous epoch's labels reaches the identical fixpoint in strictly
+    fewer rounds (labels are monotone-valid under edge additions)."""
+    from linkgraph.algorithms.cc import connected_components
+    from linkgraph.graph import Graph
+
+    # epoch 1: long chain 0..30 (cold CC pays ~diameter rounds) + an
+    # island pair
+    e1 = [(i, i + 1) for i in range(30)] + [(100, 101)]
+    g1 = Graph.from_edges(edges_df(spark, e1), num_partitions=4)
+    prev = connected_components(g1)
+    assert prev.converged
+
+    # epoch 2: the increment extends the chain and bridges the island
+    e2 = e1 + [(30, 31), (31, 32), (32, 100)]
+    g2 = Graph.from_edges(edges_df(spark, e2), num_partitions=4)
+    cold = connected_components(g2)
+    warm = connected_components(g2, init_labels=prev.state)
+    assert cold.converged and warm.converged
+    assert warm.iterations < cold.iterations, (
+        f"warm {warm.iterations} !< cold {cold.iterations}"
+    )
+    lc = {r.vid: r.comp for r in cold.state.collect()}
+    lw = {r.vid: r.comp for r in warm.state.collect()}
+    assert lc == lw
+    # the bridged island joined component 0
+    assert lw[101] == 0

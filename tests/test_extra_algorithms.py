@@ -815,3 +815,58 @@ def test_node2vec_bias_shifts_return_rate(spark):
     lo_p = return_rate(0.1, 1.0)   # 1/p = 10 → returns favored
     hi_p = return_rate(10.0, 1.0)  # 1/p = 0.1 → returns suppressed
     assert lo_p > hi_p, (lo_p, hi_p)
+
+
+def test_incremental_coreness_warm_start(spark):
+    """Upper-bound warm start: bound = prev_coreness + m (m = increment
+    edge count; valid by the one-edge core-change theorem) reaches the
+    identical decomposition with strictly less CHANGED volume — the
+    bound pre-collapses high-degree/low-core vertices, so the delta
+    rounds shuffle fewer changed rows (round COUNT is governed by the
+    cascade length, which a value bound cannot shorten)."""
+    from linkgraph.graph import Graph
+    from pyspark.sql import functions as F
+
+    # epoch 1: a 12-vertex path whose internal vertices each carry 6
+    # private leaves (deg 8, coreness 1) — cold init must first collapse
+    # 8 -> 2, then run the 2 -> 1 path cascade
+    e1 = [(i, i + 1) for i in range(11)]
+    for i in range(12):
+        for j in range(6):
+            e1.append((i, 100 + i * 10 + j))
+    g1 = Graph.from_edges(edges_df(spark, e1), num_partitions=4)
+    prev = coreness(g1)
+    assert prev.converged
+
+    # epoch 2: one appended edge (m=1)
+    e2 = e1 + [(11, 999)]
+    g2 = Graph.from_edges(edges_df(spark, e2), num_partitions=4)
+    cold = coreness(g2)
+    bound = prev.state.select(
+        "vid", (F.col("coreness") + F.lit(1)).alias("bound")
+    )
+    warm = coreness(g2, init_bound=bound)
+    assert cold.converged and warm.converged
+    cc_ = {r.vid: r.coreness for r in cold.state.collect()}
+    cw = {r.vid: r.coreness for r in warm.state.collect()}
+    assert cc_ == cw
+    assert warm.iterations <= cold.iterations
+    changed_cold = sum(h.get("changed") or 0 for h in cold.history)
+    changed_warm = sum(h.get("changed") or 0 for h in warm.history)
+    assert changed_warm < changed_cold, (
+        f"warm changed {changed_warm} !< cold {changed_cold}"
+    )
+
+
+def test_coreness_warm_start_from_exact_bound_is_exact(spark, chesapeake_graph):
+    """Degenerate warm start (bound = the true coreness itself) must be a
+    fixpoint: identical values, minimal rounds."""
+    from pyspark.sql import functions as F
+
+    base = coreness(chesapeake_graph)
+    bound = base.state.select("vid", F.col("coreness").alias("bound"))
+    warm = coreness(chesapeake_graph, init_bound=bound)
+    got = {r.vid: r.coreness for r in warm.state.collect()}
+    want = {r.vid: r.coreness for r in base.state.collect()}
+    assert got == want
+    assert warm.iterations <= 2
