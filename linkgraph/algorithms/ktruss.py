@@ -184,7 +184,23 @@ def _triangle_corner_edges(canon: DataFrame) -> DataFrame:
     )
 
 
-def trussness(graph: Graph, max_iters: int = 200) -> DataFrame:
+class TriangleBudgetExceeded(RuntimeError):
+    """The graph's triangle count exceeds the caller's ``max_triangles``
+    budget for :func:`trussness` — the 3·T corner table would be
+    persisted beyond the declared capacity.  Fail loud here instead of
+    letting the checkpoint spill (or die) unbounded; callers should
+    either raise the budget (with partitions sized by
+    ``corner_rows_per_partition``) or answer the single-k question with
+    :func:`k_truss` peeling, which never materializes the triangle set.
+    """
+
+
+def trussness(
+    graph: Graph,
+    max_iters: int = 200,
+    max_triangles: int | None = None,
+    corner_rows_per_partition: int = 5_000_000,
+) -> DataFrame:
     """Full truss decomposition — per-edge truss number ``(a, b,
     trussness)``: the max k such that the edge survives in the k-truss;
     triangle-free edges get 2.  The edge-level companion of
@@ -207,14 +223,44 @@ def trussness(graph: Graph, max_iters: int = 200) -> DataFrame:
     histogram-fold h-index aggregation (the same
     ``max-over-prefixes-of-min`` JVM fold as coreness) — no triangle
     re-enumeration per round, unlike ``k_truss`` peeling.
+
+    **Triangle-table budget (VERDICT r02 #9).**  At web scale T can
+    exceed |E| by orders of magnitude, and the corner table is a
+    PERSISTED 3·T-row leaf.  ``max_triangles`` declares the capacity:
+    when set, T is pre-counted from the per-edge supports (ONE extra
+    wedge-join pass, nothing materialized) and the run raises
+    :class:`TriangleBudgetExceeded` BEFORE enumerating corners if the
+    budget is blown — fail loud, never an unbounded spill/OOM.  The same
+    pre-count sizes the corner table's partitioning: ``max(graph
+    partitions, ⌈3T / corner_rows_per_partition⌉)`` keeps each persisted
+    partition bounded regardless of how triangle-dense the graph is.
+    Default ``max_triangles=None`` skips the pre-count (no extra pass)
+    and keeps the graph-partition layout — fixture-scale behavior.
     """
     from linkgraph.superstep import changed_stats, iterate
 
     num_parts = graph.num_partitions
     canon = _canon_ab(graph)
+    corner_parts = num_parts
+    if max_triangles is not None:
+        row = (
+            _edge_support(canon)
+            .agg((F.sum("support") / 3).cast("long").alias("t"))
+            .collect()[0]
+        )
+        n_tri = int(row["t"] or 0)
+        if n_tri > max_triangles:
+            raise TriangleBudgetExceeded(
+                f"graph has {n_tri} triangles > max_triangles="
+                f"{max_triangles}; raise the budget or use k_truss "
+                "peeling for a single k"
+            )
+        corner_parts = max(
+            num_parts, -(-3 * n_tri // corner_rows_per_partition)
+        )
     corners = (
         _triangle_corner_edges(canon)
-        .repartition(num_parts, "a", "b")
+        .repartition(corner_parts, "a", "b")
         .localCheckpoint()
     )
     support = corners.groupBy("a", "b").agg(F.count(F.lit(1)).alias("_sup"))
