@@ -7,16 +7,19 @@ as Arrow-vectorized passes over ``mapInArrow``.
 Decode support is TIERED (``decode_fn=None`` picks the default
 dispatcher, :func:`default_decode`):
 
-1. **Real, dependency-free decoders** for uncompressed formats — binary
-   PGM (P5) images parsed + block-average-resized in NumPy, and PCM WAV
-   audio via the stdlib ``wave`` module + per-band RMS features.  These
+1. **Real, dependency-free decoders** — binary PGM (P5) images parsed +
+   block-average-resized in NumPy, PCM WAV audio via the stdlib ``wave``
+   module + per-band RMS features, and **PNG** via stdlib ``zlib`` +
+   NumPy filter reconstruction (:func:`decode_png` — 8/16-bit, all five
+   color types at depth 8, PIL-identical ITU-R 601-2 grayscale).  These
    run everywhere, including this container.
 2. **Library-gated decoders**: if PIL is importable at runtime
-   (detected once per worker), PNG/JPEG payloads are really decoded via
-   the same resize path.  No hard dependency — absence falls through.
-3. **Deterministic fake** for everything else (compressed formats with
-   no codec available): hash-seeded feature vector, so pipelines stay
-   runnable end-to-end and outputs stay replay-stable.
+   (detected once per worker), JPEG — and exotic PNG variants the
+   dependency-free path declines (Adam7, sub-byte depths) — are really
+   decoded via the same resize path.  No hard dependency.
+3. **Deterministic fake** for everything else (now effectively JPEG in
+   a codec-less container): hash-seeded feature vector, so pipelines
+   stay runnable end-to-end and outputs stay replay-stable.
 
 Payloads are dispatched by magic bytes, so one corpus can mix formats;
 pass a custom ``decode_fn`` to override the whole ladder (ffmpeg, a GPU
@@ -27,7 +30,9 @@ from __future__ import annotations
 
 import hashlib
 import io
+import struct
 import wave
+import zlib
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -143,6 +148,128 @@ def decode_wav(payload: bytes, dim: int) -> np.ndarray:
     return np.sqrt(sums / counts).astype(np.float32)
 
 
+def decode_png(payload: bytes, dim: int) -> np.ndarray:
+    """REAL image decode for PNG — stdlib ``zlib`` + NumPy, no codec
+    library (the format is fully public: RFC 2083 / ISO 15948).
+
+    Covers the dominant web cases: bit depth 8 (all five color types,
+    incl. palette) and bit depth 16 (non-palette), non-interlaced.
+    Adam7-interlaced or sub-byte bit depths raise ValueError — the
+    dispatcher then tries PIL and finally the deterministic fake, so
+    exotic files degrade instead of failing the task.
+
+    Filter reconstruction is per-scanline: None/Sub/Up are vectorized
+    (Sub is a per-byte-phase cumulative sum); Average/Paeth fall back to
+    a per-byte loop for that scanline only (both need the in-progress
+    left neighbor).  RGB→gray uses PIL's exact ITU-R 601-2 integer
+    arithmetic ``(R·19595 + G·38470 + B·7471 + 2¹⁵) >> 16`` so the
+    dependency-free path and the PIL path yield identical features on
+    8-bit input; alpha is ignored (PIL ``convert("L")`` semantics).
+    """
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlace unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color}")
+    if depth not in (8, 16) or (color == 3 and depth != 8):
+        raise ValueError(f"unsupported PNG bit depth {depth}/type {color}")
+    bpp = channels * (depth // 8)
+    stride = width * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        ft = int(filters[y])
+        line = rows[y, 1:].astype(np.int64)
+        up = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up
+            rec = line + up
+        elif ft == 1:  # Sub: per-phase cumulative sum over the stride
+            rec = line.copy()
+            for ph in range(bpp):
+                rec[ph::bpp] = np.cumsum(rec[ph::bpp])
+        elif ft in (3, 4):  # Average / Paeth need the evolving left pixel
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = up[x]
+                if ft == 3:
+                    rec[x] = line[x] + (a + b) // 2
+                else:
+                    c = (
+                        int(out[y - 1, x - bpp])
+                        if (x >= bpp and y)
+                        else 0
+                    )
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else b if pb <= pc else c
+                    rec[x] = line[x] + pred
+                rec[x] &= 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        out[y] = rec & 0xFF
+    if depth == 16:
+        px16 = out.reshape(height, width, channels, 2).astype(np.uint32)
+        vals = (px16[..., 0] << 8) | px16[..., 1]
+        if color in (0, 4):
+            px = vals[..., 0].astype(np.float64) / 65535.0
+        else:  # 2 or 6: ITU-R 601-2 on the 16-bit samples
+            r, g, b = (vals[..., i].astype(np.uint64) for i in range(3))
+            px = (
+                (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+            ).astype(np.float64) / 65535.0
+    else:
+        px8 = out.reshape(height, width, channels)
+        if color == 3:
+            if plte is None:
+                raise ValueError("palette PNG without PLTE")
+            rgb = plte[px8[..., 0]]
+            r, g, b = (rgb[..., i].astype(np.uint32) for i in range(3))
+            px = (
+                (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+            ).astype(np.float64) / 255.0
+        elif color in (0, 4):
+            px = px8[..., 0].astype(np.float64) / 255.0
+        else:  # 2 or 6
+            r, g, b = (px8[..., i].astype(np.uint32) for i in range(3))
+            px = (
+                (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+            ).astype(np.float64) / 255.0
+    return _pixels_to_feature(px, dim)
+
+
 _UNPROBED = object()
 _PIL_MODULE: object = _UNPROBED
 
@@ -177,7 +304,9 @@ def default_decode(payload: bytes, dim: int) -> np.ndarray:
 
     - ``P5``            → :func:`decode_pgm` (real, dependency-free)
     - ``RIFF····WAVE``  → :func:`decode_wav` (real, stdlib)
-    - PNG/JPEG magic    → :func:`decode_with_pil` when PIL is importable
+    - PNG magic         → :func:`decode_png` (real, stdlib zlib+NumPy);
+      exotic variants (Adam7, sub-byte depths) fall through to PIL
+    - JPEG magic        → :func:`decode_with_pil` when PIL is importable
     - anything else (or a failed decode) → deterministic fake
 
     A corrupt payload of a recognized format degrades to the fake
@@ -191,7 +320,12 @@ def default_decode(payload: bytes, dim: int) -> np.ndarray:
             return decode_pgm(payload, dim)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return decode_wav(payload, dim)
-        if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:3] == b"\xff\xd8\xff":
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            try:
+                return decode_png(payload, dim)
+            except Exception:
+                return decode_with_pil(payload, dim)
+        if payload[:3] == b"\xff\xd8\xff":
             return decode_with_pil(payload, dim)
     except Exception:
         pass
@@ -208,8 +342,9 @@ def extract_media_features(
     The batch shape is the contract: payloads stay in Arrow buffers until
     the decode loop; output features are a fixed-width ``array<float>``
     ready for :mod:`linkgraph.textops.ann`.  ``decode_fn=None`` uses
-    :func:`default_decode` — real decoders for PGM/WAV (always) and
-    PNG/JPEG (when PIL is importable), deterministic fake otherwise.
+    :func:`default_decode` — real decoders for PGM/WAV/PNG (always,
+    dependency-free) and JPEG (when PIL is importable), deterministic
+    fake otherwise.
     """
     dispatch = default_decode
 

@@ -167,3 +167,170 @@ def test_pil_gated_decode():
     got = default_decode(buf.getvalue(), 4)
     want = _pixels_to_feature(px.astype(np.float64) / 255.0, 4)
     assert np.allclose(got, want, atol=1e-6)
+
+
+# ---------------------------------------------------------------- PNG ----
+
+
+def _png_bytes(px, color, depth=8, filters=None, interlace=0, palette=None):
+    """Minimal in-test PNG encoder: px is (H,W) for gray/palette or
+    (H,W,C) for RGB(A); applies the requested filter per scanline so the
+    decoder's reconstruction paths are genuinely exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(px)
+    h, w = arr.shape[:2]
+    ch = 1 if arr.ndim == 2 else arr.shape[2]
+    bpp = ch * (depth // 8)
+    if depth == 8:
+        raw = arr.astype(np.uint8).reshape(h, w * ch)
+    else:
+        v = arr.astype(np.uint16).reshape(h, w * ch)
+        raw = np.empty((h, w * ch * 2), dtype=np.uint8)
+        raw[:, 0::2] = v >> 8
+        raw[:, 1::2] = v & 0xFF
+    filters = filters or [0] * h
+    lines = []
+    prev = np.zeros(raw.shape[1], dtype=np.int64)
+    for y in range(h):
+        cur = raw[y].astype(np.int64)
+        ft = filters[y]
+        left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]]) if len(cur) >= bpp else np.zeros_like(cur)
+        upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]]) if len(cur) >= bpp else np.zeros_like(cur)
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = cur - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = cur - pred
+        lines.append(bytes([ft]) + bytes((enc & 0xFF).astype(np.uint8)))
+        prev = cur
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(np.asarray(palette, np.uint8).ravel()))
+    out += chunk(b"IDAT", zlib.compress(b"".join(lines)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def _itu_gray(rgb):
+    import numpy as np
+
+    r, g, b = (rgb[..., i].astype(np.uint32) for i in range(3))
+    return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(np.uint8)
+
+
+def test_png_decode_gray_all_filters():
+    """8-bit grayscale with every filter type (None/Sub/Up/Avg/Paeth):
+    reconstructed features equal the block means of the true raster."""
+    import numpy as np
+
+    from linkgraph.textops.multimodal import _pixels_to_feature, decode_png
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(10, 13), dtype=np.uint8)
+    payload = _png_bytes(px, color=0, filters=[0, 1, 2, 3, 4, 4, 3, 2, 1, 0])
+    got = decode_png(payload, 8)
+    want = _pixels_to_feature(px.astype(np.float64) / 255.0, 8)
+    assert np.allclose(got, want, atol=1e-7)
+
+
+def test_png_decode_rgb_rgba_palette_16bit():
+    """Color types 2/6/3 and 16-bit gray: ITU-R 601-2 integer grayscale
+    (the PIL-identical arithmetic), alpha ignored, palette indirected."""
+    import numpy as np
+
+    from linkgraph.textops.multimodal import _pixels_to_feature, decode_png
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    want = _pixels_to_feature(_itu_gray(rgb).astype(np.float64) / 255.0, 6)
+    got = decode_png(_png_bytes(rgb, color=2, filters=[4, 3, 2, 1, 0, 4]), 6)
+    assert np.allclose(got, want, atol=1e-7)
+
+    rgba = np.concatenate(
+        [rgb, rng.integers(0, 256, size=(6, 5, 1), dtype=np.uint8)], axis=2
+    )
+    got_a = decode_png(_png_bytes(rgba, color=6, filters=[2] * 6), 6)
+    assert np.allclose(got_a, want, atol=1e-7)  # alpha ignored
+
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(7, 7), dtype=np.uint8)
+    want_p = _pixels_to_feature(_itu_gray(pal[idx]).astype(np.float64) / 255.0, 5)
+    got_p = decode_png(_png_bytes(idx, color=3, filters=[1] * 7, palette=pal), 5)
+    assert np.allclose(got_p, want_p, atol=1e-7)
+
+    g16 = rng.integers(0, 65536, size=(4, 6), dtype=np.uint16)
+    want16 = _pixels_to_feature(g16.astype(np.float64) / 65535.0, 4)
+    got16 = decode_png(_png_bytes(g16, color=0, depth=16, filters=[0, 2, 0, 2]), 4)
+    assert np.allclose(got16, want16, atol=1e-7)
+
+
+def test_png_dispatcher_and_exotic_fallback(spark):
+    """The Spark pass routes PNG magic through the real decoder; an
+    Adam7-interlaced payload (unsupported) degrades deterministically."""
+    import numpy as np
+
+    from linkgraph.textops.multimodal import (
+        _fake_decode,
+        _pixels_to_feature,
+        decode_png,
+        extract_media_features,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    ok = _png_bytes(px, color=0, filters=[0, 1, 2, 3, 4, 0, 1, 2])
+    inter = _png_bytes(px, color=0, interlace=1)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_png(inter, 6)
+
+    df = spark.createDataFrame(
+        [
+            (1, "image", "image/png", bytearray(ok)),
+            (2, "image", "image/png", bytearray(inter)),
+        ],
+        "media_id long, kind string, mime string, payload binary",
+    )
+    rows = {r.media_id: r for r in extract_media_features(df, dim=6).collect()}
+    want = _pixels_to_feature(px.astype(np.float64) / 255.0, 6)
+    assert np.allclose(rows[1].feature, want, atol=1e-6)
+    # interlaced: PIL absent here -> deterministic fake (never a crash)
+    assert not np.allclose(rows[2].feature, want)
+
+
+def test_png_decode_matches_pil_when_available():
+    """When PIL is importable the dependency-free path must be
+    bit-identical to PIL convert('L') on 8-bit input (skips otherwise)."""
+    import numpy as np
+    import pytest
+
+    from linkgraph.textops.multimodal import _pil, decode_png, decode_with_pil
+
+    if _pil() is None:
+        pytest.skip("PIL not available")
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    payload = _png_bytes(rgb, color=2, filters=[0, 1, 2, 3, 4, 0, 1, 2, 3])
+    assert np.allclose(decode_png(payload, 8), decode_with_pil(payload, 8))
