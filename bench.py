@@ -94,6 +94,11 @@ FIXED_ITERS = int(os.environ.get("LINKGRAPH_BENCH_ITERS", "6"))
 # bound the per-protocol cost; 6 total time-separated low-level blocks
 # per bench run is strictly more burst-resistant than round 1's 3.
 BLOCKS = int(os.environ.get("LINKGRAPH_BENCH_BLOCKS", "2"))
+# Median-of-N discipline for the local[CPUS] extras (VERDICT r02 #4): r2's
+# one-shot extras swung up to 25% on VM steal bursts, making real
+# regressions invisible — each extra now runs N times and records the
+# median plus the raw [runs] array so round-over-round deltas are signal.
+EXTRAS_RUNS = int(os.environ.get("LINKGRAPH_EXTRAS_RUNS", "3"))
 # Full scaling-pair repetitions; recorded efficiency = median across
 # them.  1 reproduces the round-1 single-protocol estimator.
 PROTOCOLS = int(os.environ.get("LINKGRAPH_BENCH_PROTOCOLS", "3"))
@@ -268,43 +273,58 @@ def run_level(
             )
             out["extras_edges"] = gx.num_edges
 
-        t0 = time.perf_counter()
-        res = pagerank(gx, tol=1e-6, max_iters=100)
-        out["pr_converged_s"] = round(time.perf_counter() - t0, 2)
+        def timed(fn, runs: int = EXTRAS_RUNS):
+            """median-of-N wall + the raw [runs] array + last result."""
+            walls, last = [], None
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                last = fn()
+                walls.append(round(time.perf_counter() - t0, 2))
+            return round(statistics.median(walls), 2), walls, last
+
+        out["pr_converged_s"], out["pr_converged_runs_s"], res = timed(
+            lambda: pagerank(gx, tol=1e-6, max_iters=100)
+        )
         out["pr_converged_iters"] = res.iterations
 
-        t0 = time.perf_counter()
-        pagerank(gx, tol=0.0, max_iters=FIXED_ITERS, strategy="spmv")
-        out["pr_spmv_fixed_s"] = round(time.perf_counter() - t0, 2)
+        out["pr_spmv_fixed_s"], out["pr_spmv_fixed_runs_s"], _ = timed(
+            lambda: pagerank(gx, tol=0.0, max_iters=FIXED_ITERS, strategy="spmv")
+        )
 
-        t0 = time.perf_counter()
-        cc = connected_components(gx)
-        out["cc_s"] = round(time.perf_counter() - t0, 2)
+        out["cc_s"], out["cc_runs_s"], cc = timed(
+            lambda: connected_components(gx)
+        )
         out["cc_iters"] = cc.iterations
 
-        t0 = time.perf_counter()
-        out["triangles"] = triangle_count(gx)
-        out["tc_s"] = round(time.perf_counter() - t0, 2)
+        out["tc_s"], out["tc_runs_s"], out["triangles"] = timed(
+            lambda: triangle_count(gx)
+        )
 
         # direction-optimized BFS on the symmetrized crawl (the dense
         # middle rounds exercise the pull path; depth labels are
         # mode-independent, so this is pure throughput)
         from linkgraph.algorithms.bfs import bfs
 
-        t0 = time.perf_counter()
-        b = bfs(gx, 0, directed=False, direction="optimized")
-        out["bfs_opt_s"] = round(time.perf_counter() - t0, 2)
+        out["bfs_opt_s"], out["bfs_opt_runs_s"], b = timed(
+            lambda: bfs(gx, 0, directed=False, direction="optimized")
+        )
         out["bfs_opt_pull_rounds"] = sum(
             1 for h in b.history if h["mode"] == "pull"
         )
 
-        # sf-dir documents-derived graph (ties bench to SPARK_GRAFT_SF_DIR)
+        # sf-dir documents-derived graph (ties bench to SPARK_GRAFT_SF_DIR).
+        # Build timed SEPARATELY from the ranking so the ranking repeats
+        # are comparable (build_graph caches per sf_dir; r2's combined
+        # number folded one build into the first/only run).
         from linkgraph.queries import build_graph
 
         t0 = time.perf_counter()
         gs = build_graph(spark, SF_DIR)
-        pagerank(gs, tol=1e-6, max_iters=50)
-        out["pr_sfgraph_s"] = round(time.perf_counter() - t0, 2)
+        gs.num_edges  # materialize the persisted edges inside the timing
+        out["sfgraph_build_s"] = round(time.perf_counter() - t0, 2)
+        out["pr_sfgraph_s"], out["pr_sfgraph_runs_s"], _ = timed(
+            lambda: pagerank(gs, tol=1e-6, max_iters=50)
+        )
 
     spark.stop()
     return out
@@ -505,6 +525,13 @@ def main() -> int:
         **cpu_acct,
         "pr_converged_iters": full.get("pr_converged_iters"),
         "triangles": full.get("triangles"),
+        # raw per-run walls behind each extras median (VERDICT r02 #4):
+        # the spread is the noise envelope a reviewer needs to judge
+        # whether an r(N)-vs-r(N-1) delta is real
+        "extras_runs_s": {
+            k: v for k, v in full.items() if k.endswith("_runs_s")
+        },
+        "extras_estimator": "median of %d runs per extra" % EXTRAS_RUNS,
     }
 
     proto_effs = [pr["efficiency"] for pr in protocols]
@@ -571,15 +598,18 @@ LINKGRAPH_BENCH_LOW_CORES/HIGH_CORES to reproduce the saturated
 measurements.
 
 Full-parallelism (local[{CPUS}], {CPUS * 2} partitions) extras — graph
-{full.get('extras_edges', full['edges']):,} edges:
+{full.get('extras_edges', full['edges']):,} edges.  Each extra is the
+MEDIAN of {EXTRAS_RUNS} back-to-back runs (raw walls in brackets) so a
+round-over-round delta is signal, not one VM steal burst:
 - PageRank {BLOCKS}×{FIXED_ITERS} supersteps: {full['pr_fixed_s']} s (median superstep {full['pr_iter_median_s']} s, {full['edges_per_sec']:,.0f} edges/s)
-- PageRank to tol 1e-6: {full.get('pr_converged_s')} s, {full.get('pr_converged_iters')} iterations
-- PageRank SpMV strategy, {FIXED_ITERS} supersteps: {full.get('pr_spmv_fixed_s')} s
-- Connected components (hash-min, {full.get('cc_iters')} iters): {full.get('cc_s')} s
-- Triangle count ({full.get('triangles'):,} triangles): {full.get('tc_s')} s
+- PageRank to tol 1e-6: {full.get('pr_converged_s')} s {full.get('pr_converged_runs_s')}, {full.get('pr_converged_iters')} iterations
+- PageRank SpMV strategy, {FIXED_ITERS} supersteps: {full.get('pr_spmv_fixed_s')} s {full.get('pr_spmv_fixed_runs_s')}
+- Connected components (hash-min, {full.get('cc_iters')} iters): {full.get('cc_s')} s {full.get('cc_runs_s')}
+- Triangle count ({full.get('triangles'):,} triangles): {full.get('tc_s')} s {full.get('tc_runs_s')}
 - BFS direction-optimized, undirected full traversal \
-({full.get('bfs_opt_pull_rounds')} pull rounds): {full.get('bfs_opt_s')} s
-- sf-graph ({SF_DIR}) PageRank to 1e-6: {full.get('pr_sfgraph_s')} s
+({full.get('bfs_opt_pull_rounds')} pull rounds): {full.get('bfs_opt_s')} s {full.get('bfs_opt_runs_s')}
+- sf-graph ({SF_DIR}) build: {full.get('sfgraph_build_s')} s; PageRank to 1e-6: {full.get('pr_sfgraph_s')} s {full.get('pr_sfgraph_runs_s')} \
+(build timed separately from r3 on — r2's combined number folded one build into the run)
 
 Per-superstep walls (s):
 - local[{LOW_CORES}]: {lo['pr_iter_walls_s']}
