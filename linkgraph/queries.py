@@ -2706,6 +2706,51 @@ def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(g).state.select("vid", "comp")
 
 
+def q_cc_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-started connected components (algorithms/cc.py
+    ``init_labels``): converge CC on a deterministic SUBSET of the edges
+    ((src+dst) % 5 != 0 — an append-only predecessor of the full graph),
+    then warm-start the full-graph run from those labels.  The oracle is
+    the SAME cold-CC SQL as `connected_components` — warm start must
+    reach the identical fixpoint, which is exactly the property the
+    driver hash-checks here."""
+    from linkgraph.algorithms.cc import connected_components
+    from linkgraph.graph import Graph
+
+    g = build_graph(spark, sf_dir)
+    sub_edges = g.edges.where((F.col("src") + F.col("dst")) % 5 != 0)
+    g_sub = Graph.from_edges(sub_edges, num_partitions=g.num_partitions)
+    try:
+        prev = connected_components(g_sub)
+        out = connected_components(g, init_labels=prev.state)
+        return out.state.select("vid", "comp")
+    finally:
+        g_sub.unpersist()
+
+
+def q_coreness_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-started coreness (algorithms/coreness.py ``init_bound``):
+    previous-epoch decomposition on the (src+dst)%5 != 0 edge subset,
+    bound = prev + m (m = added-edge count, valid by the one-edge
+    core-change theorem), full run warm-started from it.  Oracle = the
+    SAME cold-coreness SQL — any-upper-bound exactness, driver-checked."""
+    from linkgraph.algorithms.coreness import coreness
+    from linkgraph.graph import Graph
+
+    g = build_graph(spark, sf_dir)
+    sub_edges = g.edges.where((F.col("src") + F.col("dst")) % 5 != 0)
+    g_sub = Graph.from_edges(sub_edges, num_partitions=g.num_partitions)
+    try:
+        m = g.num_edges - g_sub.num_edges  # bounded 1-row driver scalars
+        prev = coreness(g_sub)
+        bound = prev.state.select(
+            "vid", (F.col("coreness") + F.lit(int(m))).alias("bound")
+        )
+        return coreness(g, init_bound=bound).state
+    finally:
+        g_sub.unpersist()
+
+
 def q_labelprop3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.algorithms.labelprop import label_propagation
 
@@ -4924,6 +4969,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degrees": q_degrees,
     "pagerank10": q_pagerank10,
     "connected_components": q_cc,
+    "cc_warm_start": q_cc_warm,
+    "coreness_warm_start": q_coreness_warm,
     "labelprop3": q_labelprop3,
     "bfs_depths": q_bfs,
     "bfs_optimized": q_bfs_optimized,
@@ -5045,6 +5092,8 @@ ORACLES: dict[str, str] = {
     "harmonic8": _harmonic_unrolled_sql(8, 4),
     "closeness8": _closeness_unrolled_sql(8, 4),
     "connected_components": CC_SQL,
+    "cc_warm_start": CC_SQL,
+    "coreness_warm_start": _coreness_sql(56),
     "labelprop3": _labelprop_unrolled_sql(3),
     "bfs_depths": BFS_SQL,
     "bfs_optimized": BFS_SQL,
