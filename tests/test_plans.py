@@ -750,3 +750,16 @@ def test_indexed_edges_plan_no_window_no_shuffle(spark, plan_graph):
     assert "Window" not in live, plan
     assert "Exchange" not in live, plan
     assert "MapInArrow" in live, plan
+
+
+def test_node2vec_step_plan_is_bounded_probe(spark, plan_graph):
+    """node2vec rejection step: candidate generation must be the fixed
+    attempts-explode + (src, idx) equi-join + one edge-existence
+    equi-join — never a cartesian/nested-loop product and never a
+    per-neighbor expansion (the whole point of rejection sampling)."""
+    from linkgraph.algorithms.walks import node2vec_walks
+
+    plan_df = node2vec_walks(plan_graph, num_steps=2, p=2.0, q=0.5)
+    plan = formatted_plan(plan_df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
