@@ -39,8 +39,17 @@ def frame_signature(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import json
+
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    records: dict[str, dict] = {}
 
     from linkgraph.queries import ORACLES, QUERIES
     from linkgraph.session import get_spark
@@ -61,27 +70,43 @@ def main():
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        records[name] = rec
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
         except Exception as e:
+            rec["err"] = f"SPARK ERROR: {str(e)[:300]}"
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"[FAIL spark] {name}: {str(e)[:300]}")
             continue
         if name not in ORACLES:
+            rec.update(rows_match=None, schema_match=None, hash_match=None)
             print(f"[rows-only ] {name}: {len(srows)} rows")
             continue
         try:
             res = con.execute(ORACLES[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            rec["oracle_rows"] = len(drows)
         except Exception as e:
+            rec["err"] = f"DUCKDB ERROR: {str(e)[:300]}"
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"[FAIL duck ] {name}: {str(e)[:300]}")
             continue
         sc, ss = frame_signature(scols, srows)
         dc, ds = frame_signature(dcols, drows)
+        rec["schema_match"] = sc == dc
+        rec["rows_match"] = len(ss) == len(ds)
         if sc != dc:
             failures.append((name, f"columns {sc} vs {dc}"))
             print(f"[FAIL cols ] {name}: {sc} vs {dc}")
@@ -96,8 +121,15 @@ def main():
             failures.append((name, f"{ndiff} differing rows, e.g. {ex}"))
             print(f"[FAIL value] {name}: {ndiff}/{len(ss)} differ, e.g.\n  spark: {ex[0]}\n  duck : {ex[1]}")
             continue
+        rec["hash_match"] = True
         print(f"[OK        ] {name}: {len(ss)} rows")
     print(f"\n{len(failures)} failures")
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "entries": records}, f, indent=1
+            )
+        print(f"wrote {json_path}")
     return 1 if failures else 0
 
 

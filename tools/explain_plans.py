@@ -394,6 +394,42 @@ def main() -> int:
         "LIVE TREE:\n" + live15 + "\n\nFULL PLAN:\n" + plan15,
     ))
 
+    # -- 15. walk edge index (no-window Arrow pass) --------------------------
+    from linkgraph.algorithms.walks import indexed_edges, node2vec_walks
+
+    plan16 = formatted(indexed_edges(g))
+    live16 = live_tree(plan16)
+    assert "Window" not in live16, plan16
+    assert "Exchange" not in live16, plan16
+    assert "MapInArrow" in live16, plan16
+    sections.append((
+        "Walk edge index (Arrow cumulative-run pass, no Window)",
+        "The (src, idx, dst) index is ONE narrow MapInArrow over the "
+        "persisted CSR layout (hash(src) partitioning clusters each "
+        "source's run; the within-partition (src, dst) sort makes idx a "
+        "vectorized cumulative counter).  No Exchange, no Window: the "
+        "former row_number-over-partitionBy(src) build gave the largest "
+        "hub a task sized by ITS degree — this pass is |E|/P per task "
+        "regardless of hub degree.",
+        "LIVE TREE:\n" + live16 + "\n\nFULL PLAN:\n" + plan16,
+    ))
+
+    # -- 16. node2vec rejection step ----------------------------------------
+    plan17 = formatted(node2vec_walks(g, num_steps=2, p=2.0, q=0.5))
+    assert "CartesianProduct" not in plan17, plan17
+    assert "BroadcastNestedLoopJoin" not in plan17, plan17
+    sections.append((
+        "node2vec step (deterministic rejection sampling)",
+        "Each second-order step is: fixed attempts-explode over the "
+        "frontier (bounded fan-out), a (src, idx) equi-join probing the "
+        "candidate, one edge-existence equi-join on (prev, candidate) "
+        "classifying it, a fixed-point int64 acceptance filter, and a "
+        "struct-min argmin per walker.  No cartesian/nested-loop "
+        "anywhere; per-step cost is attempts·|frontier| rows regardless "
+        "of hub degree — exact weighted choice would pay degree·|frontier|.",
+        "FULL PLAN (final state):\n" + plan17,
+    ))
+
     out = ["# BENCH/PLANS.md — physical-plan evidence (asserted, not aspirational)\n"]
     out.append(
         "Generated by `python tools/explain_plans.py` on a 5,000-page "
