@@ -190,6 +190,147 @@ def random_walks(
         idx.unpersist()
 
 
+def weighted_walks(
+    graph: Graph,
+    num_steps: int,
+    weights: DataFrame,
+    weight_col: str = "w",
+    starts: DataFrame | None = None,
+    seed: int = 42,
+    attempts: int = 4,
+) -> DataFrame:
+    """First-order weight-proportional walks → ``(walk_id, step, vid)``:
+    the walker at ``v`` follows edge v→x with probability
+    ``≈ w(v,x)/Σ_out w(v)`` (the weighted DeepWalk sampler; host graphs
+    weight edges by inter-host link counts).
+
+    ``weights`` is an ``(src, dst, w)`` table with INTEGER weights
+    (counts) covering the graph's edges — integer because the
+    per-edge acceptance threshold ``⌊w·SCALE / wmax(src)⌋`` is then pure
+    int64 arithmetic, bit-replayable by the DuckDB twin with no float
+    rounding seam.
+
+    **Scale shape — the same deterministic rejection sampler as
+    :func:`node2vec_walks`** (uniform proposal via the hub-safe
+    ``(src, idx)`` probe, acceptance probability ``w/wmax``): exact
+    weighted choice needs per-neighbor cumulative weights — a hub's full
+    neighbor list per visiting walker — while each rejection attempt is
+    one probe row.  Expected attempts per step is wmax/w̄; ``attempts``
+    draws are generated at once and the first accepted wins, with the
+    documented attempt-0 fallback when all reject (raise ``attempts``
+    for heavily skewed weights).  The acceptance thresholds are
+    precomputed INTO the persisted edge index (one join at build, zero
+    per-step weight work).
+    """
+    if num_steps < 0:
+        raise ValueError("num_steps must be >= 0")
+    if attempts < 1:
+        raise ValueError("attempts must be >= 1")
+    if starts is None:
+        starts = graph.vertices
+    w = weights.select(
+        "src", "dst", F.col(weight_col).cast("long").alias("_w")
+    )
+    base = indexed_edges(graph).join(w, ["src", "dst"])
+    wmax = base.groupBy("src").agg(F.max("_w").alias("_wmax"))
+    idx = (
+        base.join(wmax, "src")
+        .select(
+            F.col("src").alias("_isrc"),
+            F.col("idx").alias("_idx"),
+            F.col("dst").alias("_idst"),
+            F.expr(f"(_w * {N2V_SCALE}) div _wmax").alias("_thr"),
+        )
+        .persist()
+    )
+    deg = graph.out_degrees
+    att = F.array(*[F.lit(a) for a in range(attempts)])
+
+    state = plain_checkpoint(
+        starts.select(
+            F.col("vid").alias("walk_id"),
+            F.lit(0).alias("step"),
+            F.col("vid").alias("vid"),
+        )
+    )
+    try:
+        for t in range(1, num_steps + 1):
+            frontier = state.where(F.col("step") == t - 1).select(
+                "walk_id", "vid"
+            )
+            cand = (
+                frontier.join(
+                    deg.withColumnRenamed("vid", "_dv"),
+                    frontier["vid"] == F.col("_dv"),
+                )
+                .select(
+                    "walk_id", "vid", "outdeg", F.explode(att).alias("_a")
+                )
+                .withColumn(
+                    "_choice",
+                    (
+                        F.col("walk_id") * F.lit(WALK_A1)
+                        + F.col("_a") * F.lit(WALK_A3)
+                        + F.lit(t * WALK_A2 + seed)
+                    )
+                    % F.lit(WALK_P)
+                    % F.col("outdeg"),
+                )
+            )
+            cand = cand.join(
+                idx,
+                (cand["vid"] == idx["_isrc"])
+                & (cand["_choice"] == idx["_idx"]),
+            ).select(
+                "walk_id",
+                "vid",
+                "_a",
+                idx["_idst"].alias("_cand"),
+                idx["_thr"].alias("_thr"),
+            )
+            accepted = (
+                (
+                    F.col("walk_id") * F.lit(WALK_A2)
+                    + F.col("_a") * F.lit(WALK_A3)
+                    + F.lit(t * WALK_A1 + seed)
+                )
+                % F.lit(WALK_P)
+                % F.lit(N2V_SCALE)
+            ) < F.col("_thr")
+            ranked = cand.select(
+                "walk_id",
+                "vid",
+                F.struct(
+                    F.when(accepted, F.col("_a"))
+                    .otherwise(F.col("_a") + F.lit(attempts))
+                    .alias("k"),
+                    F.col("_cand").alias("c"),
+                ).alias("_kc"),
+            )
+            nxt = (
+                ranked.groupBy("walk_id", "vid")
+                .agg(F.min("_kc").alias("_best"))
+                .select(
+                    "walk_id",
+                    F.lit(t).alias("step"),
+                    F.col("_best.c").alias("vid"),
+                )
+            )
+            new_state = plain_checkpoint(
+                state.unionAll(nxt).repartition(
+                    graph.num_partitions, "walk_id"
+                ),
+                replaces=state,
+            )
+            grew = new_state.where(F.col("step") == t).isEmpty() is False
+            state = new_state
+            if not grew:
+                break
+        return state
+    finally:
+        idx.unpersist()
+
+
 def _n2v_weights(p: float, q: float) -> tuple[int, int, int, int]:
     """Fixed-point (w_return, w_neighbor, w_far, w_max) for (p, q)."""
     if p <= 0 or q <= 0:

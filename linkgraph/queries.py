@@ -607,6 +607,62 @@ w{t} AS MATERIALIZED (
     return "\n".join(parts)
 
 
+def _weighted_walks_unrolled_sql(
+    steps: int = 4, seed: int = 0, attempts: int = 4
+) -> str:
+    """Twin of ``q_weighted_walks``: same synthesized integer weights
+    (1 + (src·7 + dst·13) mod 5), same integer acceptance thresholds
+    ⌊w·SCALE/wmax⌋, same hash draws and arg_min first-accepted pick."""
+    from linkgraph.algorithms.walks import (
+        N2V_SCALE,
+        WALK_A1,
+        WALK_A2,
+        WALK_A3,
+        WALK_P,
+    )
+
+    att_vals = ",".join(f"({a})" for a in range(attempts))
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        "ie AS (SELECT src, ROW_NUMBER() OVER "
+        "(PARTITION BY src ORDER BY dst) - 1 AS idx, dst FROM edges),",
+        "wt AS (SELECT src, dst, CAST(1 + (src * 7 + dst * 13) % 5 AS BIGINT) AS w FROM edges),",
+        f"""iw AS MATERIALIZED (
+  SELECT ie.src, ie.idx, ie.dst,
+         (wt.w * {N2V_SCALE}) // MAX(wt.w) OVER (PARTITION BY ie.src) AS thr
+  FROM ie JOIN wt ON wt.src = ie.src AND wt.dst = ie.dst
+),""",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),",
+        f"att AS (SELECT a FROM (VALUES {att_vals}) AS t(a)),",
+        "w0 AS MATERIALIZED (SELECT d.doc_id AS walk_id, d.doc_id AS vid "
+        "FROM documents d WHERE d.doc_id % 20 = 0),",
+    ]
+    for t in range(1, steps + 1):
+        parts.append(
+            f"""c{t} AS (
+  SELECT w.walk_id, w.vid, a.a, iw.dst AS cand, iw.thr
+  FROM w{t - 1} w
+  JOIN deg ON deg.src = w.vid
+  CROSS JOIN att a
+  JOIN iw ON iw.src = w.vid
+         AND iw.idx = ((w.walk_id * {WALK_A1} + a.a * {WALK_A3} + {t * WALK_A2 + seed}) % {WALK_P}) % deg.outdeg
+),
+w{t} AS MATERIALIZED (
+  SELECT walk_id,
+         arg_min(cand, CASE WHEN ((walk_id * {WALK_A2} + a * {WALK_A3} + {t * WALK_A1 + seed}) % {WALK_P}) % {N2V_SCALE} < thr
+                            THEN a ELSE a + {attempts} END) AS vid
+  FROM c{t} GROUP BY walk_id, vid
+),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    selects = " UNION ALL ".join(
+        f"SELECT walk_id, CAST({t} AS INT) AS step, vid FROM w{t}"
+        for t in range(steps + 1)
+    )
+    parts.append(selects + " ORDER BY walk_id, step")
+    return "\n".join(parts)
+
+
 def _host_pagerank_unrolled_sql(iters: int = 10, alpha: float = 0.85) -> str:
     """Weighted power iteration over the host rollup, unrolled.
 
@@ -3271,6 +3327,26 @@ def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("walk_id", F.col("step").cast("int").alias("step"), "vid")
 
 
+def q_weighted_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-step weight-proportional walks from every 20th vertex
+    (algorithms/walks.py weighted_walks): integer edge weights
+    synthesized arithmetically (1 + (src·7 + dst·13) mod 5) so the
+    DuckDB twin replays the rejection sampler's integer thresholds and
+    hash draws bit-for-bit."""
+    from linkgraph.algorithms.walks import weighted_walks
+
+    g = build_graph(spark, sf_dir)
+    wdf = g.edges.select(
+        "src",
+        "dst",
+        (1 + (F.col("src") * 7 + F.col("dst") * 13) % 5).alias("w"),
+    )
+    starts = g.vertices.where(F.col("vid") % 20 == 0)
+    return weighted_walks(
+        g, num_steps=4, weights=wdf, starts=starts, seed=0, attempts=4
+    ).select("walk_id", F.col("step").cast("int").alias("step"), "vid")
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the host-graph rollup (the Common-Crawl
     host-ranking artifact): walk probability ∝ inter-host link count.
@@ -5011,6 +5087,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_pagerank": q_host_pagerank,
     "random_walks5": q_random_walks,
     "node2vec_walks4": q_node2vec_walks,
+    "weighted_walks4": q_weighted_walks,
     "katz8": q_katz,
     "anf4": q_anf4,
     "harmonic8": q_harmonic8,
@@ -5087,6 +5164,7 @@ ORACLES: dict[str, str] = {
     "host_pagerank": _host_pagerank_unrolled_sql(10, 0.85),
     "random_walks5": _random_walks_unrolled_sql(5, 0),
     "node2vec_walks4": _node2vec_walks_unrolled_sql(4, 4.0, 0.25, 0, 4),
+    "weighted_walks4": _weighted_walks_unrolled_sql(4, 0, 4),
     "katz8": _katz_unrolled_sql(8, 0.05, 1.0),
     "anf4": _anf_unrolled_sql(4, 4),
     "harmonic8": _harmonic_unrolled_sql(8, 4),

@@ -870,3 +870,104 @@ def test_coreness_warm_start_from_exact_bound_is_exact(spark, chesapeake_graph):
     want = {r.vid: r.coreness for r in base.state.collect()}
     assert got == want
     assert warm.iterations <= 2
+
+
+def test_weighted_walks_match_python_twin(spark):
+    """Exact trajectory equality vs a pure-Python replay of the
+    weight-proportional rejection sampler (integer thresholds)."""
+    import collections
+
+    from linkgraph.algorithms.walks import (
+        N2V_SCALE,
+        WALK_A1,
+        WALK_A2,
+        WALK_A3,
+        WALK_P,
+        weighted_walks,
+    )
+    from linkgraph.graph import Graph
+
+    edges = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 0), (2, 0), (2, 3),
+        (3, 4), (3, 1), (2, 4),
+    ]
+    wts = {(s, d): 1 + (s * 7 + d * 13) % 5 for s, d in edges}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(df, num_partitions=4)
+    wdf = spark.createDataFrame(
+        [(s, d, w) for (s, d), w in wts.items()], "src long, dst long, w long"
+    )
+    A = 3
+    got = {
+        (r.walk_id, r.step): r.vid
+        for r in weighted_walks(
+            g, num_steps=5, weights=wdf, seed=9, attempts=A
+        ).collect()
+    }
+
+    adj = collections.defaultdict(list)
+    for s, d in sorted(set(edges)):
+        if s != d:
+            adj[s].append(d)
+    wmax = {s: max(wts[(s, d)] for d in ds) for s, ds in adj.items()}
+    want = {}
+    for wid in sorted({v for e in edges for v in e}):
+        cur = wid
+        want[(wid, 0)] = cur
+        for t in range(1, 6):
+            outs = adj.get(cur)
+            if not outs:
+                break
+            chosen = first = None
+            for a in range(A):
+                h1 = (wid * WALK_A1 + a * WALK_A3 + t * WALK_A2 + 9) % WALK_P
+                c = outs[h1 % len(outs)]
+                if a == 0:
+                    first = c
+                thr = (wts[(cur, c)] * N2V_SCALE) // wmax[cur]
+                r = (wid * WALK_A2 + a * WALK_A3 + t * WALK_A1 + 9) % WALK_P % N2V_SCALE
+                if r < thr:
+                    chosen = c
+                    break
+            cur = chosen if chosen is not None else first
+            want[(wid, t)] = cur
+    assert got == want
+    assert (4, 0) in got and (4, 1) not in got  # dangling truncation
+
+
+def test_weighted_walks_follow_heavy_edges(spark):
+    """Distribution check: with one dominant-weight out-edge per vertex,
+    walkers must take the heavy edge far more often than 1/outdeg."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.algorithms.walks import weighted_walks
+    from linkgraph.graph import Graph
+
+    # ring of 60 vertices; each vertex also has 3 light chords
+    n = 60
+    edges = []
+    wrows = []
+    for i in range(n):
+        heavy = (i + 1) % n
+        edges.append((i, heavy))
+        wrows.append((i, heavy, 1000))
+        for j in (7, 19, 31):
+            d = (i + j) % n
+            if d != i and d != heavy:
+                edges.append((i, d))
+                wrows.append((i, d, 1))
+    g = Graph.from_edges(
+        spark.createDataFrame(edges, "src long, dst long"), num_partitions=4
+    )
+    wdf = spark.createDataFrame(wrows, "src long, dst long, w long")
+    out = weighted_walks(g, num_steps=6, weights=wdf, seed=1, attempts=8)
+    pos = {(r.walk_id, r.step): r.vid for r in out.collect()}
+    heavy = total = 0
+    for (wid, t), v in pos.items():
+        nt = pos.get((wid, t + 1))
+        if nt is not None:
+            total += 1
+            heavy += int(nt == (v + 1) % n)
+    rate = heavy / total
+    # uniform would be ~1/4; weight 1000:1:1:1 should push well past 0.8
+    assert rate > 0.8, rate
