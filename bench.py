@@ -195,6 +195,12 @@ def run_level(
         # UI on for the REST stage-metrics snapshots (CPU accounting)
         "spark.ui.enabled": "true",
     }
+    # A/B hook: shuffle/cache compression codec (lz4 default; zstd trades
+    # CPU for bandwidth — relevant because the high level's wall is
+    # bandwidth-inflated, see BASELINE.md CPU accounting)
+    codec = os.environ.get("LINKGRAPH_BENCH_CODEC")
+    if codec:
+        extra_conf["spark.io.compression.codec"] = codec
     if os.environ.get("LINKGRAPH_BENCH_SHM", "1") != "0" and os.path.isdir(
         "/dev/shm"
     ):
