@@ -38,11 +38,37 @@ def hits(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 10,
     resume: bool = True,
+    init_scores: DataFrame | None = None,
 ) -> IterationResult:
-    """Run HITS; result state is ``(vid, hub, auth)``, each L2-normalized."""
-    init = graph.vertices.select(
-        "vid", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
-    )
+    """Run HITS; result state is ``(vid, hub, auth)``, each L2-normalized.
+
+    ``init_scores`` — warm start: a ``(vid, hub, auth)`` table (a
+    previous crawl epoch's converged scores).  HITS is the power
+    iteration for the principal eigenvectors of AᵀA / AAᵀ, which
+    converges from any non-negative init with non-zero overlap on the
+    principal component — a near-fixpoint init converges in fewer
+    normalization rounds.  Vertices absent from ``init_scores`` (new
+    urls) seed at the cold value 1.0 (also what keeps the overlap
+    condition trivially satisfied).
+    """
+    if init_scores is None:
+        init = graph.vertices.select(
+            "vid", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+        )
+    else:
+        init = graph.vertices.join(
+            init_scores.select(
+                "vid",
+                F.col("hub").alias("_ph"),
+                F.col("auth").alias("_pa"),
+            ).hint("merge"),
+            "vid",
+            "left",
+        ).select(
+            "vid",
+            F.coalesce("_ph", F.lit(1.0)).alias("hub"),
+            F.coalesce("_pa", F.lit(1.0)).alias("auth"),
+        )
     # reversed edge view for the hub gather (reference: the CSC view) —
     # persisted hash(src, P) + sorted on the Graph, so the per-superstep
     # hub gather plans exchange-free (a bare column swap would keep the

@@ -41,16 +41,38 @@ def personalized_pagerank(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 5,
     resume: bool = True,
+    init_ranks: DataFrame | None = None,
 ) -> IterationResult:
-    """PPR from ``seeds``; result state is ``(vid, rank)`` with Σrank = 1."""
+    """PPR from ``seeds``; result state is ``(vid, rank)`` with Σrank = 1.
+
+    ``init_ranks`` — warm start: a ``(vid, rank)`` table, typically the
+    previous crawl epoch's converged PPR for the same seed set.  The
+    iteration map is affine with linear part α·(stochastic matrix) — an
+    L1 contraction with factor α — so the fixpoint is unique and ANY
+    init converges to it; a near-fixpoint init just converges in fewer
+    iterations (the same argument as ``pagerank(init_ranks=...)``).
+    Vertices absent from ``init_ranks`` (new urls) seed at the cold
+    teleport value.
+    """
     seeds = sorted({int(s) for s in seeds})
     if not seeds:
         raise ValueError("personalized_pagerank requires a non-empty seed set")
     t_seed = 1.0 / len(seeds)  # teleport mass per seed vertex
 
     teleport = F.when(F.col("vid").isin(seeds), F.lit(t_seed)).otherwise(F.lit(0.0))
-    init = graph.vertices.select(
-        "vid", teleport.alias("rank")
+    init_rank = teleport
+    verts = graph.vertices
+    if init_ranks is not None:
+        verts = verts.join(
+            init_ranks.select(
+                "vid", F.col("rank").alias("_prev_rank")
+            ).hint("merge"),
+            "vid",
+            "left",
+        )
+        init_rank = F.coalesce(F.col("_prev_rank"), teleport)
+    init = verts.select(
+        "vid", init_rank.alias("rank")
     ).join(graph.out_degrees, "vid", "left")
 
     dangling_cell: list[float | None] = [None]

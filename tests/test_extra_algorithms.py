@@ -971,3 +971,58 @@ def test_weighted_walks_follow_heavy_edges(spark):
     rate = heavy / total
     # uniform would be ~1/4; weight 1000:1:1:1 should push well past 0.8
     assert rate > 0.8, rate
+
+
+def test_incremental_ppr_warm_start(spark):
+    """PPR epoch warm start: the iteration map is an alpha-contraction,
+    so any init converges to the unique fixpoint — a previous epoch's
+    vector converges in fewer iterations with allclose ranks."""
+    from linkgraph.fixtures import synthetic_crawl
+
+    e1 = [(int(s), int(d)) for s, d in synthetic_crawl(200)]
+    g1 = Graph.from_edges(edges_df(spark, e1), num_partitions=4)
+    prev = personalized_pagerank(g1, [0, 5], tol=1e-8)
+    assert prev.converged
+
+    e2 = e1 + [(500 + i, (i * 13) % 200) for i in range(8)] + [
+        ((i * 17) % 200, 500 + i) for i in range(8)
+    ]
+    g2 = Graph.from_edges(edges_df(spark, e2), num_partitions=4)
+    cold = personalized_pagerank(g2, [0, 5], tol=1e-8)
+    warm = personalized_pagerank(g2, [0, 5], tol=1e-8, init_ranks=prev.state)
+    assert cold.converged and warm.converged
+    assert warm.iterations < cold.iterations, (
+        f"warm {warm.iterations} !< cold {cold.iterations}"
+    )
+    rc = {r.vid: r.rank for r in cold.state.collect()}
+    rw = {r.vid: r.rank for r in warm.state.collect()}
+    assert set(rc) == set(rw)
+    assert all(abs(rc[v] - rw[v]) < 1e-6 for v in rc)
+
+
+def test_incremental_hits_warm_start(spark):
+    """HITS epoch warm start: power iteration from the previous epoch's
+    scores reaches the same principal vectors in fewer rounds."""
+    from linkgraph.fixtures import synthetic_crawl
+
+    e1 = [(int(s), int(d)) for s, d in synthetic_crawl(200)]
+    g1 = Graph.from_edges(edges_df(spark, e1), num_partitions=4)
+    prev = hits(g1, tol=1e-8, max_iters=200)
+    assert prev.converged
+
+    e2 = e1 + [(500 + i, (i * 13) % 200) for i in range(8)] + [
+        ((i * 17) % 200, 500 + i) for i in range(8)
+    ]
+    g2 = Graph.from_edges(edges_df(spark, e2), num_partitions=4)
+    cold = hits(g2, tol=1e-8, max_iters=200)
+    warm = hits(g2, tol=1e-8, max_iters=200, init_scores=prev.state)
+    assert cold.converged and warm.converged
+    assert warm.iterations < cold.iterations, (
+        f"warm {warm.iterations} !< cold {cold.iterations}"
+    )
+    hc = {r.vid: (r.hub, r.auth) for r in cold.state.collect()}
+    hw = {r.vid: (r.hub, r.auth) for r in warm.state.collect()}
+    assert set(hc) == set(hw)
+    for v in hc:
+        assert abs(hc[v][0] - hw[v][0]) < 1e-5
+        assert abs(hc[v][1] - hw[v][1]) < 1e-5
