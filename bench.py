@@ -106,6 +106,57 @@ WORK_DIR = os.environ.get("LINKGRAPH_BENCH_DIR", "/tmp/linkgraph_bench")
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
+#: engine modules the scaling job actually executes — the identity that
+#: must be UNCHANGED for two protocol-history entries to estimate the
+#: same quantity (ADVICE r03: 'same code path' was asserted, not
+#: enforced; a regression could hide behind history from older
+#: revisions).  bench.py itself is recorded (git SHA) but not part of
+#: the fingerprint: harness-doc edits must not orphan the history, and
+#: harness changes that DO alter measurement (core pinning, tmpfs) land
+#: with a recipe change anyway.
+FINGERPRINT_MODULES = [
+    "linkgraph/session.py",
+    "linkgraph/graph.py",
+    "linkgraph/superstep.py",
+    "linkgraph/algorithms/pagerank.py",
+    "linkgraph/operators/neighbor_reduce.py",
+    "linkgraph/operators/advance.py",
+    "linkgraph/operators/filter.py",
+    "linkgraph/operators/parallel_for.py",
+]
+
+
+def code_fingerprint() -> str:
+    """12-hex digest of the scaling job's engine modules."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for rel in FINGERPRINT_MODULES:
+        p = os.path.join(REPO, rel)
+        h.update(rel.encode())
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()[:12]
+
+
+def git_sha() -> str | None:
+    try:
+        r = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=REPO, timeout=10,
+        )
+        return r.stdout.strip() or None
+    except Exception:
+        return None
+
+
+def _median(xs: list[float]) -> float | None:
+    if not xs:
+        return None
+    return round(statistics.median(xs), 3)
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -466,9 +517,20 @@ def main() -> int:
     # Cross-run protocol history: this VM's steal/stall regime shifts on
     # hour scales (measured spans 0.67-1.07 within one day), so any ONE
     # run's median is still weather-exposed.  Accumulate every protocol
-    # ever measured (same code path, same input recipe, same 1->4 pair)
-    # and report the all-time median alongside today's — the wider sample
-    # is the better estimate of the same quantity.
+    # ever measured and report a pooled median alongside today's — BUT
+    # (ADVICE r03) pool ONLY entries whose engine-code fingerprint and
+    # input recipe match this run's, so a future code change cannot hide
+    # a scaling regression behind history measured on older revisions.
+    # Pre-fingerprint entries are kept and reported as LEGACY context.
+    # The ≥0.8 criterion attaches to THIS RUN's median; the pooled
+    # number is the wider-sample estimate of the same quantity.
+    fp = code_fingerprint()
+    recipe = {
+        "edges": TARGET_EDGES, "iters": FIXED_ITERS, "blocks": BLOCKS,
+        "partitions": scale_parts,
+        "codec": os.environ.get("LINKGRAPH_BENCH_CODEC") or "lz4",
+        "shm": os.environ.get("LINKGRAPH_BENCH_SHM", "1") != "0",
+    }
     hist_path = os.path.join(REPO, "BENCH", "protocol_history.json")
     history = []
     if os.path.exists(hist_path):
@@ -481,24 +543,32 @@ def main() -> int:
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "low_cores": LOW_CORES, "high_cores": HIGH_CORES,
         "efficiencies": [pr["efficiency"] for pr in protocols],
+        "git_sha": git_sha(),
+        "fingerprint": fp,
+        "recipe": recipe,
     })
     with open(hist_path, "w") as f:
         json.dump(history, f, indent=1)
-    all_effs = sorted(
+
+    def _pair_ok(h: dict) -> bool:
+        return h["low_cores"] == LOW_CORES and h["high_cores"] == HIGH_CORES
+
+    matched_effs = [
         e
         for h in history
-        if h["low_cores"] == LOW_CORES and h["high_cores"] == HIGH_CORES
+        if _pair_ok(h)
+        and h.get("fingerprint") == fp
+        and h.get("recipe") == recipe
         for e in h["efficiencies"]
-    )
-    alltime = (
-        all_effs[len(all_effs) // 2]
-        if len(all_effs) % 2
-        else round(
-            (all_effs[len(all_effs) // 2 - 1] + all_effs[len(all_effs) // 2])
-            / 2,
-            3,
-        )
-    )
+    ]
+    legacy_effs = [
+        e
+        for h in history
+        if _pair_ok(h) and "fingerprint" not in h
+        for e in h["efficiencies"]
+    ]
+    alltime = _median(matched_effs)
+    legacy = _median(legacy_effs)
     # the pair of record (headline medians/throughputs): the protocol
     # whose efficiency is the median — keeps low/high/efficiency mutually
     # consistent instead of mixing best-of across protocols
@@ -565,8 +635,15 @@ def main() -> int:
         "scaling_efficiency": efficiency,
         "scaling_efficiency_protocols": [pr["efficiency"] for pr in protocols],
         "scaling_estimator": "median of %d full low/high protocols" % PROTOCOLS,
-        "scaling_efficiency_alltime_median": alltime,
-        "scaling_alltime_protocols": len(all_effs),
+        # pooled across history entries with IDENTICAL engine fingerprint
+        # + input recipe (ADVICE r03); legacy = pre-fingerprint entries,
+        # context only — the criterion attaches to scaling_efficiency
+        "scaling_efficiency_pooled_median": alltime,
+        "scaling_pooled_protocols": len(matched_effs),
+        "scaling_legacy_median": legacy,
+        "scaling_legacy_protocols": len(legacy_effs),
+        "engine_fingerprint": fp,
+        "git_sha": git_sha(),
         **cpu_acct,
         "pr_converged_iters": full.get("pr_converged_iters"),
         "triangles": full.get("triangles"),
@@ -617,13 +694,16 @@ Protocol-of-record pair (the protocol whose efficiency is the median):
 | graph build (s) | {lo['graph_build_s']} | {hi['graph_build_s']} |
 
 **Scaling efficiency ({LOW_CORES}→{HIGH_CORES} cores, {core_ratio:.0f}×):**
-median of {PROTOCOLS} protocols THIS RUN = **{efficiency}**; median of
-ALL {len(all_effs)} protocols ever measured on this pair (same code
-path + input recipe, accumulated in BENCH/protocol_history.json) =
-**{alltime}** (criterion ≥ 0.8 — two-parallelism-level proxy for the
-N→4N executor rule, per driver instruction; this VM's stall/steal
-regime shifts on hour scales, so the all-time median is the better
-estimate of the same quantity).  Per-protocol efficiencies this run:
+median of {PROTOCOLS} protocols THIS RUN = **{efficiency}** — this is
+the number the ≥0.8 criterion attaches to (two-parallelism-level proxy
+for the N→4N executor rule, per driver instruction).  Pooled median of
+all {len(matched_effs)} protocols measured with the IDENTICAL engine
+fingerprint ({fp}) + input recipe = **{alltime}** — the wider sample of
+the same quantity on this stall/steal-bursty VM (regime shifts on hour
+scales).  Pre-fingerprint legacy entries (older engine revisions,
+BENCH/protocol_history.json): {len(legacy_effs)} protocols, median
+{legacy} — context only, excluded from the pool so a code regression
+cannot hide behind history (ADVICE r03).  Per-protocol efficiencies this run:
 {proto_effs}; per-protocol (low, high) superstep medians (s):
 {proto_meds}.  The regime question — why wall-ratio undercounts the
 engine on one socket, with the GC/STREAM/codec/partition-count

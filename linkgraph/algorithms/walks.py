@@ -69,20 +69,50 @@ def indexed_edges(graph: Graph) -> DataFrame:
     the former ``row_number over partitionBy(src)`` gave the largest hub
     a task sized by ITS degree (single-task straggler at web scale).
     Callers should persist the result when walking multiple steps.
+
+    The layout contract is ASSERTED, not assumed (ADVICE r03): each
+    batch is checked for lexicographically increasing (src, dst) —
+    including across batch boundaries — and a violation (e.g. a bare
+    ``Graph(...)`` built from unsorted edges, or a future change to
+    from_edges' persisted layout) raises ``ValueError`` instead of
+    silently emitting wrong/duplicate idx values.  The check is two
+    vectorized compares per batch — noise next to the hash itself.
     """
     import numpy as np
     import pyarrow as pa
 
     def add_idx(batches):
-        # (src of the run in progress, #rows already indexed for it) —
-        # carried across batches; a hub's run may span many Arrow batches
+        # (src of the run in progress, #rows already indexed for it,
+        # last dst seen) — carried across batches; a hub's run may span
+        # many Arrow batches
         cur_src = None
         cur_count = 0
+        cur_dst = None
         for b in batches:
             n = b.num_rows
             if n == 0:
                 continue
             src = b.column(0).to_numpy(zero_copy_only=False)
+            dst = b.column(1).to_numpy(zero_copy_only=False)
+            # layout-contract assertion: (src, dst) strictly increasing
+            # lexicographically within the partition (strict because
+            # from_edges dedupes) — fail loud on violation
+            bad = (src[1:] < src[:-1]) | (
+                (src[1:] == src[:-1]) & (dst[1:] <= dst[:-1])
+            )
+            boundary_bad = cur_src is not None and (
+                src[0] < cur_src
+                or (src[0] == cur_src and dst[0] <= cur_dst)
+            )
+            if boundary_bad or bad.any():
+                i = 0 if boundary_bad else int(np.argmax(bad)) + 1
+                raise ValueError(
+                    "indexed_edges: edge partition violates the "
+                    "(src, dst)-sorted layout contract near row "
+                    f"(src={int(src[i])}, dst={int(dst[i])}); build the "
+                    "graph with Graph.from_edges (which sorts and "
+                    "hash(src)-partitions) rather than a bare Graph(...)"
+                )
             pos = np.arange(n, dtype=np.int64)
             change = np.empty(n, dtype=bool)
             change[0] = cur_src is None or src[0] != cur_src
@@ -95,6 +125,7 @@ def indexed_edges(graph: Graph) -> DataFrame:
             )
             cur_src = int(src[-1])
             cur_count = int(idx[-1]) + 1
+            cur_dst = int(dst[-1])
             yield pa.RecordBatch.from_arrays(
                 [b.column(0), pa.array(idx, type=pa.int64()), b.column(1)],
                 names=["src", "idx", "dst"],
@@ -231,7 +262,21 @@ def weighted_walks(
     w = weights.select(
         "src", "dst", F.col(weight_col).cast("long").alias("_w")
     )
-    base = indexed_edges(graph).join(w, ["src", "dst"])
+    # coverage contract (ADVICE r03): every graph edge must carry a
+    # weight — an inner join would silently drop unweighted edges, so
+    # probed candidates would vanish and walks truncate early with no
+    # error.  Validate once at index build (one left_anti pass, build
+    # is already a full edge scan) and fail loud.
+    ie = indexed_edges(graph)
+    missing = ie.join(w, ["src", "dst"], "left_anti")
+    if not missing.isEmpty():
+        ex = missing.select("src", "dst").limit(3).collect()
+        raise ValueError(
+            "weighted_walks: weights table does not cover the graph's "
+            f"edges — e.g. {[(r.src, r.dst) for r in ex]} have no "
+            f"'{weight_col}' row; supply a weight for every edge"
+        )
+    base = ie.join(w, ["src", "dst"])
     wmax = base.groupBy("src").agg(F.max("_w").alias("_wmax"))
     idx = (
         base.join(wmax, "src")

@@ -36,3 +36,23 @@ def test_cli_query_verb_rejects_unknown_name(spark, tmp_path):
                 "--out", str(tmp_path / "o"),
             ]
         )
+
+
+def test_compare_oracles_json_flag_without_value_exits_with_usage():
+    """ADVICE r03: `--json` as the last argument must print usage and
+    return 2, not crash with IndexError (or eat the sf_dir positional)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        import importlib
+
+        mod = importlib.import_module("compare_oracles")
+        old = sys.argv
+        try:
+            sys.argv = ["compare_oracles.py", "--json"]
+            assert mod.main() == 2
+        finally:
+            sys.argv = old
+    finally:
+        sys.path.remove("/root/repo/tools")

@@ -706,6 +706,67 @@ def test_indexed_edges_matches_window_twin_across_arrow_batches(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
 
 
+def test_indexed_edges_rejects_unsorted_layout(spark):
+    """ADVICE r03: a bare Graph(...) built from edges that violate the
+    from_edges layout contract (hash(src)-partitioned, (src, dst)-sorted
+    within partitions) must fail loud, not emit wrong/duplicate idx."""
+    import pytest as _pytest
+
+    from linkgraph.algorithms.walks import indexed_edges
+    from linkgraph.graph import Graph
+
+    # deliberately unsorted within its single partition
+    df = spark.createDataFrame(
+        [(5, 1), (2, 3), (5, 0), (2, 9)], "src long, dst long"
+    ).coalesce(1)
+    g = Graph(df, num_partitions=1)
+    with _pytest.raises(Exception, match="layout contract"):
+        indexed_edges(g).collect()
+
+
+def test_indexed_edges_rejects_unsorted_across_batches(spark):
+    """The layout assertion must also catch a violation that is only
+    visible at an Arrow batch boundary (each batch internally sorted)."""
+    import pytest as _pytest
+
+    from linkgraph.algorithms.walks import indexed_edges
+    from linkgraph.graph import Graph
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        # rows 0-2 sorted, rows 3-5 sorted, but batch 2 starts below
+        # batch 1's tail (src 9 → src 1)
+        df = spark.createDataFrame(
+            [(1, 1), (2, 2), (9, 3), (1, 4), (2, 5), (9, 6)],
+            "src long, dst long",
+        ).coalesce(1)
+        g = Graph(df, num_partitions=1)
+        with _pytest.raises(Exception, match="layout contract"):
+            indexed_edges(g).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_weighted_walks_missing_weight_fails_loud(spark):
+    """ADVICE r03: a weights table that misses graph edges must raise at
+    index build (coverage contract), not silently truncate walks."""
+    import pytest as _pytest
+
+    from linkgraph.algorithms.walks import weighted_walks
+    from linkgraph.graph import Graph
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    g = Graph.from_edges(df, num_partitions=2)
+    wdf = spark.createDataFrame(
+        [(0, 1, 3), (1, 2, 1)], "src long, dst long, w long"
+    )  # (2, 0) has no weight row
+    with _pytest.raises(ValueError, match="does not cover"):
+        weighted_walks(g, num_steps=2, weights=wdf)
+
+
 def _n2v_python_twin(edges, num_steps, p, q, seed, attempts, starts):
     """Pure-Python replay of node2vec_walks' deterministic arithmetic."""
     import collections

@@ -45,6 +45,13 @@ def main():
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            print(
+                "usage: compare_oracles.py [--json OUT.json] [sf_dir] "
+                "[only_query ...]",
+                file=sys.stderr,
+            )
+            return 2
         json_path = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
