@@ -237,6 +237,7 @@ def multi_source_bfs(
     sources: DataFrame,
     directed: bool = True,
     max_iters: int = 200,
+    init_depths: DataFrame | None = None,
 ) -> IterationResult:
     """Depths from the NEAREST of many sources in one traversal:
     state ``(vid, depth)`` with depth = min over sources of hop
@@ -250,6 +251,23 @@ def multi_source_bfs(
     layering and the standard "distance to nearest seed" feature
     (spam distance, crawl-depth-from-seeds).
 
+    ``init_depths`` — warm start: a ``(vid, depth)`` table of VALID
+    UPPER BOUNDS on the current graph's nearest-source hop distances
+    (a previous epoch's converged depths from the SAME source set,
+    edges only ADDED since — a subgraph's depths are ≥ the
+    supergraph's).  This round body is min-relaxation (unit-weight
+    Bellman-Ford), so — unlike :func:`bfs`'s union-grow settled set,
+    which can never LOWER a stale label — the warm run reaches exactly
+    the cold fixpoint (same argument as :func:`~linkgraph.algorithms.
+    sssp.sssp` ``init_dists``: relaxation is monotone non-increasing
+    and preserves depth(v) ≥ true(v)).  Every finite-depth seeded
+    vertex re-pushes once in round 1 — its label may serve edges added
+    since the epoch even when the label itself is final — so round 1
+    costs one gather over the settled region, after which the frontier
+    shrinks to the regions the new edges actually improved.  Vertices
+    absent from ``init_depths`` (new urls) seed NULL; sources are
+    forced to 0.  NOT valid after edge removals — rebuild cold.
+
     Each round is the engine's delta-frontier min-propagation superstep
     (exchange-free gather over the persisted layout, map-side-combined
     min) — identical physics to single-source :func:`bfs`, which it
@@ -259,13 +277,33 @@ def multi_source_bfs(
 
     edges = graph.edges if directed else graph.symmetrized_edges
     seeds = sources.select(F.col("vid")).distinct()
-    init = graph.vertices.join(
-        seeds.withColumn("_s", F.lit(True)), "vid", "left"
-    ).select(
-        "vid",
-        F.when(F.col("_s"), F.lit(0).cast("long")).alias("depth"),
-        F.coalesce("_s", F.lit(False)).alias("_changed"),
-    )
+    if init_depths is None:
+        init = graph.vertices.join(
+            seeds.withColumn("_s", F.lit(True)), "vid", "left"
+        ).select(
+            "vid",
+            F.when(F.col("_s"), F.lit(0).cast("long")).alias("depth"),
+            F.coalesce("_s", F.lit(False)).alias("_changed"),
+        )
+    else:
+        prev = init_depths.select(
+            "vid", F.col("depth").cast("long").alias("_prev")
+        )
+        depth0 = F.when(F.col("_s"), F.lit(0).cast("long")).otherwise(
+            F.col("_prev")
+        )
+        init = (
+            graph.vertices.join(
+                seeds.withColumn("_s", F.lit(True)), "vid", "left"
+            )
+            .join(prev.hint("merge"), "vid", "left")
+            .select(
+                "vid",
+                depth0.alias("depth"),
+                # round-1 frontier = every finite-depth row (see above)
+                depth0.isNotNull().alias("_changed"),
+            )
+        )
 
     def _round(state: DataFrame, i: int) -> DataFrame:
         frontier = state.where(F.col("_changed")).select(

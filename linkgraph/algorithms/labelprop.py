@@ -41,10 +41,38 @@ def label_propagation(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 5,
     resume: bool = True,
+    init_labels: DataFrame | None = None,
 ) -> IterationResult:
-    """Synchronous LP; result state ``(vid, label)``."""
+    """Synchronous LP; result state ``(vid, label)``.
+
+    ``init_labels`` — warm start: a ``(vid, label)`` table seeding the
+    propagation (vertices absent from it seed ``label = vid``).
+    **Semantics differ from the CC/coreness/PPR warm starts**: LP is not
+    monotone and its fixpoints are INIT-DEPENDENT — a warm run is a
+    different (equally valid) LP trajectory, NOT a shortcut to the cold
+    run's labeling, and no same-fixpoint claim is made (refuted by a
+    two-triangle example: seed both triangles with one label and no
+    round ever splits them, while the cold run keeps them apart).  What
+    warm start buys on an epoch pipeline is (a) **community-id
+    stability** — previous-epoch labels persist through the new round
+    rather than being renumbered from scratch, so downstream joins on
+    community id survive the epoch — and (b) **fewer rounds**: a
+    previous converged labeling is a synchronous fixpoint, so re-running
+    it on an unchanged graph verifies in one round, and on a grown graph
+    only the regions the new edges touch move (tests pin both).
+    Determinism is unchanged — synchronous rounds + total-order
+    tie-break replay identically under any partitioning.
+    """
     sym = graph.symmetrized_edges
-    init = graph.vertices.select("vid", F.col("vid").alias("label"))
+    if init_labels is None:
+        init = graph.vertices.select("vid", F.col("vid").alias("label"))
+    else:
+        prev = init_labels.select(
+            "vid", F.col("label").cast("long").alias("_prev")
+        )
+        init = graph.vertices.join(prev.hint("merge"), "vid", "left").select(
+            "vid", F.coalesce("_prev", F.col("vid")).alias("label")
+        )
 
     def step(state: DataFrame, i: int) -> DataFrame:
         # gather neighbor labels: edges(src,dst) ⋈ state on src → (dst, label)

@@ -28,12 +28,30 @@ def sssp(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 5,
     resume: bool = True,
+    init_dists: DataFrame | None = None,
 ) -> IterationResult:
     """Shortest distance to every reachable vertex: ``(vid, dist)``.
 
     ``converged`` is True only when a round relaxed nothing; a loop cut
     off by ``max_iters`` returns ``converged=False`` (distances may still
     be improvable).
+
+    ``init_dists`` — warm start: a ``(vid, dist)`` table of VALID UPPER
+    BOUNDS on the current graph's distances from the SAME source
+    (typically the previous crawl epoch's converged distances, edges
+    only ADDED / weights only decreased since — a subgraph's distances
+    are ≥ the supergraph's, so they qualify).  Bellman-Ford converges to
+    the true distances from any such init (same argument family as
+    coreness ``init_bound``): relaxation is monotone non-increasing and
+    preserves "dist(v) ≥ true(v)" (each candidate is a bound's value
+    plus a real edge weight), so the fixpoint — where every vertex
+    satisfies the Bellman equations with dist(source) = 0 — is the true
+    distance table; the loop only pays rounds for the region the new
+    edges improved.  Every seeded vertex relaxes once in round 1 (its
+    bound may serve new out-edges even if the bound itself is final).
+    The source is forced to 0 via least().  NOT valid after edge
+    REMOVALS or weight increases (a stale bound could undercut a now-
+    longer path) — rebuild cold on compaction epochs.
 
     ``checkpoint``/``checkpoint_every``/``resume``: durable Parquet
     epochs (manifests + metrics) in the iterate() protocol.  The FULL
@@ -53,9 +71,21 @@ def sssp(
     # the preserved sizeInBytes estimate per iteration — past ~25 rounds
     # the driver stalls in million-digit BigInteger multiplies
     # (plain_checkpoint strips it and frees the replaced generation).
-    leaf = plain_checkpoint(
-        spark.createDataFrame([(int(source), 0.0)], "vid long, dist double")
+    src_df = spark.createDataFrame(
+        [(int(source), 0.0)], "vid long, dist double"
     )
+    if init_dists is None:
+        leaf = plain_checkpoint(src_df)
+    else:
+        leaf = plain_checkpoint(
+            init_dists.select(
+                "vid", F.col("dist").cast("double").alias("dist")
+            )
+            .unionAll(src_df)
+            .groupBy("vid")
+            .agg(F.min("dist").alias("dist"))
+            .repartition(graph.num_partitions, "vid")
+        )
     state = leaf
     improved = leaf
     history = []

@@ -745,6 +745,59 @@ def _labelprop_unrolled_sql(iters: int = 3) -> str:
     return "\n".join(parts)
 
 
+def _lp_round_sql(name: str, prev: str, edges_cte: str) -> str:
+    """One synchronous LP round as a CTE: mode of neighbor labels over
+    ``edges_cte``, tie-break (cnt DESC, lab ASC), keep-own on isolated
+    vertices — the exact round body of ``_labelprop_cte_parts``, with
+    the edge table parameterized for the warm-start twin's two phases."""
+    return f"""{name} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(b.lab, v.lab) AS lab
+  FROM {prev} v LEFT JOIN (
+    SELECT vid, lab FROM (
+      SELECT c.vid, c.lab,
+             ROW_NUMBER() OVER (PARTITION BY c.vid ORDER BY c.cnt DESC, c.lab ASC) AS rn
+      FROM (
+        SELECT e.dst AS vid, {prev}.lab AS lab, COUNT(*) AS cnt
+        FROM {edges_cte} e JOIN {prev} ON {prev}.vid = e.src
+        GROUP BY e.dst, {prev}.lab
+      ) c
+    ) rr WHERE rn = 1
+  ) b ON b.vid = v.vid
+),"""
+
+
+def _labelprop_warm_sql(sub_iters: int = 2, iters: int = 3) -> str:
+    """Twin of ``q_labelprop_warm``: LP's fixpoint is INIT-DEPENDENT
+    (labelprop.py docstring), so the oracle replays the exact two-phase
+    trajectory — ``sub_iters`` synchronous rounds over the
+    (src+dst)%5≠0 edge subset (symmetric predicate, so filtering the
+    symmetrized view equals symmetrizing the filtered edges — the
+    engine's construction), then the full-graph run seeded from those
+    labels (vertices outside the subset seed label = vid)."""
+    parts = [
+        "WITH " + EDGE_SQL.strip() + ",",
+        SYM_SQL.strip() + ",",
+        "s2 AS MATERIALIZED (SELECT src, dst FROM sym),",
+        "ssub AS MATERIALIZED "
+        "(SELECT src, dst FROM sym WHERE (src + dst) % 5 <> 0),",
+        "w0 AS MATERIALIZED "
+        "(SELECT DISTINCT src AS vid, src AS lab FROM ssub),",
+    ]
+    for i in range(1, sub_iters + 1):
+        parts.append(_lp_round_sql(f"w{i}", f"w{i - 1}", "ssub"))
+    parts.append(
+        f"""l0 AS MATERIALIZED (
+  SELECT d.doc_id AS vid, COALESCE(w.lab, d.doc_id) AS lab
+  FROM documents d LEFT JOIN w{sub_iters} w ON w.vid = d.doc_id
+),"""
+    )
+    for i in range(1, iters + 1):
+        parts.append(_lp_round_sql(f"l{i}", f"l{i - 1}", "s2"))
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT vid, lab AS label FROM l{iters} ORDER BY vid")
+    return "\n".join(parts)
+
+
 def _modularity_sql(iters: int = 3) -> str:
     """Twin of ``q_modularity``: Newman modularity of the l{iters} LP
     assignment.  All aggregation inputs are exact integer sums; the one
@@ -2812,6 +2865,84 @@ def q_labelprop3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = build_graph(spark, sf_dir)
     return label_propagation(g, max_iters=3).state.select("vid", "label")
+
+
+def q_labelprop_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-started label propagation (labelprop.py ``init_labels``):
+    2 LP rounds on the (src+dst)%5 != 0 edge subset (the previous
+    epoch), then 3 full-graph rounds seeded from those labels.  LP's
+    fixpoint is init-dependent, so the oracle replays this exact
+    two-phase trajectory (``_labelprop_warm_sql``) — the hash check
+    pins the warm seeding path itself, not a same-fixpoint claim."""
+    from linkgraph.algorithms.labelprop import label_propagation
+    from linkgraph.graph import Graph
+
+    g = build_graph(spark, sf_dir)
+    sub_edges = g.edges.where((F.col("src") + F.col("dst")) % 5 != 0)
+    g_sub = Graph.from_edges(sub_edges, num_partitions=g.num_partitions)
+    try:
+        prev = label_propagation(g_sub, max_iters=2)
+        out = label_propagation(g, max_iters=3, init_labels=prev.state)
+        return out.state.select("vid", "label")
+    finally:
+        g_sub.unpersist()
+
+
+def q_sssp_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-started weighted SSSP (sssp.py ``init_dists``): converge on
+    the (src+dst)%5 != 0 edge subset (an append-only predecessor —
+    subgraph distances are valid UPPER bounds on the full graph's),
+    then warm-start the full-graph run from them.  Oracle = the
+    converged Bellman-Ford SQL — the warm run must reach the identical
+    fixpoint (upper-bound argument in sssp.py), which is exactly what
+    the driver hash-checks."""
+    from linkgraph.algorithms.sssp import sssp
+    from linkgraph.graph import Graph
+
+    g = _weighted_graph(spark, sf_dir)
+    sub = Graph.from_edges(
+        g.edges.where((F.col("src") + F.col("dst")) % 5 != 0).select(
+            "src", "dst"
+        ),
+        num_partitions=g.num_partitions,
+    )
+    try:
+        g_sub = Graph(
+            sub.edges.withColumn(
+                "w", F.expr(f"CAST({EDGE_WEIGHT_SQL} AS DOUBLE)")
+            ),
+            sub.num_partitions,
+        )
+        prev = sssp(g_sub, 0, weight_col="w")
+        out = sssp(g, 0, weight_col="w", init_dists=prev.state)
+        return out.state.select("vid", F.round("dist", 6).alias("dist6"))
+    finally:
+        sub.unpersist()
+
+
+def q_bfs_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-started BFS depths (bfs.py multi_source_bfs
+    ``init_depths``): union-grow BFS on the (src+dst)%5 != 0 subset
+    provides the previous epoch's depth labels (valid upper bounds
+    under edge additions); the full-graph run is the min-relaxation
+    form, which LOWERS stale labels the new edges shortened.  Oracle =
+    the same cold BFS SQL as `bfs_depths` — warm must reach the
+    identical fixpoint."""
+    from linkgraph.algorithms.bfs import bfs, multi_source_bfs
+    from linkgraph.graph import Graph
+
+    g = build_graph(spark, sf_dir)
+    sub_edges = g.edges.where((F.col("src") + F.col("dst")) % 5 != 0)
+    g_sub = Graph.from_edges(sub_edges, num_partitions=g.num_partitions)
+    try:
+        prev = bfs(g_sub, 0)
+        seeds = spark.createDataFrame([(0,)], "vid long")
+        out = multi_source_bfs(g, seeds, init_depths=prev.state)
+        return out.state.where(F.col("depth").isNotNull()).select(
+            "vid", F.col("depth").cast("long").alias("depth")
+        )
+    finally:
+        g_sub.unpersist()
 
 
 def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5047,6 +5178,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "connected_components": q_cc,
     "cc_warm_start": q_cc_warm,
     "coreness_warm_start": q_coreness_warm,
+    "sssp_warm_start": q_sssp_warm,
+    "bfs_warm_start": q_bfs_warm,
+    "labelprop_warm3": q_labelprop_warm,
     "labelprop3": q_labelprop3,
     "bfs_depths": q_bfs,
     "bfs_optimized": q_bfs_optimized,
@@ -5172,6 +5306,9 @@ ORACLES: dict[str, str] = {
     "connected_components": CC_SQL,
     "cc_warm_start": CC_SQL,
     "coreness_warm_start": _coreness_sql(56),
+    "sssp_warm_start": _sssp_converged_sql(24),
+    "bfs_warm_start": BFS_SQL,
+    "labelprop_warm3": _labelprop_warm_sql(2, 3),
     "labelprop3": _labelprop_unrolled_sql(3),
     "bfs_depths": BFS_SQL,
     "bfs_optimized": BFS_SQL,

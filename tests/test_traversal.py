@@ -206,3 +206,72 @@ def test_delta_stepping_unit_weights_matches_bfs_depths(spark):
         v: d for v, d in bfs_oracle(edges, 0).items() if d is not None
     }
     assert got == want
+
+
+def test_sssp_warm_start_epoch_increment(spark):
+    """Warm start (init_dists): a previous epoch's converged distances
+    are valid upper bounds after an append-only edge increment, so the
+    warm run reaches the identical fixpoint in fewer rounds."""
+    # epoch 1: a long weighted chain (cold pays ~length rounds)
+    e1 = [(i, i + 1) for i in range(25)]
+    g1 = Graph.from_edges(edges_df(spark, e1), num_partitions=4)
+    prev = sssp(g1, 0)
+    assert prev.converged
+
+    # epoch 2: extend the chain and add a shortcut that SHORTENS the
+    # tail's distances (stale bounds must be lowered, not trusted)
+    e2 = e1 + [(25, 26), (0, 20)]
+    g2 = Graph.from_edges(edges_df(spark, e2), num_partitions=4)
+    cold = sssp(g2, 0)
+    warm = sssp(g2, 0, init_dists=prev.state)
+    assert cold.converged and warm.converged
+    assert warm.iterations < cold.iterations, (
+        f"warm {warm.iterations} !< cold {cold.iterations}"
+    )
+    dc = {r.vid: r.dist for r in cold.state.collect()}
+    dw = {r.vid: r.dist for r in warm.state.collect()}
+    assert dc == dw
+    assert dw[20] == 1.0  # the shortcut beat the stale bound of 20
+    assert dw[26] == 7.0  # new vertex reached through lowered tail
+
+
+def test_sssp_warm_start_exact_init_verifies_in_one_round(spark):
+    """Degenerate warm start (init = the true distances on an unchanged
+    graph): one relax round, zero improvements, identical output."""
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
+    cold = sssp(g, 0)
+    warm = sssp(g, 0, init_dists=cold.state)
+    assert warm.converged and warm.iterations == 1
+    assert {r.vid: r.dist for r in warm.state.collect()} == {
+        r.vid: r.dist for r in cold.state.collect()
+    }
+
+
+def test_multi_source_bfs_warm_start_epoch_increment(spark):
+    """Warm start (init_depths): min-relaxation lowers stale depth
+    labels that a new shortcut edge invalidated — exact fixpoint, fewer
+    rounds than cold (bfs()'s union-grow state cannot do this)."""
+    from linkgraph.algorithms.bfs import multi_source_bfs
+
+    e1 = [(i, i + 1) for i in range(25)]
+    g1 = Graph.from_edges(edges_df(spark, e1), num_partitions=4)
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    prev = multi_source_bfs(g1, seeds)
+    assert prev.converged
+
+    e2 = e1 + [(25, 26), (0, 20)]
+    g2 = Graph.from_edges(edges_df(spark, e2), num_partitions=4)
+    cold = multi_source_bfs(g2, seeds)
+    warm = multi_source_bfs(
+        g2, seeds, init_depths=prev.state.where("depth is not null")
+    )
+    assert cold.converged and warm.converged
+    assert warm.iterations < cold.iterations, (
+        f"warm {warm.iterations} !< cold {cold.iterations}"
+    )
+    dc = {r.vid: r.depth for r in cold.state.collect()}
+    dw = {r.vid: r.depth for r in warm.state.collect()}
+    assert dc == dw
+    assert dw[20] == 1  # shortcut overrode the stale depth-20 label
+    assert dw[26] == 7  # new vertex settled through the lowered tail
