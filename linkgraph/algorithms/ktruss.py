@@ -195,11 +195,80 @@ class TriangleBudgetExceeded(RuntimeError):
     """
 
 
+def _trussness_by_peeling(
+    graph: Graph, max_rounds: int = 100
+) -> DataFrame:
+    """Full truss decomposition WITHOUT materializing the 3·T corner
+    table: iterated :func:`k_truss`-style peeling, one level per k.
+
+    The (k+1)-truss is a subgraph of the k-truss, so each level peels
+    the PREVIOUS level's survivors (never the full graph); edges
+    dropped while peeling at level k have trussness k−1 (they survived
+    the (k−1)-truss but not the k-truss).  Per-round memory is one
+    support aggregation over the current survivor set — bounded by |E|,
+    independent of T — which is why this is the sanctioned
+    ``on_budget="peel"`` degrade path of :func:`trussness` for
+    triangle-dense graphs whose corner table blows the declared budget.
+    The trade is compute: triangles are re-enumerated per peel round
+    (Σ levels · rounds wedge joins) instead of once.  Output is
+    identical to the h-operator path (the decomposition is unique;
+    differential-tested).
+    """
+    from linkgraph.superstep import plain_checkpoint
+
+    num_parts = graph.num_partitions
+    cur = plain_checkpoint(
+        _canon_ab(graph).repartition(num_parts, "a")
+    )
+    acc = plain_checkpoint(
+        cur.select("a", "b").limit(0).select(
+            "a", "b", F.lit(0).cast("long").alias("trussness")
+        )
+    )
+    k = 3
+    while True:
+        # peel cur to the k-truss fixpoint; an edge dropped at level k
+        # survived the (k-1)-truss but not the k-truss → trussness k-1,
+        # recorded round-by-round as the peel discovers it
+        for _ in range(max_rounds):
+            sup = _edge_support(cur).localCheckpoint()
+            dropped = sup.where(F.col("support") < k - 2).select("a", "b")
+            n_drop = dropped.count()
+            if n_drop:
+                acc = plain_checkpoint(
+                    acc.unionAll(
+                        dropped.select(
+                            "a",
+                            "b",
+                            F.lit(k - 1).cast("long").alias("trussness"),
+                        )
+                    ).repartition(num_parts, "a"),
+                    replaces=acc,
+                )
+            cur = plain_checkpoint(
+                sup.where(F.col("support") >= k - 2)
+                .select("a", "b")
+                .repartition(num_parts, "a"),
+                replaces=cur,
+            )
+            if n_drop == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"truss peeling at k={k} did not converge in "
+                f"{max_rounds} rounds"
+            )
+        if cur.isEmpty():
+            return acc
+        k += 1
+
+
 def trussness(
     graph: Graph,
     max_iters: int = 200,
     max_triangles: int | None = None,
     corner_rows_per_partition: int = 5_000_000,
+    on_budget: str = "raise",
 ) -> DataFrame:
     """Full truss decomposition — per-edge truss number ``(a, b,
     trussness)``: the max k such that the edge survives in the k-truss;
@@ -236,9 +305,20 @@ def trussness(
     partition bounded regardless of how triangle-dense the graph is.
     Default ``max_triangles=None`` skips the pre-count (no extra pass)
     and keeps the graph-partition layout — fixture-scale behavior.
+
+    ``on_budget`` (VERDICT r03 #9) — what to do when the budget is
+    blown: ``"raise"`` (default) raises :class:`TriangleBudgetExceeded`;
+    ``"peel"`` degrades to :func:`_trussness_by_peeling` — the
+    memory-bounded iterated-peeling path that never materializes the
+    corner table (more compute, same exact output) — so a 100×-scale
+    caller has a sanctioned continue option instead of a dead job.
     """
     from linkgraph.superstep import changed_stats, iterate
 
+    if on_budget not in ("raise", "peel"):
+        raise ValueError(
+            f"on_budget must be 'raise' or 'peel', got {on_budget!r}"
+        )
     num_parts = graph.num_partitions
     canon = _canon_ab(graph)
     corner_parts = num_parts
@@ -250,10 +330,13 @@ def trussness(
         )
         n_tri = int(row["t"] or 0)
         if n_tri > max_triangles:
+            if on_budget == "peel":
+                return _trussness_by_peeling(graph)
             raise TriangleBudgetExceeded(
                 f"graph has {n_tri} triangles > max_triangles="
-                f"{max_triangles}; raise the budget or use k_truss "
-                "peeling for a single k"
+                f"{max_triangles}; raise the budget, pass "
+                "on_budget='peel' for the memory-bounded degrade path, "
+                "or use k_truss peeling for a single k"
             )
         corner_parts = max(
             num_parts, -(-3 * n_tri // corner_rows_per_partition)

@@ -56,7 +56,10 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
-FEATURES_SCHEMA = "media_id long, kind string, n_bytes long, digest string, feature array<float>"
+FEATURES_SCHEMA = (
+    "media_id long, kind string, n_bytes long, digest string, "
+    "feature array<float>, decoder string"
+)
 
 
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
@@ -299,37 +302,48 @@ def decode_with_pil(payload: bytes, dim: int) -> np.ndarray:
     return _pixels_to_feature(px, dim)
 
 
-def default_decode(payload: bytes, dim: int) -> np.ndarray:
-    """Magic-byte dispatcher (the ``decode_fn=None`` default):
+def tagged_decode(payload: bytes, dim: int) -> tuple[np.ndarray, str]:
+    """Magic-byte dispatcher with DECODE PROVENANCE (VERDICT r03 #5):
+    returns ``(feature, decoder)`` where ``decoder`` is
 
-    - ``P5``            → :func:`decode_pgm` (real, dependency-free)
-    - ``RIFF····WAVE``  → :func:`decode_wav` (real, stdlib)
-    - PNG magic         → :func:`decode_png` (real, stdlib zlib+NumPy);
-      exotic variants (Adam7, sub-byte depths) fall through to PIL
-    - JPEG magic        → :func:`decode_with_pil` when PIL is importable
-    - anything else (or a failed decode) → deterministic fake
+    - ``"real"`` — a dependency-free NumPy decoder ran (PGM / WAV /
+      stdlib-zlib PNG);
+    - ``"pil"``  — PIL decoded it (JPEG, or a PNG variant the stdlib
+      path doesn't cover — Adam7, sub-byte depths);
+    - ``"fake"`` — the deterministic fake (unrecognized magic, corrupt
+      payload, or JPEG in a PIL-less container).
+
+    The tag rides the feature row so downstream can FILTER on
+    provenance — e.g. drop ``fake`` rows before ANN training — instead
+    of trusting a mixed-fidelity column blindly.
 
     A corrupt payload of a recognized format degrades to the fake
     rather than failing the task — at 10^12 docs some payloads WILL be
     truncated, and a poisoned-batch retry storm costs more than a fake
-    feature row (the digest column lets downstream audit exactly which
-    payloads those were).
+    feature row (digest + decoder columns let downstream audit exactly
+    which payloads those were).
     """
     try:
         if payload[:2] == b"P5":
-            return decode_pgm(payload, dim)
+            return decode_pgm(payload, dim), "real"
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-            return decode_wav(payload, dim)
+            return decode_wav(payload, dim), "real"
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             try:
-                return decode_png(payload, dim)
+                return decode_png(payload, dim), "real"
             except Exception:
-                return decode_with_pil(payload, dim)
+                return decode_with_pil(payload, dim), "pil"
         if payload[:3] == b"\xff\xd8\xff":
-            return decode_with_pil(payload, dim)
+            return decode_with_pil(payload, dim), "pil"
     except Exception:
         pass
-    return _fake_decode(payload, dim)
+    return _fake_decode(payload, dim), "fake"
+
+
+def default_decode(payload: bytes, dim: int) -> np.ndarray:
+    """Feature-only view of :func:`tagged_decode` (the plain
+    ``Callable[[bytes, int], ndarray]`` decoder contract)."""
+    return tagged_decode(payload, dim)[0]
 
 
 def extract_media_features(
@@ -342,14 +356,14 @@ def extract_media_features(
     The batch shape is the contract: payloads stay in Arrow buffers until
     the decode loop; output features are a fixed-width ``array<float>``
     ready for :mod:`linkgraph.textops.ann`.  ``decode_fn=None`` uses
-    :func:`default_decode` — real decoders for PGM/WAV/PNG (always,
+    :func:`tagged_decode` — real decoders for PGM/WAV/PNG (always,
     dependency-free) and JPEG (when PIL is importable), deterministic
-    fake otherwise.
+    fake otherwise — and records each row's decode provenance in the
+    ``decoder`` column (real/pil/fake); a caller-supplied ``decode_fn``
+    is tagged ``custom`` (its internals are opaque here).
     """
-    dispatch = default_decode
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        decode = decode_fn or dispatch
         for batch in batches:
             ids = batch.column("media_id").to_pylist()
             kinds = batch.column("kind").to_pylist()
@@ -359,7 +373,13 @@ def extract_media_features(
             # NULL payloads reach decode as b"" like the adjacent
             # n_bytes/digest normalization — a real decoder's
             # Callable[[bytes, int], ndarray] contract never sees None
-            feats = [decode(p or b"", dim).tolist() for p in payloads]
+            if decode_fn is None:
+                pairs = [tagged_decode(p or b"", dim) for p in payloads]
+                feats = [f.tolist() for f, _ in pairs]
+                decoders = [tag for _, tag in pairs]
+            else:
+                feats = [decode_fn(p or b"", dim).tolist() for p in payloads]
+                decoders = ["custom"] * len(payloads)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids, type=pa.int64()),
@@ -367,8 +387,12 @@ def extract_media_features(
                     pa.array(n_bytes, type=pa.int64()),
                     pa.array(digests, type=pa.string()),
                     pa.array(feats, type=pa.list_(pa.float32())),
+                    pa.array(decoders, type=pa.string()),
                 ],
-                names=["media_id", "kind", "n_bytes", "digest", "feature"],
+                names=[
+                    "media_id", "kind", "n_bytes", "digest", "feature",
+                    "decoder",
+                ],
             )
 
     return media.mapInArrow(run, schema=FEATURES_SCHEMA)

@@ -225,3 +225,36 @@ def test_trussness_triangle_budget_fails_loud(spark):
         ).collect()
     }
     assert set(out.values()) == {6} and len(out) == 15
+
+
+def test_trussness_on_budget_peel_degrades_exactly(spark):
+    """VERDICT r03 #9: on_budget='peel' over a blown budget must degrade
+    to the memory-bounded iterated-peeling path and produce the exact
+    same decomposition as the (in-budget) h-operator path — never raise,
+    never materialize the corner table."""
+    from linkgraph.algorithms.ktruss import trussness
+    from linkgraph.graph import Graph
+
+    # K5 ∪ a pendant triangle sharing vertex 0: mixed truss levels
+    edges = [(i, j) for i in range(5) for j in range(5) if i < j]
+    edges += [(0, 10), (0, 11), (10, 11)]
+    g = Graph.from_edges(edges_df(spark, edges), num_partitions=4)
+
+    want = {
+        (r.a, r.b): r.trussness for r in trussness(g).collect()
+    }  # h-operator path, no budget
+    got = {
+        (r.a, r.b): r.trussness
+        for r in trussness(g, max_triangles=1, on_budget="peel").collect()
+    }  # budget blown (11 triangles > 1) → peel degrade
+    assert got == want
+    assert got[(10, 11)] == 3 and got[(0, 1)] == 5
+
+
+def test_trussness_on_budget_validation(spark):
+    from linkgraph.algorithms.ktruss import trussness
+    from linkgraph.graph import Graph
+
+    g = Graph.from_edges(edges_df(spark, [(0, 1)]), num_partitions=2)
+    with pytest.raises(ValueError, match="on_budget"):
+        trussness(g, max_triangles=1, on_budget="typo")
