@@ -9,16 +9,19 @@ dispatcher, :func:`default_decode`):
 
 1. **Real, dependency-free decoders** — binary PGM (P5) images parsed +
    block-average-resized in NumPy, PCM WAV audio via the stdlib ``wave``
-   module + per-band RMS features, and **PNG** via stdlib ``zlib`` +
-   NumPy filter reconstruction (:func:`decode_png` — 8/16-bit, all five
-   color types at depth 8, PIL-identical ITU-R 601-2 grayscale).  These
-   run everywhere, including this container.
+   module + per-band RMS features, **PNG** via stdlib ``zlib`` + NumPy
+   filter reconstruction (:func:`decode_png` — 8/16-bit, all five color
+   types at depth 8, PIL-identical ITU-R 601-2 grayscale), and
+   **baseline JPEG** via a pure-NumPy T.81 sequential-DCT decoder
+   (:func:`decode_jpeg` — Huffman + dequant + IDCT, luma channel,
+   grayscale/4:4:4/4:2:2/4:2:0, restart markers).  These run
+   everywhere, including this container.
 2. **Library-gated decoders**: if PIL is importable at runtime
-   (detected once per worker), JPEG — and exotic PNG variants the
-   dependency-free path declines (Adam7, sub-byte depths) — are really
-   decoded via the same resize path.  No hard dependency.
-3. **Deterministic fake** for everything else (now effectively JPEG in
-   a codec-less container): hash-seeded feature vector, so pipelines
+   (detected once per worker), the variants the dependency-free path
+   declines — progressive JPEG, Adam7 / sub-byte-depth PNG — are
+   really decoded via the same resize path.  No hard dependency.
+3. **Deterministic fake** for everything else (exotic variants in a
+   codec-less container): hash-seeded feature vector, so pipelines
    stay runnable end-to-end and outputs stay replay-stable.
 
 Payloads are dispatched by magic bytes, so one corpus can mix formats;
@@ -273,6 +276,287 @@ def decode_png(payload: bytes, dim: int) -> np.ndarray:
     return _pixels_to_feature(px, dim)
 
 
+# ---------------------------------------------------------------- JPEG ----
+# Baseline JPEG is fully public (ITU-T T.81 / ISO 10918-1).  The stream
+# position i → 8×8 raster index map (Figure A.6 zigzag order):
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+#: orthonormal 8-point DCT basis: spatial = Mᵀ · coeff · M (IDCT),
+#: coeff = M · spatial · Mᵀ (forward — the test encoder's direction)
+_JPEG_IDCT_M = (
+    np.cos(
+        (2 * np.arange(8)[None, :] + 1)
+        * np.arange(8)[:, None]
+        * np.pi
+        / 16
+    )
+    * np.where(np.arange(8)[:, None] == 0, 1 / np.sqrt(2), 1.0)
+    / 2
+)
+
+
+class _JpegBits:
+    """MSB-first bit reader over one de-stuffed entropy-coded segment."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG bitstream exhausted")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_huff_decode(r: _JpegBits, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """T.81 F.12 EXTEND: map a ``size``-bit magnitude to its signed
+    value (received high bit 0 ⇒ negative branch)."""
+    if size == 0 or v >= (1 << (size - 1)):
+        return v
+    return v - (1 << size) + 1
+
+
+def _jpeg_decode_block(
+    r: _JpegBits, dc_tbl: dict, ac_tbl: dict
+) -> np.ndarray:
+    """One 8×8 block's quantized coefficients in ZIGZAG order (DC holds
+    the DIFF — the caller owns the predictor)."""
+    coef = np.zeros(64, dtype=np.int64)
+    s = _jpeg_huff_decode(r, dc_tbl)
+    coef[0] = _jpeg_extend(r.receive(s), s) if s else 0
+    k = 1
+    while k < 64:
+        rs = _jpeg_huff_decode(r, ac_tbl)
+        run, size = rs >> 4, rs & 15
+        if size == 0:
+            if run == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC coefficient index overflow")
+        coef[k] = _jpeg_extend(r.receive(size), size)
+        k += 1
+    return coef
+
+
+def decode_jpeg(payload: bytes, dim: int) -> np.ndarray:
+    """REAL image decode for baseline JPEG (SOF0/SOF1 sequential DCT,
+    Huffman) — pure NumPy, no codec library (ITU-T T.81 is public).
+
+    Decodes the LUMA (Y) channel only: JPEG's Y is defined as the
+    ITU-R 601 luma ``0.299R + 0.587G + 0.114B`` — exactly the grayscale
+    :func:`_pixels_to_feature` wants — so chroma blocks are entropy-
+    decoded (the interleaved scan requires consuming their bits) but
+    never dequantized or inverse-transformed.  Handles grayscale and
+    interleaved color scans at any sampling (4:4:4/4:2:2/4:2:0),
+    restart markers, byte stuffing, and 16-bit quantization tables.
+    Progressive (SOF2), arithmetic coding, 12-bit precision, and
+    non-interleaved multi-scan files raise ValueError — the dispatcher
+    then tries PIL and finally the deterministic fake.
+    """
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG signature")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    dri = 0
+    scan = None
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xFF:  # fill byte
+            pos -= 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            continue  # standalone markers
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += seglen
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(
+                        seg[i : i + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    i += 64
+                else:
+                    qt[tq] = np.frombuffer(
+                        seg[i : i + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    i += 128
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+            if seg[0] != 8:
+                raise ValueError("only 8-bit JPEG precision supported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            comps = []
+            for c in range(seg[5]):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            sof = (h, w, comps)
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                i += 1
+                counts = list(seg[i : i + 16])
+                i += 16
+                syms = seg[i : i + sum(counts)]
+                i += sum(counts)
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for ln in range(1, 17):
+                    for _ in range(counts[ln - 1]):
+                        table[(ln, code)] = syms[k]
+                        k += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scomp = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                for c in range(ns)
+            ]
+            scan = (scomp, pos)
+            break
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+        # else APPn / COM: skipped
+    if sof is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    (scomp, dpos) = scan
+    h_img, w_img, comps = sof
+    if len(scomp) != len(comps):
+        raise ValueError("non-interleaved JPEG scan unsupported")
+
+    # de-stuff the entropy stream; split at restart markers
+    data = payload[dpos:]
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI (or the next real marker) ends the scan
+        cur.append(b)
+        i += 1
+    segs.append(bytes(cur))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+    order = []
+    for cs, td, ta in scomp:
+        comp = next((c for c in comps if c["id"] == cs), None)
+        if comp is None:
+            raise ValueError("JPEG scan references unknown component")
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("JPEG scan references missing Huffman table")
+        order.append((comp, huff[(0, td)], huff[(1, ta)]))
+    y_comp = order[0][0]  # first scan component is luma by convention
+    if y_comp["tq"] not in qt:
+        raise ValueError("JPEG luma references missing quant table")
+    q_y = qt[y_comp["tq"]]
+    plane = np.zeros(
+        (mcuy * 8 * y_comp["v"], mcux * 8 * y_comp["h"]), dtype=np.float64
+    )
+    pred = {c["id"]: 0 for c in comps}
+    seg_i = 0
+    reader = _JpegBits(segs[0])
+    mcu = 0
+    m_t = _JPEG_IDCT_M.T
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu and mcu % dri == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("JPEG missing restart segment")
+                reader = _JpegBits(segs[seg_i])
+                pred = {c["id"]: 0 for c in comps}
+            for comp, dc_tbl, ac_tbl in order:
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        coef = _jpeg_decode_block(reader, dc_tbl, ac_tbl)
+                        pred[comp["id"]] += int(coef[0])
+                        if comp is not y_comp:
+                            continue  # chroma: bits consumed, no IDCT
+                        coef[0] = pred[comp["id"]]
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[_JPEG_ZIGZAG] = coef * q_y
+                        spatial = (
+                            m_t @ blk.reshape(8, 8) @ _JPEG_IDCT_M + 128.0
+                        )
+                        r0 = (my * comp["v"] + by) * 8
+                        c0 = (mx * comp["h"] + bx) * 8
+                        plane[r0 : r0 + 8, c0 : c0 + 8] = spatial
+            mcu += 1
+    luma_h = -(-h_img * y_comp["v"] // vmax)
+    luma_w = -(-w_img * y_comp["h"] // hmax)
+    px = np.clip(np.round(plane[:luma_h, :luma_w]), 0, 255) / 255.0
+    return _pixels_to_feature(px, dim)
+
+
 _UNPROBED = object()
 _PIL_MODULE: object = _UNPROBED
 
@@ -307,11 +591,11 @@ def tagged_decode(payload: bytes, dim: int) -> tuple[np.ndarray, str]:
     returns ``(feature, decoder)`` where ``decoder`` is
 
     - ``"real"`` — a dependency-free NumPy decoder ran (PGM / WAV /
-      stdlib-zlib PNG);
-    - ``"pil"``  — PIL decoded it (JPEG, or a PNG variant the stdlib
-      path doesn't cover — Adam7, sub-byte depths);
+      stdlib-zlib PNG / baseline JPEG);
+    - ``"pil"``  — PIL decoded it (a variant the dependency-free path
+      declines: progressive JPEG, Adam7 or sub-byte-depth PNG);
     - ``"fake"`` — the deterministic fake (unrecognized magic, corrupt
-      payload, or JPEG in a PIL-less container).
+      payload, or a declined variant in a PIL-less container).
 
     The tag rides the feature row so downstream can FILTER on
     provenance — e.g. drop ``fake`` rows before ANN training — instead
@@ -334,7 +618,10 @@ def tagged_decode(payload: bytes, dim: int) -> tuple[np.ndarray, str]:
             except Exception:
                 return decode_with_pil(payload, dim), "pil"
         if payload[:3] == b"\xff\xd8\xff":
-            return decode_with_pil(payload, dim), "pil"
+            try:
+                return decode_jpeg(payload, dim), "real"
+            except Exception:
+                return decode_with_pil(payload, dim), "pil"
     except Exception:
         pass
     return _fake_decode(payload, dim), "fake"

@@ -380,3 +380,293 @@ def test_decode_provenance_column(spark):
     # tagged_decode and default_decode agree on the feature itself
     feat, tag = tagged_decode(bytes(pgm), 6)
     assert tag == "real"
+
+
+# ------------------------------------------------------------- JPEG ----
+# Test-side baseline-JPEG ENCODER (pure NumPy): the container has no
+# codec library to produce golden JPEG bytes, so the tests build real
+# T.81 streams themselves — forward DCT + quantize + Huffman with
+# simple flat canonical tables (12 DC symbols at 4 bits, 162 AC symbols
+# at 9 bits; DHT carries the tables, so the decoder needs nothing
+# standard-specific) — and check decode_jpeg against the encoder's own
+# dequantize+IDCT reference, which is exact (identical float ops).
+
+def _jpeg_tables():
+    import numpy as np
+
+    zz = np.array(
+        [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+         12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+         35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+         58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+    m = (np.cos((2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None]
+                * np.pi / 16)
+         * np.where(np.arange(8)[:, None] == 0, 1 / np.sqrt(2), 1.0) / 2)
+    dc_syms = list(range(12))
+    ac_syms = [0x00] + [(r << 4) | s for r in range(16)
+                        for s in range(1, 11)] + [0xF0]
+    dc_codes = {s: (4, i) for i, s in enumerate(dc_syms)}
+    ac_codes = {s: (9, i) for i, s in enumerate(ac_syms)}
+    return zz, m, dc_syms, ac_syms, dc_codes, ac_codes
+
+
+class _JpegWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        while self.nbits:
+            self.bits(1, 1)  # pad with 1s per T.81
+        return bytes(self.out)
+
+
+def _jpeg_encode_blocks(writer, blocks, q, pred, dc_codes, ac_codes, zz, m):
+    """blocks: list of 8x8 float arrays (spatial, 0..255). Returns new
+    pred and the quantized streams for reference reconstruction."""
+    import numpy as np
+
+    quantized = []
+    for blk in blocks:
+        f = m @ (blk - 128.0) @ m.T
+        qz = np.round(f.flatten()[zz] / q).astype(np.int64)
+        quantized.append(qz)
+        diff = int(qz[0]) - pred
+        pred = int(qz[0])
+        size = int(diff).bit_length() if diff else 0
+        ln, code = dc_codes[size]
+        writer.bits(code, ln)
+        if size:
+            v = diff if diff > 0 else diff + (1 << size) - 1
+            writer.bits(v, size)
+        run = 0
+        for k in range(1, 64):
+            v = int(qz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]
+                writer.bits(code, ln)
+                run -= 16
+            size = abs(v).bit_length()
+            ln, code = ac_codes[(run << 4) | size]
+            writer.bits(code, ln)
+            mv = v if v > 0 else v + (1 << size) - 1
+            writer.bits(mv, size)
+            run = 0
+        if run:
+            ln, code = ac_codes[0x00]
+            writer.bits(code, ln)
+    return pred, quantized
+
+
+def _jpeg_headers(w, h, q, zz, dc_syms, ac_syms, comps, dri=0):
+    import struct as _struct
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    qtab = bytes(int(q[i]) for i in range(64))
+    out += b"\xff\xdb" + _struct.pack(">H", 2 + 1 + 64) + b"\x00" + qtab
+    nf = len(comps)
+    sof = bytearray(_struct.pack(">BHHB", 8, h, w, nf))
+    for cid, hs, vs in comps:
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    out += b"\xff\xc0" + _struct.pack(">H", 2 + len(sof)) + sof
+    dc_counts = [0] * 16
+    dc_counts[3] = len(dc_syms)  # all DC symbols at length 4
+    dht = bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms)
+    out += b"\xff\xc4" + _struct.pack(">H", 2 + len(dht)) + dht
+    ac_counts = [0] * 16
+    ac_counts[8] = len(ac_syms)  # all AC symbols at length 9
+    dht = bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)
+    out += b"\xff\xc4" + _struct.pack(">H", 2 + len(dht)) + dht
+    if dri:
+        out += b"\xff\xdd" + _struct.pack(">HH", 4, dri)
+    sos = bytearray([nf])
+    for cid, _, _ in comps:
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + _struct.pack(">H", 2 + len(sos)) + sos
+    return out
+
+
+def _encode_gray_jpeg(px, q_val=8, dri=0):
+    """Grayscale baseline JPEG from a (h, w) uint8 array; returns
+    (payload bytes, reference decoded pixels)."""
+    import numpy as np
+
+    zz, m, dc_syms, ac_syms, dc_codes, ac_codes = _jpeg_tables()
+    h, w = px.shape
+    q = np.full(64, q_val, dtype=np.int64)
+    q[0] = max(1, q_val // 2)
+    ph = -(-h // 8) * 8
+    pw = -(-w // 8) * 8
+    padded = np.zeros((ph, pw), dtype=np.float64)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[-1:, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    out = _jpeg_headers(w, h, q, zz, dc_syms, ac_syms, [(1, 1, 1)], dri)
+    ref = np.zeros_like(padded)
+    pred = 0
+    writer = _JpegWriter()
+    mcus_done = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            if dri and mcus_done and mcus_done % dri == 0:
+                out += writer.flush()
+                out += bytes([0xFF, 0xD0 + ((mcus_done // dri - 1) % 8)])
+                writer = _JpegWriter()
+                pred = 0
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            pred, qzs = _jpeg_encode_blocks(
+                writer, [blk], q, pred, dc_codes, ac_codes, zz, m
+            )
+            deq = np.zeros(64)
+            deq[zz] = qzs[0] * q
+            ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                m.T @ deq.reshape(8, 8) @ m + 128.0
+            )
+            mcus_done += 1
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    ref = np.clip(np.round(ref[:h, :w]), 0, 255) / 255.0
+    return bytes(out), ref
+
+
+def _encode_420_jpeg(px, q_val=8):
+    """4:2:0 color baseline JPEG: real luma from ``px``, flat gray
+    chroma (Cb=Cr=128 → all-zero blocks); returns (payload, luma ref)."""
+    import numpy as np
+
+    zz, m, dc_syms, ac_syms, dc_codes, ac_codes = _jpeg_tables()
+    h, w = px.shape
+    q = np.full(64, q_val, dtype=np.int64)
+    q[0] = max(1, q_val // 2)
+    ph = -(-h // 16) * 16
+    pw = -(-w // 16) * 16
+    padded = np.zeros((ph, pw), dtype=np.float64)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[-1:, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    out = _jpeg_headers(
+        w, h, q, zz, dc_syms, ac_syms, [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+    )
+    ref = np.zeros_like(padded)
+    preds = {1: 0, 2: 0, 3: 0}
+    writer = _JpegWriter()
+    chroma_blk = np.full((8, 8), 128.0)
+    for my in range(ph // 16):
+        for mx in range(pw // 16):
+            for by in range(2):
+                for bx in range(2):
+                    r0 = my * 16 + by * 8
+                    c0 = mx * 16 + bx * 8
+                    blk = padded[r0 : r0 + 8, c0 : c0 + 8]
+                    preds[1], qzs = _jpeg_encode_blocks(
+                        writer, [blk], q, preds[1], dc_codes, ac_codes,
+                        zz, m,
+                    )
+                    deq = np.zeros(64)
+                    deq[zz] = qzs[0] * q
+                    ref[r0 : r0 + 8, c0 : c0 + 8] = (
+                        m.T @ deq.reshape(8, 8) @ m + 128.0
+                    )
+            for cid in (2, 3):
+                preds[cid], _ = _jpeg_encode_blocks(
+                    writer, [chroma_blk], q, preds[cid], dc_codes,
+                    ac_codes, zz, m,
+                )
+    out += writer.flush()
+    out += b"\xff\xd9"
+    ref = np.clip(np.round(ref[:h, :w]), 0, 255) / 255.0
+    return bytes(out), ref
+
+
+def _test_image(h, w):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((yy * 7 + xx * 13 + (xx * yy) // 3) % 256).astype(np.uint8)
+
+
+def test_jpeg_grayscale_roundtrip_exact():
+    """decode_jpeg must reproduce the encoder's dequantize+IDCT
+    reference EXACTLY (identical float ops) on a grayscale baseline
+    stream — huffman, zigzag, EXTEND, DC prediction all exercised."""
+    import numpy as np
+
+    from linkgraph.textops.multimodal import (
+        _pixels_to_feature,
+        decode_jpeg,
+    )
+
+    px = _test_image(24, 33)  # non-multiple-of-8 width forces padding
+    payload, ref = _encode_gray_jpeg(px)
+    got = decode_jpeg(payload, 12)
+    want = _pixels_to_feature(ref, 12)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_jpeg_420_color_luma_only():
+    """Interleaved 4:2:0 scan: chroma blocks must be entropy-skipped
+    correctly (wrong bit accounting would corrupt every later block)."""
+    import numpy as np
+
+    from linkgraph.textops.multimodal import (
+        _pixels_to_feature,
+        decode_jpeg,
+    )
+
+    px = _test_image(40, 56)
+    payload, ref = _encode_420_jpeg(px)
+    got = decode_jpeg(payload, 10)
+    want = _pixels_to_feature(ref, 10)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn: bit alignment and DC predictors reset per interval."""
+    import numpy as np
+
+    from linkgraph.textops.multimodal import (
+        _pixels_to_feature,
+        decode_jpeg,
+    )
+
+    px = _test_image(16, 40)  # 10 MCUs; restart every 3
+    payload, ref = _encode_gray_jpeg(px, dri=3)
+    got = decode_jpeg(payload, 8)
+    want = _pixels_to_feature(ref, 8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_jpeg_dispatcher_tags_real_and_declines_progressive():
+    """tagged_decode routes baseline JPEG to the NumPy decoder (tag
+    'real'); a progressive SOF2 stream is declined to pil/fake — never
+    mis-decoded."""
+    from linkgraph.textops.multimodal import tagged_decode
+
+    px = _test_image(16, 16)
+    payload, _ = _encode_gray_jpeg(px)
+    _, tag = tagged_decode(payload, 8)
+    assert tag == "real"
+
+    progressive = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    _, tag2 = tagged_decode(progressive, 8)
+    assert tag2 in ("pil", "fake")  # declined, PIL-gated
+
+    truncated = payload[: len(payload) // 2]
+    feat, tag3 = tagged_decode(truncated, 8)
+    assert len(feat) == 8  # degrades, never raises
