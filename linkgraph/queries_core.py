@@ -1,0 +1,1243 @@
+"""Engine-side catalog callables (graph + corpus + events entries)
+and their entry-local SQL constants.  Split from the flat queries.py
+(VERDICT r03 #8); linkgraph.queries re-exports everything.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph.textops.quality import (
+    BPE_PIECE_RE,
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    PII_PHONE_RE,
+)
+
+from linkgraph.queries_base import (
+    DOCS2_SQL,
+    EDGE_SQL,
+    EDGE_WEIGHT_SQL,
+    EMB2_SQL,
+    _embedding_dim,
+    _load,
+    build_graph,
+)
+from linkgraph.queries_sqlgen import (
+    HOST_PAIRS_SQL,
+    LINK_LOG_SYNTH_SQL,
+    MESSY_URL_SQL,
+)
+
+
+
+# ---------------------------------------------------------------------------
+# engine-side callables
+# ---------------------------------------------------------------------------
+
+
+def q_edge_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = build_graph(spark, sf_dir)
+    return g.edges.select(
+        F.count(F.lit(1)).alias("num_edges"),
+        F.countDistinct("src").alias("num_sources"),
+    )
+
+
+def q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = build_graph(spark, sf_dir)
+    return g.out_degrees.select("vid", F.col("outdeg").cast("long").alias("outdeg"))
+
+
+def q_pagerank10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.pagerank import pagerank
+
+    g = build_graph(spark, sf_dir)
+    res = pagerank(g, alpha=0.85, tol=0.0, max_iters=10)
+    return res.state.select("vid", F.round("rank", 6).alias("rank6"))
+
+
+def q_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.cc import connected_components
+
+    g = build_graph(spark, sf_dir)
+    return connected_components(g).state.select("vid", "comp")
+
+
+def q_cc_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-started connected components (algorithms/cc.py
+    ``init_labels``): converge CC on a deterministic SUBSET of the edges
+    ((src+dst) % 5 != 0 — an append-only predecessor of the full graph),
+    then warm-start the full-graph run from those labels.  The oracle is
+    the SAME cold-CC SQL as `connected_components` — warm start must
+    reach the identical fixpoint, which is exactly the property the
+    driver hash-checks here."""
+    from linkgraph.algorithms.cc import connected_components
+    from linkgraph.graph import Graph
+
+    g = build_graph(spark, sf_dir)
+    sub_edges = g.edges.where((F.col("src") + F.col("dst")) % 5 != 0)
+    g_sub = Graph.from_edges(sub_edges, num_partitions=g.num_partitions)
+    try:
+        prev = connected_components(g_sub)
+        out = connected_components(g, init_labels=prev.state)
+        return out.state.select("vid", "comp")
+    finally:
+        g_sub.unpersist()
+
+
+def q_coreness_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-started coreness (algorithms/coreness.py ``init_bound``):
+    previous-epoch decomposition on the (src+dst)%5 != 0 edge subset,
+    bound = prev + m (m = added-edge count, valid by the one-edge
+    core-change theorem), full run warm-started from it.  Oracle = the
+    SAME cold-coreness SQL — any-upper-bound exactness, driver-checked."""
+    from linkgraph.algorithms.coreness import coreness
+    from linkgraph.graph import Graph
+
+    g = build_graph(spark, sf_dir)
+    sub_edges = g.edges.where((F.col("src") + F.col("dst")) % 5 != 0)
+    g_sub = Graph.from_edges(sub_edges, num_partitions=g.num_partitions)
+    try:
+        m = g.num_edges - g_sub.num_edges  # bounded 1-row driver scalars
+        prev = coreness(g_sub)
+        bound = prev.state.select(
+            "vid", (F.col("coreness") + F.lit(int(m))).alias("bound")
+        )
+        return coreness(g, init_bound=bound).state
+    finally:
+        g_sub.unpersist()
+
+
+def q_labelprop3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.labelprop import label_propagation
+
+    g = build_graph(spark, sf_dir)
+    return label_propagation(g, max_iters=3).state.select("vid", "label")
+
+
+def q_labelprop_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-started label propagation (labelprop.py ``init_labels``):
+    2 LP rounds on the (src+dst)%5 != 0 edge subset (the previous
+    epoch), then 3 full-graph rounds seeded from those labels.  LP's
+    fixpoint is init-dependent, so the oracle replays this exact
+    two-phase trajectory (``_labelprop_warm_sql``) — the hash check
+    pins the warm seeding path itself, not a same-fixpoint claim."""
+    from linkgraph.algorithms.labelprop import label_propagation
+    from linkgraph.graph import Graph
+
+    g = build_graph(spark, sf_dir)
+    sub_edges = g.edges.where((F.col("src") + F.col("dst")) % 5 != 0)
+    g_sub = Graph.from_edges(sub_edges, num_partitions=g.num_partitions)
+    try:
+        prev = label_propagation(g_sub, max_iters=2)
+        out = label_propagation(g, max_iters=3, init_labels=prev.state)
+        return out.state.select("vid", "label")
+    finally:
+        g_sub.unpersist()
+
+
+def q_sssp_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-started weighted SSSP (sssp.py ``init_dists``): converge on
+    the (src+dst)%5 != 0 edge subset (an append-only predecessor —
+    subgraph distances are valid UPPER bounds on the full graph's),
+    then warm-start the full-graph run from them.  Oracle = the
+    converged Bellman-Ford SQL — the warm run must reach the identical
+    fixpoint (upper-bound argument in sssp.py), which is exactly what
+    the driver hash-checks."""
+    from linkgraph.algorithms.sssp import sssp
+    from linkgraph.graph import Graph
+
+    g = _weighted_graph(spark, sf_dir)
+    sub = Graph.from_edges(
+        g.edges.where((F.col("src") + F.col("dst")) % 5 != 0).select(
+            "src", "dst"
+        ),
+        num_partitions=g.num_partitions,
+    )
+    try:
+        g_sub = Graph(
+            sub.edges.withColumn(
+                "w", F.expr(f"CAST({EDGE_WEIGHT_SQL} AS DOUBLE)")
+            ),
+            sub.num_partitions,
+        )
+        prev = sssp(g_sub, 0, weight_col="w")
+        out = sssp(g, 0, weight_col="w", init_dists=prev.state)
+        return out.state.select("vid", F.round("dist", 6).alias("dist6"))
+    finally:
+        sub.unpersist()
+
+
+def q_bfs_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-started BFS depths (bfs.py multi_source_bfs
+    ``init_depths``): union-grow BFS on the (src+dst)%5 != 0 subset
+    provides the previous epoch's depth labels (valid upper bounds
+    under edge additions); the full-graph run is the min-relaxation
+    form, which LOWERS stale labels the new edges shortened.  Oracle =
+    the same cold BFS SQL as `bfs_depths` — warm must reach the
+    identical fixpoint."""
+    from linkgraph.algorithms.bfs import bfs, multi_source_bfs
+    from linkgraph.graph import Graph
+
+    g = build_graph(spark, sf_dir)
+    sub_edges = g.edges.where((F.col("src") + F.col("dst")) % 5 != 0)
+    g_sub = Graph.from_edges(sub_edges, num_partitions=g.num_partitions)
+    try:
+        prev = bfs(g_sub, 0)
+        seeds = spark.createDataFrame([(0,)], "vid long")
+        out = multi_source_bfs(g, seeds, init_depths=prev.state)
+        return out.state.where(F.col("depth").isNotNull()).select(
+            "vid", F.col("depth").cast("long").alias("depth")
+        )
+    finally:
+        g_sub.unpersist()
+
+
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.bfs import bfs
+
+    g = build_graph(spark, sf_dir)
+    return bfs(g, 0).state.select("vid", F.col("depth").cast("long").alias("depth"))
+
+
+def q_bfs_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direction-optimized BFS (per-round Beamer push/pull switch over
+    the reversed/CSC view — SURVEY.md §4.5).  Output is mode-independent
+    by construction, so it shares BFS_SQL with ``bfs_depths`` — the
+    driver's value-hash gate then pins the PULL code path, not just the
+    push path, to the oracle.  pull_ratio/beta are set so the small
+    sf-dir graph actually exercises pull rounds."""
+    from linkgraph.algorithms.bfs import bfs
+
+    g = build_graph(spark, sf_dir)
+    return bfs(
+        g, 0, direction="optimized", pull_ratio=0.1, beta=1000.0
+    ).state.select("vid", F.col("depth").cast("long").alias("depth"))
+
+
+def _weighted_graph(spark: SparkSession, sf_dir: str):
+    """Shared cached graph with the arithmetic weight column attached
+    as a narrow projection (keeps hash(src) partitioning, so the
+    gather joins stay exchange-free)."""
+    from linkgraph.graph import Graph
+
+    g = build_graph(spark, sf_dir)
+    weighted = g.edges.withColumn(
+        "w", F.expr(f"CAST({EDGE_WEIGHT_SQL} AS DOUBLE)")
+    )
+    return Graph(weighted, g.num_partitions)
+
+
+def q_sssp7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP from vertex 0, 7 relaxation rounds (reference A6).
+
+    Weight = 1 + (src*7 + dst*13) % 10 (EDGE_WEIGHT_SQL — one
+    definition shared with q_delta_sssp and the Bellman-Ford twins).
+    """
+    from linkgraph.algorithms.sssp import sssp
+
+    res = sssp(_weighted_graph(spark, sf_dir), 0, weight_col="w", max_iters=7)
+    return res.state.select("vid", F.round("dist", 6).alias("dist6"))
+
+
+def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.triangles import triangles
+
+    g = build_graph(spark, sf_dir)
+    return triangles(g).agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def q_triangle_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.triangles import triangle_counts_per_vertex
+
+    g = build_graph(spark, sf_dir)
+    return triangle_counts_per_vertex(g).select(
+        "vid", F.col("triangles").cast("long").alias("triangles")
+    )
+
+
+def q_ppr10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.ppr import personalized_pagerank
+
+    g = build_graph(spark, sf_dir)
+    res = personalized_pagerank(g, [0, 1, 2], alpha=0.85, tol=0.0, max_iters=10)
+    return res.state.select("vid", F.round("rank", 6).alias("rank6"))
+
+
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank + relative spam mass (algorithms/trustrank.py): trusted
+    seeds = every 100th vid (first 64), 10 fixed rounds of both the
+    ordinary and the trust-restricted power iteration, mass =
+    (rank − trust)/rank.  The DuckDB twin unrolls both chains."""
+    from linkgraph.algorithms.trustrank import spam_mass
+
+    g = build_graph(spark, sf_dir)
+    seeds = [
+        int(r.vid)
+        for r in g.vertices.where(F.col("vid") % 100 == 0)
+        .orderBy("vid")
+        .limit(64)
+        .collect()
+    ]
+    out = spam_mass(g, seeds, alpha=0.85, tol=0.0, max_iters=10)
+    return out.select(
+        "vid",
+        F.round("rank", 6).alias("rank6"),
+        F.round("trust", 6).alias("trust6"),
+        F.round("mass", 6).alias("mass6"),
+    )
+
+
+def q_hits5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.hits import hits
+
+    g = build_graph(spark, sf_dir)
+    res = hits(g, tol=0.0, max_iters=5)
+    return res.state.select(
+        "vid",
+        F.round("hub", 6).alias("hub6"),
+        F.round("auth", 6).alias("auth6"),
+    )
+
+
+def q_eigen6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.eigen import eigenvector_centrality
+
+    g = build_graph(spark, sf_dir)
+    res = eigenvector_centrality(g, tol=0.0, max_iters=6)
+    return res.state.select("vid", F.round("score", 6).alias("score6"))
+
+
+def q_salsa5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.salsa import salsa
+
+    g = build_graph(spark, sf_dir)
+    res = salsa(g, tol=0.0, max_iters=5)
+    return res.state.select(
+        "vid",
+        F.round("hub", 6).alias("hub6"),
+        F.round("auth", 6).alias("auth6"),
+    )
+
+
+def _thinned_graph(spark: SparkSession, sf_dir: str):
+    """Deterministically thinned subgraph for the SCC/bow-tie entries
+    (the full derived crawl is a single giant SCC — degenerate; see
+    SCC_SQL's comment).  Mirrors SCC_THIN_PRED exactly."""
+    from linkgraph.graph import Graph
+
+    g = build_graph(spark, sf_dir)
+    sub = g.edges.where(F.col("src") % 5 != 0)
+    return Graph.from_edges(sub, num_partitions=g.num_partitions)
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.scc import strongly_connected_components
+
+    return strongly_connected_components(_thinned_graph(spark, sf_dir))
+
+
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.scc import bowtie_decomposition
+
+    return bowtie_decomposition(_thinned_graph(spark, sf_dir))
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.graphstats import reciprocity
+
+    return reciprocity(build_graph(spark, sf_dir))
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.graphstats import degree_assortativity
+
+    return degree_assortativity(build_graph(spark, sf_dir))
+
+
+def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.graphstats import clustering_coefficients
+
+    return clustering_coefficients(build_graph(spark, sf_dir))
+
+
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.graphstats import global_clustering
+
+    return global_clustering(build_graph(spark, sf_dir))
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the labelprop3 assignment (the same labels
+    the ``labelprop3`` entry pins)."""
+    from linkgraph.algorithms.community import modularity
+    from linkgraph.algorithms.labelprop import label_propagation
+
+    g = build_graph(spark, sf_dir)
+    labels = label_propagation(g, max_iters=3).state.select("vid", "label")
+    return modularity(g, labels)
+
+
+def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of the labelprop3 assignment, top-20
+    by (members DESC, label ASC)."""
+    from linkgraph.algorithms.community import community_conductance
+    from linkgraph.algorithms.labelprop import label_propagation
+
+    g = build_graph(spark, sf_dir)
+    labels = label_propagation(g, max_iters=3).state.select("vid", "label")
+    return community_conductance(g, labels, top_k=20)
+
+
+def q_louvain_lp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous modularity-gain label propagation (Louvain move
+    phase), 4 rounds (converges earlier on the derived graph — the
+    update is idempotent at its fixpoint, so the unrolled twin
+    matches)."""
+    from linkgraph.algorithms.community import modularity_lp
+
+    g = build_graph(spark, sf_dir)
+    return modularity_lp(g, max_iters=4).state.select("vid", "label")
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.linkpred import link_prediction
+
+    g = build_graph(spark, sf_dir)
+    return link_prediction(g, top_k=50, max_degree=64)
+
+
+def q_related_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dean–Henzinger co-citation related pages for every 50th vertex,
+    top-5 each (algorithms/linkpred.py related_pages)."""
+    from linkgraph.algorithms.linkpred import related_pages
+
+    g = build_graph(spark, sf_dir)
+    queries = g.vertices.where(F.col("vid") % 50 == 0).select(
+        F.col("vid").alias("qid")
+    )
+    return related_pages(g, queries, k=5, max_out_degree=64)
+
+
+def q_edge_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash-Bernoulli edge sample (same md5 coin in
+    both engines — identical edges at any parallelism)."""
+    from linkgraph.algorithms.sampling import edge_sample
+
+    g = build_graph(spark, sf_dir)
+    return edge_sample(g, percent=10, salt=0).orderBy("src", "dst")
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree histogram (the power-law health check every web-graph
+    characterization plots — Broder et al. WWW'00 §3): one map-side
+    combined agg over |E| then one tiny agg over distinct degrees."""
+    g = build_graph(spark, sf_dir)
+    return (
+        g.in_degrees.groupBy("indeg")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .select(
+            F.col("indeg").cast("long").alias("indeg"),
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+        )
+        .orderBy("indeg")
+    )
+
+
+def q_ktruss3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.ktruss import truss_peel_rounds
+
+    g = build_graph(spark, sf_dir)
+    return truss_peel_rounds(g, k=3, rounds=4)
+
+
+def q_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.kcore import k_core_peel_rounds
+
+    g = build_graph(spark, sf_dir)
+    return k_core_peel_rounds(g, k=3, rounds=8).select(
+        "vid", F.col("deg").cast("long").alias("deg")
+    )
+
+
+def q_trussness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full truss decomposition (algorithms/ktruss.py trussness) over
+    the derived graph; DuckDB twin unrolls the edge h-operator."""
+    from linkgraph.algorithms.ktruss import trussness
+
+    return trussness(build_graph(spark, sf_dir))
+
+
+def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full coreness decomposition (converged H-operator run — the
+    production function, not a fixed-round twin; the SQL side unrolls
+    2× the measured convergence count and the operator is idempotent
+    past its fixpoint, so the value hash pins the converged output)."""
+    from linkgraph.algorithms.coreness import coreness
+
+    g = build_graph(spark, sf_dir)
+    return coreness(g).state
+
+
+def q_spgemm_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.algorithms.spgemm import square_counts
+
+    g = build_graph(spark, sf_dir)
+    return square_counts(g)
+
+
+def q_spmv_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized weighted SpMV y = A·x (reference A13) over the
+    derived edge set with arithmetic weights w = (src·3+dst·7) mod 9 + 1
+    and x(v) = (v mod 13)/4.  Every term is an integer multiple of 0.25
+    (exact in binary double), so engine and DuckDB sums are bit-equal
+    regardless of reduction order — round-6 is cosmetic."""
+    from linkgraph.algorithms.spmv import spmv
+
+    g = build_graph(spark, sf_dir)
+    edges = g.edges.withColumn(
+        "weight",
+        ((F.col("src") * 3 + F.col("dst") * 7) % 9 + 1).cast("double"),
+    )
+    x = g.vertices.select(
+        "vid", ((F.col("vid") % 13) / F.lit(4.0)).alias("x")
+    )
+    return spmv(edges, x).select(
+        "vid", F.round("y", 6).alias("y6")
+    )
+
+
+def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPL coloring with the arithmetic knuth32 priority, DuckDB-oracled
+    by a 48-round unroll (_jpl_unrolled_sql; measured 24-25 rounds to a
+    full coloring at sf0.001-0.1, and post-fixpoint rounds are no-ops).
+    Proper-coloring validity + determinism of the default xxhash64 path
+    are pinned by tests/test_extra_algorithms."""
+    from linkgraph.algorithms.coloring import jpl_coloring
+
+    g = build_graph(spark, sf_dir)
+    return jpl_coloring(g, priority="knuth32").state.select("vid", "color")
+
+
+def q_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound over the symmetrized crawl
+    (graphstats.double_sweep_diameter): BFS from 0, pivot to the
+    deterministic farthest vertex, BFS again."""
+    from linkgraph.algorithms.graphstats import double_sweep_diameter
+
+    g = build_graph(spark, sf_dir)
+    return double_sweep_diameter(g, source=0)
+
+
+def q_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set with the arithmetic knuth32
+    priority (algorithms/mis.py), DuckDB-oracled by a 12-round unroll
+    (_luby_mis_sql; measured 5 rounds to fixpoint, post-fixpoint
+    rounds are no-ops).  Independence + maximality are pinned by
+    tests/test_extra_algorithms."""
+    from linkgraph.algorithms.mis import luby_mis
+
+    g = build_graph(spark, sf_dir)
+    return luby_mis(g, priority="knuth32").state.select("vid", "status")
+
+
+def q_bc_source0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source Brandes BC, DuckDB-oracled by an 8-level unroll
+    (_brandes_unrolled_sql); exactness also pinned vs the NumPy Brandes
+    oracle in tests/test_extra_algorithms."""
+    from linkgraph.algorithms.bc import betweenness_centrality
+
+    g = build_graph(spark, sf_dir)
+    return betweenness_centrality(g, [0]).select(
+        "vid", F.round("bc", 6).alias("bc6")
+    )
+
+
+def q_bc_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-sampled BC estimate (4 deterministic arithmetic-sample
+    sources, scale n/s), run by the BATCHED multi-source Brandes
+    (bc.bc_batched — job count independent of sample size); DuckDB twin
+    = the same root-keyed unroll + sample + scale
+    (_brandes_multi_unrolled_sql).  Estimator exactness at s = n and the
+    s < n error bound are pinned in tests/test_extra_algorithms."""
+    from linkgraph.algorithms.bc import bc_sampled
+
+    g = build_graph(spark, sf_dir)
+    return bc_sampled(g, 4, seed=0, scale=True).select(
+        "vid", F.round("bc", 6).alias("bc6")
+    )
+
+
+def q_link_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-append link-log compaction (streaming.compact_link_log,
+    the batch half of the incremental ingest loop) over a deterministic
+    synthetic multi-capture log: recrawled pages replace their old link
+    sets, link-less recrawls erase them via the NULL marker row.  Oracle
+    replays the identical window + join + distinct in SQL."""
+    from linkgraph.streaming import compact_link_log
+
+    _load(spark, sf_dir, "documents")
+    log = spark.sql(
+        f"WITH {EDGE_SQL.strip()}, {LINK_LOG_SYNTH_SQL.strip()} "
+        "SELECT * FROM link_log"
+    )
+    return compact_link_log(log).select(
+        F.col("src_url").cast("long").alias("src"),
+        F.col("dst_url").cast("long").alias("dst"),
+    )
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page→host graph rollup (extract.host_graph — the Common-Crawl-
+    style host-level artifact): JVM regexp host extraction + one hash
+    aggregation, intra-host edges dropped.  Urls are synthesized over
+    the derived edges (20 hosts); the oracle replays the same regexp +
+    group-by in DuckDB."""
+    from linkgraph.extract import host_graph
+
+    _load(spark, sf_dir, "documents")
+    pairs = spark.sql(
+        f"WITH {EDGE_SQL.strip()}, {HOST_PAIRS_SQL.strip()} "
+        "SELECT * FROM pairs"
+    )
+    return host_graph(pairs)
+
+
+def q_host_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target inlink host-diversity / top-host-share link-spam
+    signal (extract.inlink_host_diversity) over the same synthetic url
+    pairs as ``host_graph``."""
+    from linkgraph.extract import inlink_host_diversity
+
+    _load(spark, sf_dir, "documents")
+    pairs = spark.sql(
+        f"WITH {EDGE_SQL.strip()}, {HOST_PAIRS_SQL.strip()} "
+        "SELECT * FROM pairs"
+    )
+    return inlink_host_diversity(pairs)
+
+
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality, 8 rounds of x' = 0.05·Aᵀx + 1 from
+    x₀ = 1 (algorithms/katz.py); the DuckDB twin unrolls the same
+    rounds — no normalization, no dangling term, so the twin is a plain
+    chained aggregation."""
+    from linkgraph.algorithms.katz import katz
+
+    g = build_graph(spark, sf_dir)
+    res = katz(g, alpha=0.05, beta=1.0, tol=0.0, max_iters=8)
+    return res.state.select("vid", F.round("score", 6).alias("katz6"))
+
+
+def q_anf4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighborhood function (ANF/HyperBall family,
+    algorithms/anf.py): 4 FM registers propagated 4 rounds over
+    in-edges — per-vertex sketches + the exact-integer rank sum (the
+    in-ball estimate is 2^(rsum/4)/φ).  All-integer md5-derived state,
+    so the DuckDB twin replays it bit-for-bit."""
+    from linkgraph.algorithms.anf import anf, rank_sum_col
+
+    g = build_graph(spark, sf_dir)
+    res = anf(g, k=4, max_iters=4)
+    return res.state.select(
+        "vid", "sk0", "sk1", "sk2", "sk3", rank_sum_col(4).alias("rsum")
+    )
+
+
+def q_harmonic8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate in-harmonic centrality via HyperBall accumulation
+    over the ANF sketches (anf.harmonic_centrality): 4 FM registers,
+    8 rounds, hc += (n̂_t − n̂_{t−1})/t.  The estimate is engine-exact
+    (integer CASE × literal fraction constants), so the DuckDB twin
+    replays the float trajectory bit-for-bit."""
+    from linkgraph.algorithms.anf import harmonic_centrality
+
+    g = build_graph(spark, sf_dir)
+    out = harmonic_centrality(g, k=4, max_iters=8)
+    return out.select("vid", F.round("harmonic", 6).alias("harmonic6"))
+
+
+def q_closeness8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate in-closeness via HyperBall's sum-of-distances
+    accumulator riding the same 4-register / 8-round sketch run as
+    ``harmonic8`` (anf.closeness_centrality).  Engine-exact estimate
+    (integer CASE × literal fraction constants) — the DuckDB twin
+    replays the float trajectory bit-for-bit."""
+    from linkgraph.algorithms.anf import closeness_centrality
+
+    g = build_graph(spark, sf_dir)
+    out = closeness_centrality(g, k=4, max_iters=8)
+    return out.select("vid", F.round("closeness", 6).alias("closeness6"))
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-step random walks from every 10th vertex
+    (algorithms/walks.py — the DeepWalk-family sampling front end).
+    The arithmetic neighbor choice makes the whole trajectory DuckDB-
+    replayable: the twin unrolls one CTE per step with the same
+    ``((walk_id·A₁ + t·A₂) mod P) mod outdeg`` pick over the same
+    dst-ranked edge index."""
+    from linkgraph.algorithms.walks import random_walks
+
+    g = build_graph(spark, sf_dir)
+    starts = g.vertices.where(F.col("vid") % 10 == 0)
+    return random_walks(g, num_steps=5, starts=starts, seed=0).select(
+        "walk_id", F.col("step").cast("int").alias("step"), "vid"
+    )
+
+
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 4-step node2vec walks (p=4, q=0.25 — DFS-leaning)
+    from every 20th vertex (algorithms/walks.py node2vec_walks).  The
+    rejection sampler is pure int64 arithmetic, so the DuckDB twin
+    unrolls the identical candidate probes, edge-existence classification
+    and fixed-point acceptance per step."""
+    from linkgraph.algorithms.walks import node2vec_walks
+
+    g = build_graph(spark, sf_dir)
+    starts = g.vertices.where(F.col("vid") % 20 == 0)
+    return node2vec_walks(
+        g, num_steps=4, p=4.0, q=0.25, starts=starts, seed=0, attempts=4
+    ).select("walk_id", F.col("step").cast("int").alias("step"), "vid")
+
+
+def q_weighted_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-step weight-proportional walks from every 20th vertex
+    (algorithms/walks.py weighted_walks): integer edge weights
+    synthesized arithmetically (1 + (src·7 + dst·13) mod 5) so the
+    DuckDB twin replays the rejection sampler's integer thresholds and
+    hash draws bit-for-bit."""
+    from linkgraph.algorithms.walks import weighted_walks
+
+    g = build_graph(spark, sf_dir)
+    wdf = g.edges.select(
+        "src",
+        "dst",
+        (1 + (F.col("src") * 7 + F.col("dst") * 13) % 5).alias("w"),
+    )
+    starts = g.vertices.where(F.col("vid") % 20 == 0)
+    return weighted_walks(
+        g, num_steps=4, weights=wdf, starts=starts, seed=0, attempts=4
+    ).select("walk_id", F.col("step").cast("int").alias("step"), "vid")
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the host-graph rollup (the Common-Crawl
+    host-ranking artifact): walk probability ∝ inter-host link count.
+    Hosts are synthesized arithmetically (vid = doc_id % 20) so the
+    DuckDB twin unrolls the same weighted power iteration, dangling
+    hosts included."""
+    from linkgraph.algorithms.pagerank import pagerank
+    from linkgraph.extract import host_graph
+    from linkgraph.graph import Graph
+
+    _load(spark, sf_dir, "documents")
+    pairs = spark.sql(
+        f"WITH {EDGE_SQL.strip()}, {HOST_PAIRS_SQL.strip()} "
+        "SELECT * FROM pairs"
+    )
+    hg = host_graph(pairs)
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    hvid = lambda c: F.regexp_extract(F.col(c), r"^site(\d+)\.", 1).cast("long")  # noqa: E731
+    e = (
+        hg.select(
+            hvid("src_host").alias("src"),
+            hvid("dst_host").alias("dst"),
+            F.col("weight").cast("double").alias("w"),
+        )
+        .repartition(parts, "src")
+        .sortWithinPartitions("src", "dst")
+    )
+    g = Graph(e, parts)
+    res = pagerank(g, alpha=0.85, tol=0.0, max_iters=10, weight_col="w")
+    return res.state.select(
+        F.col("vid").alias("host_id"), F.round("rank", 6).alias("rank6")
+    )
+
+
+def q_geolocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial-median spread, DuckDB-oracled by a 20-round unroll
+    (_geolocation_unrolled_sql); semantics also pinned vs the NumPy
+    oracle in tests/test_geolocation.py.  Seeds are deterministic:
+    every 10th vid, coordinates a pure function of vid."""
+    from linkgraph.algorithms.geolocation import geolocate
+
+    g = build_graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("vid") % 10 == 0).select(
+        "vid",
+        ((F.col("vid") % 180) - 90).cast("double").alias("lat"),
+        ((F.col("vid") % 360) - 180).cast("double").alias("lon"),
+    )
+    res = geolocate(g, seeds, max_iters=20)
+    return res.state.where(F.col("lat").isNotNull()).select(
+        "vid", F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon")
+    )
+
+
+def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest, DuckDB-oracled by an unrolled Borůvka
+    (_boruvka_unrolled_sql); the exact edge set vs a union-find oracle
+    is also pinned by tests/test_mst.py.  Weights ``src*10^6 + dst`` are
+    distinct per edge ⇒ the MSF is unique, so the row set is
+    deterministic regardless of algorithm."""
+    from linkgraph.algorithms.mst import minimum_spanning_forest
+
+    g = build_graph(spark, sf_dir)
+    weighted = g.edges.select(
+        "src", "dst",
+        (F.col("src") * 1000000 + F.col("dst")).cast("double").alias("weight"),
+    )
+    return minimum_spanning_forest(weighted).select(
+        "src", "dst", F.round("weight", 2).alias("weight2")
+    )
+
+
+def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "documents")
+    return spark.sql(f"WITH {DOCS2_SQL.strip()} SELECT doc_id, text FROM docs2")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.textops.dedup import exact_duplicates
+
+    return exact_duplicates(_docs2(spark, sf_dir)).select(
+        "doc_id", "group_id", F.col("group_size").cast("long").alias("group_size")
+    )
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.textops.dedup import minhash_signatures
+
+    return minhash_signatures(_docs2(spark, sf_dir), num_hashes=4).select(
+        "doc_id", F.col("seed").cast("int").alias("seed"), "minhash"
+    )
+
+
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.textops.dedup import jaccard_pairs
+
+    # % 1000000 keeps the docs2 duplicate copies (doc_id + 1000000) in
+    # range, so the exact-duplicate pairs (k, k+1000000) surface with
+    # jaccard 1.0 — a non-empty, deterministic result to hash-compare.
+    docs = _docs2(spark, sf_dir).where((F.col("doc_id") % 1000000) < 100)
+    return jaccard_pairs(docs, threshold=0.05, max_df=None).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard6")
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LSH→verify→CC dedup pipeline over docs2.
+
+    4 single-hash bands (rows_per_band=1: at a 0.5 threshold the banded
+    miss probability (1−s)⁴ stays low without needing more hashes) +
+    exact-dup star rescue + hash-min CC canonicalization.  The DuckDB
+    twin replays every stage relationally, with the transitive closure
+    as a recursive min-label CTE."""
+    from linkgraph.textops.dedup import dedup_clusters
+
+    return dedup_clusters(
+        _docs2(spark, sf_dir),
+        num_hashes=4,
+        rows_per_band=1,
+        threshold=0.5,
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.textops.quality import token_counts
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    return token_counts(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        F.round("avg_token_len", 6).alias("avg_token_len6"),
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.textops.quality import quality_scores
+
+    _load(spark, sf_dir, "documents")
+    return quality_scores(spark.table("documents")).select(
+        "doc_id", "n_tokens", "punct_ratio", "digit_ratio"
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.textops.quality import language_id
+
+    _load(spark, sf_dir, "documents")
+    return language_id(spark.table("documents")).select(
+        "doc_id", "pred_lang", F.col("lang_hits").cast("long").alias("lang_hits")
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition stats (textops/corpus.py:64)."""
+    from linkgraph.textops.corpus import repetition_stats
+
+    _load(spark, sf_dir, "documents")
+    return repetition_stats(spark.table("documents"))
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc boilerplate trigram coverage (textops/corpus.py:162)."""
+    from linkgraph.textops.corpus import boilerplate_ngrams
+
+    _load(spark, sf_dir, "documents")
+    return boilerplate_ngrams(spark.table("documents"), n=3, min_df=3)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination overlap (textops/corpus.py:218).
+
+    The "benchmark" is the deterministic doc_id % 50 == 0 slice of the
+    corpus itself — a synthetic eval set that guarantees non-trivial
+    overlap fractions without external data.
+    """
+    from linkgraph.textops.corpus import contamination
+
+    _load(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return contamination(docs, bench, n=3)
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 TF-IDF term per document (textops/corpus.py:265)."""
+    from linkgraph.textops.corpus import tfidf_terms
+
+    _load(spark, sf_dir, "documents")
+    return tfidf_terms(spark.table("documents"), k=1)
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated-substring stats (ExactSubstr-style, Lee et
+    al. 2022) over the synthesized duplicate corpus
+    (textops/corpus.py duplicate_spans): 12-token windows duplicated
+    corpus-wide, interval-union token coverage per doc."""
+    from linkgraph.textops.corpus import duplicate_spans
+
+    return duplicate_spans(_docs2(spark, sf_dir), n=12)
+
+
+def q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram surprisal per doc under the corpus's own unigram
+    LM (textops/corpus.py unigram_surprisal) — the CCNet-style
+    perplexity-bucketing stand-in."""
+    from linkgraph.textops.corpus import unigram_surprisal
+
+    _load(spark, sf_dir, "documents")
+    return unigram_surprisal(spark.table("documents"))
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup over the synthesized duplicate
+    corpus (textops/corpus.py paragraph_dedup): 12-token windows,
+    keep-first by (doc_id, pos), md5 of the reassembled text."""
+    from linkgraph.textops.corpus import paragraph_dedup
+
+    return paragraph_dedup(_docs2(spark, sf_dir), para_tokens=12)
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 syntax-based url normalization (extract.canonical_url)
+    over a deterministic messy-URL corpus shared with the oracle
+    (MESSY_URL_SQL evaluates identically in both engines)."""
+    from linkgraph.extract import canonical_url
+
+    _load(spark, sf_dir, "documents")
+    murls = spark.sql(
+        f"WITH {MESSY_URL_SQL.strip()} SELECT doc_id, url FROM murls"
+    )
+    return murls.select(
+        "doc_id", "url", canonical_url(F.col("url")).alias("canon_url")
+    ).orderBy("doc_id")
+
+
+def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.textops.ann import cosine_topk
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    scored = cosine_topk(emb, queries, k=1_000_000_000)
+    return scored.select(
+        "query_id", "vec_id", F.round("cosine", 5).alias("cosine5")
+    ).where(F.col("cosine5") >= 0.2)
+
+
+def q_events_top_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    _load(spark, sf_dir, "events")
+    cnt = (
+        spark.table("events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", F.col("event_type").alias("top_type"), "cnt")
+    )
+
+
+def q_events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        spark.table("events")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "event_id", "ts", F.round("value", 4).alias("value4"))
+    )
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "events")
+    return (
+        spark.table("events")
+        .groupBy(
+            F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value4"),
+        )
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (ROLLUP): per (event_type, day), per
+    event_type, and grand total.  The measure is floored to integer
+    cents BEFORE summing so the aggregate is exact — a cross-engine
+    float sum would drift with accumulation order."""
+    _load(spark, sf_dir, "events")
+    e = spark.table("events").select(
+        "event_type",
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return e.rollup("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+ORDER BY event_type, day
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "events")
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.get_json_object("props", "$.k").cast("long")
+            ).alias("k_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "lineitem")
+    li = spark.table("lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB-oracled via _simhash_sql (md5-prefix token hashes + bit
+    votes are engine-neutral); bit semantics also pinned in
+    tests/test_dedup.py."""
+    from linkgraph.textops.dedup import simhash64
+
+    return simhash64(_docs2(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB-oracled via FINGERPRINT_SQL (list_reduce fold twin of the
+    rolling hash); byte semantics also pinned in tests/test_quality.py."""
+    from linkgraph.textops.quality import doc_fingerprint
+
+    _load(spark, sf_dir, "documents")
+    return doc_fingerprint(spark.table("documents"))
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with the portable Rademacher planes,
+    DuckDB-oracled by LSH_ANN_SQL: the engine's sequential-fold dot
+    products are BIT-identical to the twin's list_reduce folds, so
+    buckets, candidate sets, cosines and ranks cannot diverge.  The
+    seeded-Gaussian production path's recall vs the exact baseline
+    stays pinned by tests/test_ann.py."""
+    from linkgraph.textops.ann import lsh_cosine_topk
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = _embedding_dim(emb)
+    # seed=0 pins the un-offset plane formula LSH_ANN_SQL replays
+    return lsh_cosine_topk(
+        emb, queries, dim=dim, k=10, planes="arith", seed=0
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine6"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the deterministic pivot quantizer (the 8 lowest-id
+    corpus vectors are the centroids), DuckDB-oracled by IVF_ANN_SQL:
+    sequential-fold cosines make cell assignments, probed candidate
+    sets and re-rank scores bit-identical between engines.  The
+    seeded-k-means production quantizer (ivf_cosine_topk) stays pinned
+    by tests/test_ann.py (full-probe == exact, clustered recall).
+    Scale path either way: candidates come from a cell-key equi-join,
+    never corpus×corpus."""
+    from linkgraph.textops.ann import ivf_pivot_topk
+
+    _load(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pivot_topk(emb, queries, k=10, n_cells=8, nprobe=2).select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 6).alias("cosine6"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _emb2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "embeddings")
+    return spark.sql(
+        f"WITH {EMB2_SQL.strip()} SELECT vec_id, embedding FROM emb2"
+    )
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — exact all-pairs baseline."""
+    from linkgraph.textops.ann import exact_near_duplicates
+
+    return exact_near_duplicates(_emb2(spark, sf_dir), threshold=0.45).select(
+        "a", "b", F.round("cosine", 5).alias("cosine5")
+    )
+
+
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup pairs with the portable Rademacher planes,
+    DuckDB-oracled by NEARDUP_LSH_SQL (bit-identical folds — see
+    q_lsh_ann).  This is the 100 TB scale path: candidates come from
+    hyperplane-LSH bucket equi-joins, never an all-pairs join; the
+    Gaussian path's recall stays pinned by tests/test_ann.py."""
+    from linkgraph.textops.ann import embedding_near_duplicates
+
+    emb2 = _emb2(spark, sf_dir)
+    dim = _embedding_dim(emb2)
+    # seed=0 pins the un-offset plane formula NEARDUP_LSH_SQL replays
+    return embedding_near_duplicates(
+        emb2, dim=dim, threshold=0.45, planes="arith", seed=0
+    ).select("a", "b", F.round("cosine", 5).alias("cosine5"))
+
+
+def _media_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multimodal fixture: each document becomes an opaque
+    binary payload (its utf-8 text bytes) with typed metadata; kind
+    cycles image/audio/video by doc_id so every branch is exercised."""
+    _load(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return spark.table("documents").select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.concat(F.lit("application/x-"), kind).alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extraction plumbing over binary payloads (one
+    Arrow pass).  The decoded feature vector is the stubbed step (no
+    codec libs in-container) and is dropped here; the SQL-checkable
+    outputs — sizes and digests computed inside the same Arrow pass —
+    prove the batch plumbing end-to-end."""
+    from linkgraph.textops.multimodal import extract_media_features
+
+    return extract_media_features(_media_from_docs(spark, sf_dir), dim=8).select(
+        "media_id", "kind", "n_bytes", "digest"
+    )
+
+
+def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (which frames WOULD be decoded)."""
+    from linkgraph.textops.multimodal import frame_sample_plan
+
+    return frame_sample_plan(
+        _media_from_docs(spark, sf_dir), every_n=10, max_frames=8
+    ).select("media_id", F.col("frame_index").cast("long").alias("frame_index"))
+
+
+NEARDUP_SQL = f"""
+WITH {EMB2_SQL.strip()},
+n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM emb2)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       ROUND(list_cosine_similarity(x.v, y.v), 5) AS cosine5
+FROM n x JOIN n y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.v, y.v) >= 0.45
+ORDER BY a, b
+"""
+
+MEDIA_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest
+FROM documents ORDER BY media_id
+"""
+
+MEDIA_FRAME_PLAN_SQL = """
+SELECT d.doc_id AS media_id, CAST(gs.generate_series AS BIGINT) AS frame_index
+FROM documents d CROSS JOIN generate_series(0, 70, 10) gs
+WHERE d.doc_id % 3 = 2
+ORDER BY media_id, frame_index
+"""
