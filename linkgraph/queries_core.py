@@ -473,6 +473,20 @@ def q_trussness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trussness(build_graph(spark, sf_dir))
 
 
+def q_trussness_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``on_budget="peel"`` degrade path of trussness (VERDICT r03
+    #9): max_triangles=0 forces the blown-budget branch, so this runs
+    the memory-bounded iterated-peeling decomposition end-to-end.  The
+    decomposition is unique, so the oracle is the SAME h-operator
+    unroll as `trussness` — the value hash pins peel == h-operator on
+    the full derived graph, driver-checkable."""
+    from linkgraph.algorithms.ktruss import trussness
+
+    return trussness(
+        build_graph(spark, sf_dir), max_triangles=0, on_budget="peel"
+    )
+
+
 def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full coreness decomposition (converged H-operator run — the
     production function, not a fixed-round twin; the SQL side unrolls

@@ -670,3 +670,82 @@ def test_jpeg_dispatcher_tags_real_and_declines_progressive():
     truncated = payload[: len(payload) // 2]
     feat, tag3 = tagged_decode(truncated, 8)
     assert len(feat) == 8  # degrades, never raises
+
+
+def test_jpeg_422_and_16bit_dqt_and_sof1():
+    """The decoder's remaining claims: 4:2:2 sampling (2×1 luma blocks
+    per MCU), a 16-bit (Pq=1) quantization table, and the SOF1
+    extended-sequential marker — one stream exercising all three."""
+    import struct as _struct
+
+    import numpy as np
+
+    from linkgraph.textops.multimodal import (
+        _pixels_to_feature,
+        decode_jpeg,
+    )
+
+    zz, m, dc_syms, ac_syms, dc_codes, ac_codes = _jpeg_tables()
+    px = _test_image(24, 48).astype(np.float64)
+    h, w = px.shape
+    q = np.full(64, 300, dtype=np.int64)  # >255 forces a 16-bit table
+    q[0] = 4
+    ph = -(-h // 8) * 8
+    pw = -(-w // 16) * 16
+    padded = np.zeros((ph, pw))
+    padded[:h, :w] = px
+    padded[:, w:] = padded[:, w - 1 : w]
+
+    out = bytearray(b"\xff\xd8")
+    qtab = b"".join(_struct.pack(">H", int(q[i])) for i in range(64))
+    out += b"\xff\xdb" + _struct.pack(">H", 2 + 1 + 128) + b"\x10" + qtab
+    comps = [(1, 2, 1), (2, 1, 1), (3, 1, 1)]  # 4:2:2
+    sof = bytearray(_struct.pack(">BHHB", 8, h, w, 3))
+    for cid, hs, vs in comps:
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    out += b"\xff\xc1" + _struct.pack(">H", 2 + len(sof)) + sof  # SOF1
+    dc_counts = [0] * 16
+    dc_counts[3] = len(dc_syms)
+    out += b"\xff\xc4" + _struct.pack(
+        ">H", 2 + 17 + len(dc_syms)
+    ) + bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms)
+    ac_counts = [0] * 16
+    ac_counts[8] = len(ac_syms)
+    out += b"\xff\xc4" + _struct.pack(
+        ">H", 2 + 17 + len(ac_syms)
+    ) + bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)
+    sos = bytearray([3])
+    for cid, _, _ in comps:
+        sos += bytes([cid, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + _struct.pack(">H", 2 + len(sos)) + sos
+
+    ref = np.zeros_like(padded)
+    preds = {1: 0, 2: 0, 3: 0}
+    writer = _JpegWriter()
+    chroma = np.full((8, 8), 128.0)
+    for my in range(ph // 8):
+        for mx in range(pw // 16):
+            for bx in range(2):  # two luma blocks side by side
+                r0, c0 = my * 8, mx * 16 + bx * 8
+                blk = padded[r0 : r0 + 8, c0 : c0 + 8]
+                preds[1], qzs = _jpeg_encode_blocks(
+                    writer, [blk], q, preds[1], dc_codes, ac_codes, zz, m
+                )
+                deq = np.zeros(64)
+                deq[zz] = qzs[0] * q
+                ref[r0 : r0 + 8, c0 : c0 + 8] = (
+                    m.T @ deq.reshape(8, 8) @ m + 128.0
+                )
+            for cid in (2, 3):
+                preds[cid], _ = _jpeg_encode_blocks(
+                    writer, [chroma], q, preds[cid], dc_codes, ac_codes,
+                    zz, m,
+                )
+    out += writer.flush() + b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out), 10)
+    want = _pixels_to_feature(
+        np.clip(np.round(ref[:h, :w]), 0, 255) / 255.0, 10
+    )
+    np.testing.assert_array_equal(got, want)
