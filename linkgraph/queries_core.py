@@ -1222,6 +1222,38 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decoder_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-provenance contract through the catalog gate: every doc
+    becomes a VALID binary-PGM payload (header + the first 32 chars of
+    its text as the raster — always ≥ 32 bytes after rpad, so the
+    dependency-free decoder must accept every row), and the census
+    asserts the dispatcher tagged ALL of them ``real`` — a silent
+    regression to the fake would flip the decoder column and
+    hash-mismatch."""
+    from linkgraph.textops.multimodal import extract_media_features
+
+    _load(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.encode(F.lit("P5\n8 4\n255\n"), "UTF-8"),
+        F.encode(F.rpad(F.col("text"), 32, " ").substr(1, 32), "UTF-8"),
+    )
+    media = spark.table("documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+    )
+    feats = extract_media_features(media, dim=4)
+    return feats.groupBy("decoder").agg(
+        F.count(F.lit(1)).alias("n_media")
+    )
+
+
+MEDIA_DECODER_CENSUS_SQL = """
+SELECT 'real' AS decoder, CAST(COUNT(*) AS BIGINT) AS n_media
+FROM documents
+"""
+
+
 def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan (which frames WOULD be decoded)."""
     from linkgraph.textops.multimodal import frame_sample_plan
