@@ -91,16 +91,30 @@ def _edge_support(canon: DataFrame) -> DataFrame:
 def k_truss(graph: Graph, k: int, max_rounds: int = 100) -> DataFrame:
     """Edges of the k-truss with their in-truss support:
     ``(a: long, b: long, support: long)``, a < b, exact fixpoint."""
+    from linkgraph.superstep import _free_checkpoint_blocks
+
     if k < 3:
         raise ValueError("k-truss is defined for k >= 3")
     num_parts = graph.num_partitions
     canon = _canon_ab(graph)
     thr = k - 2
+    prev_canon = None
+    prev_supported = None
     for _ in range(max_rounds):
         supported = _edge_support(canon).localCheckpoint()
         survivors = supported.where(F.col("support") >= thr).select("a", "b")
         n_drop = supported.where(F.col("support") < thr).count()
         canon = survivors.repartition(num_parts, "a").localCheckpoint()
+        # free the superseded round's leaves (the new canon is
+        # materialized off `supported`, so both prior-round leaves are
+        # dead now; the final `supported` is the return value and is
+        # never freed) — without this the peel accumulates one |E|-scale
+        # cached leaf pair per round
+        if prev_canon is not None:
+            _free_checkpoint_blocks(prev_canon)
+        if prev_supported is not None:
+            _free_checkpoint_blocks(prev_supported)
+        prev_canon, prev_supported = canon, supported
         if n_drop == 0:
             return supported.where(F.col("support") >= thr)
     raise RuntimeError(f"k-truss did not converge in {max_rounds} rounds")
@@ -214,7 +228,7 @@ def _trussness_by_peeling(
     identical to the h-operator path (the decomposition is unique;
     differential-tested).
     """
-    from linkgraph.superstep import plain_checkpoint
+    from linkgraph.superstep import _free_checkpoint_blocks, plain_checkpoint
 
     num_parts = graph.num_partitions
     cur = plain_checkpoint(
@@ -251,6 +265,11 @@ def _trussness_by_peeling(
                 .repartition(num_parts, "a"),
                 replaces=cur,
             )
+            # acc and cur are materialized off sup now — free its blocks
+            # (k_truss-style unreleased per-round leaves would pile up
+            # across levels × rounds at exactly the scale this degrade
+            # path exists for)
+            _free_checkpoint_blocks(sup)
             if n_drop == 0:
                 break
         else:
