@@ -29,6 +29,7 @@ def sssp(
     checkpoint_every: int = 5,
     resume: bool = True,
     init_dists: DataFrame | None = None,
+    delta_edges: DataFrame | None = None,
 ) -> IterationResult:
     """Shortest distance to every reachable vertex: ``(vid, dist)``.
 
@@ -53,6 +54,17 @@ def sssp(
     REMOVALS or weight increases (a stale bound could undercut a now-
     longer path) — rebuild cold on compaction epochs.
 
+    ``delta_edges`` (optional, only with ``init_dists``): the
+    ``(src, dst)`` edges ADDED since the epoch.  The previous state is
+    a fixpoint of the old graph, so relaxing an old edge from an
+    unchanged bound is a no-op — only relaxations ACROSS new edges can
+    start an improvement chain.  When given, round 1 relaxes only from
+    ``src(delta_edges) ∪ {source}`` instead of every seeded vertex —
+    cost ∝ the increment, not the graph; later rounds ride the normal
+    improved-vertex frontier.  An understated delta silently yields
+    stale distances — derive it from the same log as the graph
+    increment.
+
     ``checkpoint``/``checkpoint_every``/``resume``: durable Parquet
     epochs (manifests + metrics) in the iterate() protocol.  The FULL
     loop state is ``(vid, dist, _improved)`` — the relax frontier is the
@@ -71,6 +83,8 @@ def sssp(
     # the preserved sizeInBytes estimate per iteration — past ~25 rounds
     # the driver stalls in million-digit BigInteger multiplies
     # (plain_checkpoint strips it and frees the replaced generation).
+    if delta_edges is not None and init_dists is None:
+        raise ValueError("delta_edges requires init_dists (a warm start)")
     src_df = spark.createDataFrame(
         [(int(source), 0.0)], "vid long, dist double"
     )
@@ -88,6 +102,16 @@ def sssp(
         )
     state = leaf
     improved = leaf
+    if delta_edges is not None:
+        # fixpoint-of-the-old-graph argument (docstring): round 1 only
+        # needs relaxations across NEW edges, so restrict the initial
+        # frontier to the delta's source endpoints (+ the source row)
+        dsrc = (
+            delta_edges.select(F.col("src").alias("vid"))
+            .unionAll(src_df.select("vid"))
+            .distinct()
+        )
+        improved = leaf.join(dsrc.hint("merge"), "vid", "left_semi")
     history = []
     it = 0
     done = False

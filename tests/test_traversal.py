@@ -275,3 +275,77 @@ def test_multi_source_bfs_warm_start_epoch_increment(spark):
     assert dc == dw
     assert dw[20] == 1  # shortcut overrode the stale depth-20 label
     assert dw[26] == 7  # new vertex settled through the lowered tail
+
+
+def test_sssp_warm_start_delta_edges_frontier(spark):
+    """delta_edges shrinks round 1 to the increment's source endpoints;
+    the fixpoint must still equal cold (old-graph-fixpoint argument:
+    only new-edge relaxations can start an improvement chain)."""
+    import pytest as _pytest
+
+    e1 = [(i, i + 1) for i in range(25)]
+    g1 = Graph.from_edges(edges_df(spark, e1), num_partitions=4)
+    prev = sssp(g1, 0)
+    delta = [(25, 26), (0, 20)]
+    g2 = Graph.from_edges(edges_df(spark, e1 + delta), num_partitions=4)
+    cold = sssp(g2, 0)
+    warm = sssp(
+        g2, 0,
+        init_dists=prev.state,
+        delta_edges=edges_df(spark, delta),
+    )
+    assert warm.converged
+    assert {r.vid: r.dist for r in warm.state.collect()} == {
+        r.vid: r.dist for r in cold.state.collect()
+    }
+    # the delta frontier must also be CHEAPER in messages: round 1
+    # relaxes 2 vertices, not all 26 seeded ones
+    full = sssp(g2, 0, init_dists=prev.state)
+    assert warm.history[0]["improved"] <= full.history[0]["improved"]
+
+    with _pytest.raises(ValueError, match="requires init_dists"):
+        sssp(g2, 0, delta_edges=edges_df(spark, delta))
+
+
+def test_multi_source_bfs_warm_delta_edges(spark):
+    """Same contract for the BFS min-relaxation, including the
+    undirected case where either endpoint of an added edge may improve."""
+    import pytest as _pytest
+
+    from linkgraph.algorithms.bfs import multi_source_bfs
+
+    e1 = [(i, i + 1) for i in range(25)]
+    g1 = Graph.from_edges(edges_df(spark, e1), num_partitions=4)
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    prev = multi_source_bfs(g1, seeds)
+    delta = [(25, 26), (0, 20)]
+    g2 = Graph.from_edges(edges_df(spark, e1 + delta), num_partitions=4)
+    cold = multi_source_bfs(g2, seeds)
+    warm = multi_source_bfs(
+        g2, seeds,
+        init_depths=prev.state.where("depth is not null"),
+        delta_edges=edges_df(spark, delta),
+    )
+    assert {r.vid: r.depth for r in warm.state.collect()} == {
+        r.vid: r.depth for r in cold.state.collect()
+    }
+
+    # undirected: the added edge (20, 0) improves vertex 20 via its DST
+    # endpoint too — the frontier must include both ends
+    g1u = Graph.from_edges(edges_df(spark, e1), num_partitions=4)
+    prevu = multi_source_bfs(g1u, seeds, directed=False)
+    deltau = [(20, 0)]
+    g2u = Graph.from_edges(edges_df(spark, e1 + deltau), num_partitions=4)
+    coldu = multi_source_bfs(g2u, seeds, directed=False)
+    warmu = multi_source_bfs(
+        g2u, seeds, directed=False,
+        init_depths=prevu.state.where("depth is not null"),
+        delta_edges=edges_df(spark, deltau),
+    )
+    assert {r.vid: r.depth for r in warmu.state.collect()} == {
+        r.vid: r.depth for r in coldu.state.collect()
+    }
+    assert {r.vid: r.depth for r in warmu.state.collect()}[20] == 1
+
+    with _pytest.raises(ValueError, match="requires init_depths"):
+        multi_source_bfs(g2, seeds, delta_edges=edges_df(spark, delta))

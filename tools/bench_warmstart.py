@@ -87,16 +87,21 @@ def main() -> int:
     sys.stderr.write(f"cc: {report['cc']}\n")
 
     # ---- SSSP (unit weights) ---------------------------------------
+    delta = full_edges.where((F.col("src") * 31 + F.col("dst")) % 50 == 0)
     prev, _ = timed(lambda: sssp(g1, 0))
     cold, cw = timed(lambda: sssp(g2, 0))
     warm, ww = timed(lambda: sssp(g2, 0, init_dists=prev.state))
     assert warm.state.count() == cold.state.count()
-    assert _hash_state(warm.state, ["vid", "dist"]) == _hash_state(
-        cold.state, ["vid", "dist"]
-    ), "sssp warm != cold"
+    ch = _hash_state(cold.state, ["vid", "dist"])
+    assert _hash_state(warm.state, ["vid", "dist"]) == ch, "sssp warm != cold"
+    wd, wdw = timed(
+        lambda: sssp(g2, 0, init_dists=prev.state, delta_edges=delta)
+    )
+    assert _hash_state(wd.state, ["vid", "dist"]) == ch, "sssp delta != cold"
     report["sssp"] = {
         "cold_rounds": cold.iterations, "warm_rounds": warm.iterations,
         "cold_wall_s": cw, "warm_wall_s": ww,
+        "warm_delta_rounds": wd.iterations, "warm_delta_wall_s": wdw,
     }
     sys.stderr.write(f"sssp: {report['sssp']}\n")
 
@@ -115,9 +120,20 @@ def main() -> int:
     wh = _hash_state(warm.state.where(F.col("depth").isNotNull()),
                      ["vid", "depth"])
     assert ch == wh, "bfs warm != cold"
+    wd, wdw = timed(
+        lambda: multi_source_bfs(
+            g2, seeds,
+            init_depths=prev.state.where(F.col("depth").isNotNull()),
+            delta_edges=delta,
+        )
+    )
+    assert _hash_state(
+        wd.state.where(F.col("depth").isNotNull()), ["vid", "depth"]
+    ) == ch, "bfs delta != cold"
     report["bfs"] = {
         "cold_rounds": cold.iterations, "warm_rounds": warm.iterations,
         "cold_wall_s": cw, "warm_wall_s": ww,
+        "warm_delta_rounds": wd.iterations, "warm_delta_wall_s": wdw,
     }
     sys.stderr.write(f"bfs: {report['bfs']}\n")
 
