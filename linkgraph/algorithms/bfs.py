@@ -239,6 +239,8 @@ def multi_source_bfs(
     max_iters: int = 200,
     init_depths: DataFrame | None = None,
     delta_edges: DataFrame | None = None,
+    prev_edges: DataFrame | None = None,
+    assume_append_only: bool = False,
 ) -> IterationResult:
     """Depths from the NEAREST of many sources in one traversal:
     state ``(vid, depth)`` with depth = min over sources of hop
@@ -268,6 +270,9 @@ def multi_source_bfs(
     shrinks to the regions the new edges actually improved.  Vertices
     absent from ``init_depths`` (new urls) seed NULL; sources are
     forced to 0.  NOT valid after edge removals — rebuild cold.
+    ENFORCED (linkgraph/epoch.py): warm calls must pass ``prev_edges``
+    (epoch edges, diffed; removals raise EpochRemovalError) or
+    ``assume_append_only=True``.
 
     ``delta_edges`` (optional, only with ``init_depths``): the
     ``(src, dst)`` edges ADDED since the epoch that produced the init.
@@ -292,6 +297,18 @@ def multi_source_bfs(
 
     if delta_edges is not None and init_depths is None:
         raise ValueError("delta_edges requires init_depths (a warm start)")
+    if init_depths is not None:
+        # the NOT-valid-after-removals docstring clause, enforced:
+        # epoch evidence (prev_edges, diffed) or an explicit assertion
+        from linkgraph.epoch import require_warm_evidence
+
+        require_warm_evidence(
+            "init_depths",
+            graph.edges,
+            prev_edges,
+            assume_append_only,
+            "multi_source_bfs warm start",
+        )
     edges = graph.edges if directed else graph.symmetrized_edges
     seeds = sources.select(F.col("vid")).distinct()
     if init_depths is None:

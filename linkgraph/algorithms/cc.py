@@ -130,6 +130,8 @@ def connected_components(
     checkpoint_every: int = 10,
     resume: bool = True,
     init_labels: DataFrame | None = None,
+    prev_edges: DataFrame | None = None,
+    assume_append_only: bool = False,
 ) -> IterationResult:
     """Label each vertex with min vid of its component: state ``(vid, comp)``.
 
@@ -147,7 +149,24 @@ def connected_components(
     REMOVED between epochs (a stale label could bridge split
     components) — rebuild cold on compaction/deletion epochs.
     Vertices absent from ``init_labels`` (new urls) seed ``comp = vid``.
+
+    That precondition is ENFORCED (linkgraph/epoch.py): a warm call must
+    supply ``prev_edges`` (the epoch's (src, dst) edges — diffed against
+    this graph via snapshot_diff; any removal raises
+    :class:`~linkgraph.epoch.EpochRemovalError`) or assert
+    ``assume_append_only=True``; neither raises ``ValueError`` before
+    any cluster work (tests/test_epoch_guard.py).
     """
+    if init_labels is not None:
+        from linkgraph.epoch import require_warm_evidence
+
+        require_warm_evidence(
+            "init_labels",
+            graph.edges,
+            prev_edges,
+            assume_append_only,
+            "connected_components warm start",
+        )
     sym = graph.symmetrized_edges
     # _changed=True seeds round 1's frontier with every vertex
     if init_labels is None:

@@ -118,6 +118,8 @@ def coreness(
     graph: Graph,
     max_iters: int = 500,
     init_bound: DataFrame | None = None,
+    prev_edges: DataFrame | None = None,
+    assume_append_only: bool = False,
 ) -> IterationResult:
     """Core number of every vertex: state ``(vid, coreness)``.
 
@@ -145,7 +147,26 @@ def coreness(
     bound cannot shorten, so expect equal-or-fewer rounds, not fewer.
     An UNDER-estimate bound silently converges to a wrong fixpoint —
     callers own the validity argument (rebuild cold after deletions).
+
+    ENFORCED (linkgraph/epoch.py): a warm call must supply
+    ``prev_edges`` (epoch edges, diffed via snapshot_diff — removals
+    raise :class:`~linkgraph.epoch.EpochRemovalError`) or assert
+    ``assume_append_only=True``.  The flag doubles as the escape hatch
+    for bounds valid by a DIFFERENT argument than append-only (removals
+    only lower core numbers, so ``prev + m_added`` can remain an upper
+    bound across mixed epochs — but that argument is the caller's to
+    make, not this function's to assume).
     """
+    if init_bound is not None:
+        from linkgraph.epoch import require_warm_evidence
+
+        require_warm_evidence(
+            "init_bound",
+            graph.edges,
+            prev_edges,
+            assume_append_only,
+            "coreness warm start",
+        )
     sym = graph.symmetrized_edges
     deg = sym.groupBy(F.col("src").alias("vid")).agg(
         F.count(F.lit(1)).alias("c")

@@ -38,9 +38,32 @@ def eigenvector_centrality(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 10,
     resume: bool = True,
+    init_scores: DataFrame | None = None,
 ) -> IterationResult:
-    """Run power iteration; result state is ``(vid, score)``, L2-normalized."""
-    init = graph.vertices.select("vid", F.lit(1.0).alias("score"))
+    """Run power iteration; result state is ``(vid, score)``, L2-normalized.
+
+    ``init_scores`` — warm start: a ``(vid, score)`` table.  Power
+    iteration converges to the principal eigenvector from any
+    non-negative init with non-zero overlap on it (Perron-Frobenius on
+    the reachable web core); a previous epoch's scores are exactly such
+    an init, so warm runs pay fewer normalization rounds.  The step is
+    memoryless (per-round L2 normalization carries no history), so
+    seeding with round-k's state continues the cold trajectory exactly
+    — the ``eigen_warm6`` catalog entry hash-checks warm(4 + 2) against
+    the same unrolled twin as cold ``eigen6``.  Vertices absent from
+    ``init_scores`` seed the cold 1.0 (the next normalization absorbs
+    the scale mismatch).  No append-only guard: nothing here is a bound
+    argument — see katz.py's warm-start note.
+    """
+    if init_scores is None:
+        init = graph.vertices.select("vid", F.lit(1.0).alias("score"))
+    else:
+        prev = init_scores.select(
+            "vid", F.col("score").cast("double").alias("_prev")
+        )
+        init = graph.vertices.join(prev.hint("merge"), "vid", "left").select(
+            "vid", F.coalesce("_prev", F.lit(1.0)).alias("score")
+        )
 
     def step(state: DataFrame, i: int) -> DataFrame:
         raw = neighbor_reduce(

@@ -55,10 +55,33 @@ def katz(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 5,
     resume: bool = True,
+    init_scores: DataFrame | None = None,
 ) -> IterationResult:
     """Truncated Katz centrality: ``(vid, score)`` after ≤ max_iters
-    rounds of ``x' = α·Aᵀx + β·1`` from ``x₀ = β·1``."""
-    init = graph.vertices.select("vid", F.lit(beta).alias("score"))
+    rounds of ``x' = α·Aᵀx + β·1`` from ``x₀ = β·1``.
+
+    ``init_scores`` — warm start: a ``(vid, score)`` table (typically a
+    previous epoch's converged scores).  The Katz map ``T(x) = α·Aᵀx +
+    β·1`` is an α‖A‖-contraction for α < 1/λ_max, so it converges to
+    the SAME unique fixpoint from ANY init — a warm start near the
+    fixpoint pays fewer rounds, and no append-only precondition is
+    needed (unlike CC/SSSP warm starts, nothing here is a bound
+    argument; removals just move the fixpoint the iteration converges
+    to anyway).  The step is memoryless, so seeding with round-k's
+    state continues the cold trajectory exactly: katz(k cold) → warm m
+    rounds ≡ katz(k+m cold) — the property the ``katz_warm8`` catalog
+    entry hash-checks against the SAME unrolled-SQL twin as ``katz8``.
+    Vertices absent from ``init_scores`` (new urls) seed the cold β.
+    """
+    if init_scores is None:
+        init = graph.vertices.select("vid", F.lit(beta).alias("score"))
+    else:
+        prev = init_scores.select(
+            "vid", F.col("score").cast("double").alias("_prev")
+        )
+        init = graph.vertices.join(prev.hint("merge"), "vid", "left").select(
+            "vid", F.coalesce("_prev", F.lit(beta)).alias("score")
+        )
 
     def step(state: DataFrame, i: int) -> DataFrame:
         return katz_round(graph, state, alpha=alpha, beta=beta)

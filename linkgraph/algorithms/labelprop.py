@@ -62,6 +62,12 @@ def label_propagation(
     only the regions the new edges touch move (tests pin both).
     Determinism is unchanged — synchronous rounds + total-order
     tie-break replay identically under any partitioning.
+
+    Deliberately EXEMPT from the linkgraph/epoch.py append-only guard
+    that CC/coreness/SSSP/BFS warm starts enforce: those rely on
+    upper-bound arguments that removals break; LP makes no same-fixpoint
+    claim in the first place (above), so a removal epoch yields another
+    valid trajectory, not a silently wrong answer.
     """
     sym = graph.symmetrized_edges
     if init_labels is None:

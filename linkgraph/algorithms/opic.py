@@ -58,19 +58,62 @@ def opic_round(graph: Graph, state: DataFrame, n: int) -> DataFrame:
     )
 
 
-def opic(graph: Graph, iters: int = 8) -> IterationResult:
+def opic(
+    graph: Graph, iters: int = 8, init_state: DataFrame | None = None
+) -> IterationResult:
     """Run ``iters`` synchronous OPIC steps: state ``(vid, cash, hist,
     outdeg)`` with Σcash = 1 invariant (cash is conserved; history
-    grows by exactly 1 per step, so Σhist = iters)."""
+    grows by exactly 1 per step, so Σhist = iters).
+
+    ``init_state`` — warm start: a ``(vid, cash, hist)`` table (a
+    previous epoch's state).  Validity (the cash-conservation argument,
+    verified here rather than assumed): the step is linear in cash and
+    conserves Σcash, and the paper's importance estimate is the
+    HISTORY's long-run rate, which converges for any non-negative cash
+    vector with Σcash = 1 — so an arbitrary non-negative init is valid
+    once RESCALED to the simplex, which this function does (a 1-row
+    broadcast total; Σ ≤ 0 falls back to the cold uniform seed).  On
+    the same graph the step is memoryless, so seeding with round-k's
+    state continues the cold trajectory exactly — ``opic_warm8``
+    hash-checks warm(5 + 3) against the cold ``opic8`` unrolled twin
+    (the rescale divides by a Σ within fp-ulps of 1, absorbed by the
+    entry's 6-decimal rounding).  Vertices absent from ``init_state``
+    (new urls) seed cash 0 / hist 0 — they accumulate importance
+    through in-links and dangling redistribution, the paper's adaptive
+    behavior for newly discovered pages.
+    """
     n = graph.num_vertices
-    init = (
-        graph.vertices.select(
-            "vid",
-            F.lit(1.0 / n).alias("cash"),
-            F.lit(0.0).alias("hist"),
+    if init_state is None:
+        init = (
+            graph.vertices.select(
+                "vid",
+                F.lit(1.0 / n).alias("cash"),
+                F.lit(0.0).alias("hist"),
+            )
+            .join(graph.out_degrees, "vid", "left")
         )
-        .join(graph.out_degrees, "vid", "left")
-    )
+    else:
+        prev = init_state.select(
+            "vid",
+            F.col("cash").cast("double").alias("_pc"),
+            F.col("hist").cast("double").alias("_ph"),
+        )
+        base = graph.vertices.join(prev.hint("merge"), "vid", "left")
+        tot = base.agg(F.coalesce(F.sum("_pc"), F.lit(0.0)).alias("_t"))
+        init = (
+            base.crossJoin(F.broadcast(tot))
+            .select(
+                "vid",
+                F.when(
+                    F.col("_t") > 0,
+                    F.coalesce("_pc", F.lit(0.0)) / F.col("_t"),
+                )
+                .otherwise(F.lit(1.0 / n))
+                .alias("cash"),
+                F.coalesce("_ph", F.lit(0.0)).alias("hist"),
+            )
+            .join(graph.out_degrees, "vid", "left")
+        )
     return iterate(
         init,
         lambda s, i: opic_round(graph, s, n),

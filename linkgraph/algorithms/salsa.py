@@ -42,15 +42,41 @@ def salsa(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 10,
     resume: bool = True,
+    init_scores: DataFrame | None = None,
 ) -> IterationResult:
-    """Run SALSA; result state is ``(vid, hub, auth)``, each L1-normalized."""
+    """Run SALSA; result state is ``(vid, hub, auth)``, each L1-normalized.
+
+    ``init_scores`` — warm start: a ``(vid, hub, auth)`` table (a
+    previous epoch's scores).  SALSA scores are the stationary
+    distribution of the alternating bipartite walk; the per-round L1
+    normalization makes the iteration a normalized power method that
+    converges from any non-negative init with support on the walk's
+    recurrent classes — previous-epoch scores qualify, and the step is
+    memoryless, so seeding with round-k's state continues the cold
+    trajectory exactly (``salsa_warm5`` hash-checks warm(3 + 2) against
+    the cold ``salsa5`` twin).  Vertices absent from ``init_scores``
+    seed the cold 1/|V|.  No append-only guard — see katz.py's
+    warm-start note.
+    """
     num_parts = graph.num_partitions
     n_verts = graph.num_vertices
-    init = graph.vertices.select(
-        "vid",
-        F.lit(1.0 / n_verts).alias("hub"),
-        F.lit(1.0 / n_verts).alias("auth"),
-    )
+    if init_scores is None:
+        init = graph.vertices.select(
+            "vid",
+            F.lit(1.0 / n_verts).alias("hub"),
+            F.lit(1.0 / n_verts).alias("auth"),
+        )
+    else:
+        prev = init_scores.select(
+            "vid",
+            F.col("hub").cast("double").alias("_ph"),
+            F.col("auth").cast("double").alias("_pa"),
+        )
+        init = graph.vertices.join(prev.hint("merge"), "vid", "left").select(
+            "vid",
+            F.coalesce("_ph", F.lit(1.0 / n_verts)).alias("hub"),
+            F.coalesce("_pa", F.lit(1.0 / n_verts)).alias("auth"),
+        )
     # Fold the stochastic factors into static edge views once: forward
     # edges carry 1/outdeg(src) (the auth gather's weight), reversed
     # edges carry 1/indeg(src) where src is the ORIGINAL dst (the hub

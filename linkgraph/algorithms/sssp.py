@@ -30,6 +30,8 @@ def sssp(
     resume: bool = True,
     init_dists: DataFrame | None = None,
     delta_edges: DataFrame | None = None,
+    prev_edges: DataFrame | None = None,
+    assume_append_only: bool = False,
 ) -> IterationResult:
     """Shortest distance to every reachable vertex: ``(vid, dist)``.
 
@@ -52,7 +54,12 @@ def sssp(
     bound may serve new out-edges even if the bound itself is final).
     The source is forced to 0 via least().  NOT valid after edge
     REMOVALS or weight increases (a stale bound could undercut a now-
-    longer path) — rebuild cold on compaction epochs.
+    longer path) — rebuild cold on compaction epochs.  ENFORCED
+    (linkgraph/epoch.py): warm calls must pass ``prev_edges`` (epoch
+    edges, diffed; removals raise EpochRemovalError) or
+    ``assume_append_only=True``.  Note the guard checks edge PRESENCE
+    only — weight increases on surviving edges are still the caller's
+    responsibility (weights live outside the (src, dst) key).
 
     ``delta_edges`` (optional, only with ``init_dists``): the
     ``(src, dst)`` edges ADDED since the epoch.  The previous state is
@@ -85,6 +92,18 @@ def sssp(
     # (plain_checkpoint strips it and frees the replaced generation).
     if delta_edges is not None and init_dists is None:
         raise ValueError("delta_edges requires init_dists (a warm start)")
+    if init_dists is not None:
+        # the NOT-valid-after-removals docstring clause, enforced:
+        # epoch evidence (prev_edges, diffed) or an explicit assertion
+        from linkgraph.epoch import require_warm_evidence
+
+        require_warm_evidence(
+            "init_dists",
+            graph.edges,
+            prev_edges,
+            assume_append_only,
+            "sssp warm start",
+        )
     src_df = spark.createDataFrame(
         [(int(source), 0.0)], "vid long, dist double"
     )

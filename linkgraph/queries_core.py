@@ -84,7 +84,11 @@ def q_cc_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     g_sub = Graph.from_edges(sub_edges, num_partitions=g.num_partitions)
     try:
         prev = connected_components(g_sub)
-        out = connected_components(g, init_labels=prev.state)
+        # prev_edges = the epoch's edge set: the append-only guard
+        # (linkgraph/epoch.py) runs inside the driver-checked path
+        out = connected_components(
+            g, init_labels=prev.state, prev_edges=sub_edges
+        )
         return out.state.select("vid", "comp")
     finally:
         g_sub.unpersist()
@@ -108,7 +112,7 @@ def q_coreness_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
         bound = prev.state.select(
             "vid", (F.col("coreness") + F.lit(int(m))).alias("bound")
         )
-        return coreness(g, init_bound=bound).state
+        return coreness(g, init_bound=bound, prev_edges=sub_edges).state
     finally:
         g_sub.unpersist()
 
@@ -167,7 +171,13 @@ def q_sssp_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
             sub.num_partitions,
         )
         prev = sssp(g_sub, 0, weight_col="w")
-        out = sssp(g, 0, weight_col="w", init_dists=prev.state)
+        out = sssp(
+            g,
+            0,
+            weight_col="w",
+            init_dists=prev.state,
+            prev_edges=sub.edges,
+        )
         return out.state.select("vid", F.round("dist", 6).alias("dist6"))
     finally:
         sub.unpersist()
@@ -190,7 +200,9 @@ def q_bfs_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         prev = bfs(g_sub, 0)
         seeds = spark.createDataFrame([(0,)], "vid long")
-        out = multi_source_bfs(g, seeds, init_depths=prev.state)
+        out = multi_source_bfs(
+            g, seeds, init_depths=prev.state, prev_edges=sub_edges
+        )
         return out.state.where(F.col("depth").isNotNull()).select(
             "vid", F.col("depth").cast("long").alias("depth")
         )

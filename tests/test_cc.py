@@ -83,7 +83,10 @@ def test_incremental_cc_warm_start(spark):
     e2 = e1 + [(30, 31), (31, 32), (32, 100)]
     g2 = Graph.from_edges(edges_df(spark, e2), num_partitions=4)
     cold = connected_components(g2)
-    warm = connected_components(g2, init_labels=prev.state)
+    # prev_edges evidence: the guard verifies e2 ⊇ e1 before warming
+    warm = connected_components(
+        g2, init_labels=prev.state, prev_edges=g1.edges
+    )
     assert cold.converged and warm.converged
     assert warm.iterations < cold.iterations, (
         f"warm {warm.iterations} !< cold {cold.iterations}"

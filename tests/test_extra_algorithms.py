@@ -906,7 +906,7 @@ def test_incremental_coreness_warm_start(spark):
     bound = prev.state.select(
         "vid", (F.col("coreness") + F.lit(1)).alias("bound")
     )
-    warm = coreness(g2, init_bound=bound)
+    warm = coreness(g2, init_bound=bound, prev_edges=g1.edges)
     assert cold.converged and warm.converged
     cc_ = {r.vid: r.coreness for r in cold.state.collect()}
     cw = {r.vid: r.coreness for r in warm.state.collect()}
@@ -926,7 +926,9 @@ def test_coreness_warm_start_from_exact_bound_is_exact(spark, chesapeake_graph):
 
     base = coreness(chesapeake_graph)
     bound = base.state.select("vid", F.col("coreness").alias("bound"))
-    warm = coreness(chesapeake_graph, init_bound=bound)
+    warm = coreness(
+        chesapeake_graph, init_bound=bound, assume_append_only=True
+    )
     got = {r.vid: r.coreness for r in warm.state.collect()}
     want = {r.vid: r.coreness for r in base.state.collect()}
     assert got == want

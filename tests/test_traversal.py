@@ -223,7 +223,7 @@ def test_sssp_warm_start_epoch_increment(spark):
     e2 = e1 + [(25, 26), (0, 20)]
     g2 = Graph.from_edges(edges_df(spark, e2), num_partitions=4)
     cold = sssp(g2, 0)
-    warm = sssp(g2, 0, init_dists=prev.state)
+    warm = sssp(g2, 0, init_dists=prev.state, prev_edges=g1.edges)
     assert cold.converged and warm.converged
     assert warm.iterations < cold.iterations, (
         f"warm {warm.iterations} !< cold {cold.iterations}"
@@ -241,7 +241,7 @@ def test_sssp_warm_start_exact_init_verifies_in_one_round(spark):
     edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
     g = Graph.from_edges(edges_df(spark, edges), num_partitions=2)
     cold = sssp(g, 0)
-    warm = sssp(g, 0, init_dists=cold.state)
+    warm = sssp(g, 0, init_dists=cold.state, assume_append_only=True)
     assert warm.converged and warm.iterations == 1
     assert {r.vid: r.dist for r in warm.state.collect()} == {
         r.vid: r.dist for r in cold.state.collect()
@@ -264,7 +264,10 @@ def test_multi_source_bfs_warm_start_epoch_increment(spark):
     g2 = Graph.from_edges(edges_df(spark, e2), num_partitions=4)
     cold = multi_source_bfs(g2, seeds)
     warm = multi_source_bfs(
-        g2, seeds, init_depths=prev.state.where("depth is not null")
+        g2,
+        seeds,
+        init_depths=prev.state.where("depth is not null"),
+        prev_edges=g1.edges,
     )
     assert cold.converged and warm.converged
     assert warm.iterations < cold.iterations, (
@@ -293,6 +296,7 @@ def test_sssp_warm_start_delta_edges_frontier(spark):
         g2, 0,
         init_dists=prev.state,
         delta_edges=edges_df(spark, delta),
+        assume_append_only=True,
     )
     assert warm.converged
     assert {r.vid: r.dist for r in warm.state.collect()} == {
@@ -300,7 +304,7 @@ def test_sssp_warm_start_delta_edges_frontier(spark):
     }
     # the delta frontier must also be CHEAPER in messages: round 1
     # relaxes 2 vertices, not all 26 seeded ones
-    full = sssp(g2, 0, init_dists=prev.state)
+    full = sssp(g2, 0, init_dists=prev.state, assume_append_only=True)
     assert warm.history[0]["improved"] <= full.history[0]["improved"]
 
     with _pytest.raises(ValueError, match="requires init_dists"):
@@ -325,6 +329,7 @@ def test_multi_source_bfs_warm_delta_edges(spark):
         g2, seeds,
         init_depths=prev.state.where("depth is not null"),
         delta_edges=edges_df(spark, delta),
+        assume_append_only=True,
     )
     assert {r.vid: r.depth for r in warm.state.collect()} == {
         r.vid: r.depth for r in cold.state.collect()
@@ -341,6 +346,7 @@ def test_multi_source_bfs_warm_delta_edges(spark):
         g2u, seeds, directed=False,
         init_depths=prevu.state.where("depth is not null"),
         delta_edges=edges_df(spark, deltau),
+        assume_append_only=True,
     )
     assert {r.vid: r.depth for r in warmu.state.collect()} == {
         r.vid: r.depth for r in coldu.state.collect()

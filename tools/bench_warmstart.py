@@ -75,7 +75,11 @@ def main() -> int:
     # ---- connected components --------------------------------------
     prev, _ = timed(lambda: connected_components(g1))
     cold, cw = timed(lambda: connected_components(g2))
-    warm, ww = timed(lambda: connected_components(g2, init_labels=prev.state))
+    warm, ww = timed(
+        lambda: connected_components(
+            g2, init_labels=prev.state, assume_append_only=True
+        )
+    )
     assert warm.state.count() == cold.state.count()
     assert _hash_state(warm.state, ["vid", "comp"]) == _hash_state(
         cold.state, ["vid", "comp"]
@@ -90,12 +94,17 @@ def main() -> int:
     delta = full_edges.where((F.col("src") * 31 + F.col("dst")) % 50 == 0)
     prev, _ = timed(lambda: sssp(g1, 0))
     cold, cw = timed(lambda: sssp(g2, 0))
-    warm, ww = timed(lambda: sssp(g2, 0, init_dists=prev.state))
+    warm, ww = timed(
+        lambda: sssp(g2, 0, init_dists=prev.state, assume_append_only=True)
+    )
     assert warm.state.count() == cold.state.count()
     ch = _hash_state(cold.state, ["vid", "dist"])
     assert _hash_state(warm.state, ["vid", "dist"]) == ch, "sssp warm != cold"
     wd, wdw = timed(
-        lambda: sssp(g2, 0, init_dists=prev.state, delta_edges=delta)
+        lambda: sssp(
+            g2, 0, init_dists=prev.state, delta_edges=delta,
+            assume_append_only=True,
+        )
     )
     assert _hash_state(wd.state, ["vid", "dist"]) == ch, "sssp delta != cold"
     report["sssp"] = {
@@ -113,6 +122,7 @@ def main() -> int:
         lambda: multi_source_bfs(
             g2, seeds,
             init_depths=prev.state.where(F.col("depth").isNotNull()),
+            assume_append_only=True,
         )
     )
     ch = _hash_state(cold.state.where(F.col("depth").isNotNull()),
@@ -124,6 +134,7 @@ def main() -> int:
         lambda: multi_source_bfs(
             g2, seeds,
             init_depths=prev.state.where(F.col("depth").isNotNull()),
+            assume_append_only=True,
             delta_edges=delta,
         )
     )
