@@ -660,6 +660,86 @@ def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("vid", F.round("score", 6).alias("katz6"))
 
 
+def q_katz_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-started Katz (katz.py ``init_scores``): 5 cold rounds, then
+    3 warm rounds seeded from them.  The step is memoryless, so the warm
+    continuation must replay cold round 6-8 exactly — the oracle is the
+    SAME 8-round unrolled SQL as ``katz8``, and the hash check pins the
+    continuation property itself."""
+    from linkgraph.algorithms.katz import katz
+
+    g = build_graph(spark, sf_dir)
+    head = katz(g, alpha=0.05, beta=1.0, tol=0.0, max_iters=5)
+    res = katz(
+        g, alpha=0.05, beta=1.0, tol=0.0, max_iters=3,
+        init_scores=head.state,
+    )
+    return res.state.select("vid", F.round("score", 6).alias("katz6"))
+
+
+def q_eigen_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-started eigenvector centrality (eigen.py ``init_scores``):
+    4 cold + 2 warm power rounds ≡ 6 cold rounds (memoryless per-round
+    L2 normalization).  Oracle = the same ``eigen6`` unrolled twin."""
+    from linkgraph.algorithms.eigen import eigenvector_centrality
+
+    g = build_graph(spark, sf_dir)
+    head = eigenvector_centrality(g, tol=0.0, max_iters=4)
+    res = eigenvector_centrality(
+        g, tol=0.0, max_iters=2, init_scores=head.state
+    )
+    return res.state.select("vid", F.round("score", 6).alias("score6"))
+
+
+def q_salsa_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-started SALSA (salsa.py ``init_scores``): 3 cold + 2 warm
+    alternating-walk rounds ≡ 5 cold rounds.  Oracle = the same
+    ``salsa5`` unrolled twin."""
+    from linkgraph.algorithms.salsa import salsa
+
+    g = build_graph(spark, sf_dir)
+    head = salsa(g, tol=0.0, max_iters=3)
+    res = salsa(g, tol=0.0, max_iters=2, init_scores=head.state)
+    return res.state.select(
+        "vid",
+        F.round("hub", 6).alias("hub6"),
+        F.round("auth", 6).alias("auth6"),
+    )
+
+
+def q_hits_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-started HITS (hits.py ``init_scores``): 3 cold + 2 warm
+    rounds ≡ 5 cold rounds.  Oracle = the same ``hits5`` unrolled twin."""
+    from linkgraph.algorithms.hits import hits
+
+    g = build_graph(spark, sf_dir)
+    head = hits(g, tol=0.0, max_iters=3)
+    res = hits(g, tol=0.0, max_iters=2, init_scores=head.state)
+    return res.state.select(
+        "vid",
+        F.round("hub", 6).alias("hub6"),
+        F.round("auth", 6).alias("auth6"),
+    )
+
+
+def q_ppr_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-started PPR (ppr.py ``init_ranks`` — also the TrustRank warm
+    path, trustrank.py being its alias): 6 cold + 4 warm rounds ≡ 10
+    cold rounds (affine L1-contraction step, memoryless).  Oracle = the
+    same ``ppr10`` unrolled twin."""
+    from linkgraph.algorithms.ppr import personalized_pagerank
+
+    g = build_graph(spark, sf_dir)
+    head = personalized_pagerank(
+        g, [0, 1, 2], alpha=0.85, tol=0.0, max_iters=6
+    )
+    res = personalized_pagerank(
+        g, [0, 1, 2], alpha=0.85, tol=0.0, max_iters=4,
+        init_ranks=head.state,
+    )
+    return res.state.select("vid", F.round("rank", 6).alias("rank6"))
+
+
 def q_anf4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate neighborhood function (ANF/HyperBall family,
     algorithms/anf.py): 4 FM registers propagated 4 rounds over

@@ -309,6 +309,25 @@ def q_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_opic_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-started OPIC (opic.py ``init_state``): 5 cold + 3 warm
+    cash-flow steps ≡ 8 cold steps (memoryless state, simplex rescale
+    divides by a Σ within fp-ulps of 1 — absorbed by the 6-decimal
+    rounding).  Oracle = the same ``opic8`` unrolled twin; importance is
+    the paper's (hist + cash)/(iters + 1) over the TOTAL 8 steps."""
+    from linkgraph.algorithms.opic import opic
+
+    g = build_graph(spark, sf_dir)
+    head = opic(g, iters=5)
+    res = opic(g, iters=3, init_state=head.state)
+    return res.state.select(
+        "vid",
+        F.round((F.col("hist") + F.col("cash")) / F.lit(9.0), 6).alias(
+            "importance6"
+        ),
+    )
+
+
 def _recency_pagerank_unrolled_sql(iters: int = 10, alpha: float = 0.85) -> str:
     """Recency-weighted power iteration over the full vertex graph,
     unrolled.  Twin of ``q_recency_pagerank``: each source page gets a

