@@ -118,6 +118,7 @@ from linkgraph.extract import (
 )
 from linkgraph.algorithms.opic import allocate_crawl_budget
 from linkgraph.events import sessionize, session_stats
+from linkgraph.epoch import EpochRemovalError, check_append_only
 
 __all__ = [
     "Graph",
@@ -171,6 +172,8 @@ __all__ = [
     "robots_allowed",
     "sessionize",
     "session_stats",
+    "EpochRemovalError",
+    "check_append_only",
     "butterfly_count",
     "ppr_push",
     "host_url_cardinality",

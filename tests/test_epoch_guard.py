@@ -129,3 +129,43 @@ def test_cold_runs_never_touch_the_guard(spark):
     _, g2 = _graphs_with_removal(spark)
     res = connected_components(g2)
     assert res.converged
+
+
+def test_link_log_recrawl_removal_caught_end_to_end(spark):
+    """The production scenario the guard exists for (VERDICT r4 #1):
+    a recrawled page whose links CHANGED makes latest-wins compaction
+    remove edges; warm-starting CC across that epoch with the previous
+    epoch's edges as evidence must raise instead of returning
+    stale-bridged components."""
+    import datetime as dt
+
+    from linkgraph.streaming import graph_from_link_log
+
+    t1 = dt.datetime(2024, 1, 1)
+    t2 = dt.datetime(2024, 2, 1)
+    # epoch 1: page A links to B and C (bridging two chains)
+    log1 = spark.createDataFrame(
+        [
+            ("u://a", "u://b", t1, 1),
+            ("u://a", "u://c", t1, 1),
+            ("u://b", "u://b2", t1, 2),
+            ("u://c", "u://c2", t1, 3),
+        ],
+        "src_url string, dst_url string, warc_ts timestamp, capture bigint",
+    )
+    g1, verts = graph_from_link_log(log1, num_partitions=2)
+    prev = connected_components(g1)
+    assert prev.converged
+    # epoch 2: A recrawled, now links ONLY to B — latest-wins compaction
+    # REMOVES a->c; the two chains split
+    log2 = log1.unionAll(
+        spark.createDataFrame(
+            [("u://a", "u://b", t2, 9)],
+            "src_url string, dst_url string, warc_ts timestamp, capture bigint",
+        )
+    )
+    g2, _ = graph_from_link_log(log2, vertices=verts, num_partitions=2)
+    with pytest.raises(EpochRemovalError):
+        connected_components(
+            g2, init_labels=prev.state, prev_edges=g1.edges
+        )

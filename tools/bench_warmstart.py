@@ -148,6 +148,47 @@ def main() -> int:
     }
     sys.stderr.write(f"bfs: {report['bfs']}\n")
 
+    # ---- epoch guard cost (round 5) --------------------------------
+    # the price of the fail-loud append-only contract: one full-outer
+    # (src,dst) join + 1-row agg over both epochs' edge sets
+    from linkgraph.epoch import check_append_only
+
+    _, gw = timed(lambda: check_append_only(g1.edges, g2.edges))
+    report["epoch_guard_check_s"] = gw
+    sys.stderr.write(f"epoch guard (1e7-edge diff): {gw}s\n")
+
+    # ---- power-family warm restarts (round 5) ----------------------
+    # katz/eigen: epoch-1 converged state seeds epoch 2; unique-fixpoint
+    # contraction arguments — fewer rounds to the same tolerance
+    from linkgraph.algorithms.katz import katz
+    from linkgraph.algorithms.eigen import eigenvector_centrality
+
+    prev, _ = timed(lambda: katz(g1, tol=1e-9, max_iters=60))
+    cold, cw = timed(lambda: katz(g2, tol=1e-9, max_iters=60))
+    warm, ww = timed(
+        lambda: katz(g2, tol=1e-9, max_iters=60, init_scores=prev.state)
+    )
+    assert cold.converged and warm.converged
+    report["katz"] = {
+        "cold_rounds": cold.iterations, "warm_rounds": warm.iterations,
+        "cold_wall_s": cw, "warm_wall_s": ww,
+    }
+    sys.stderr.write(f"katz: {report['katz']}\n")
+
+    prev, _ = timed(lambda: eigenvector_centrality(g1, tol=1e-6, max_iters=80))
+    cold, cw = timed(lambda: eigenvector_centrality(g2, tol=1e-6, max_iters=80))
+    warm, ww = timed(
+        lambda: eigenvector_centrality(
+            g2, tol=1e-6, max_iters=80, init_scores=prev.state
+        )
+    )
+    report["eigen"] = {
+        "cold_rounds": cold.iterations, "warm_rounds": warm.iterations,
+        "cold_wall_s": cw, "warm_wall_s": ww,
+        "cold_converged": cold.converged, "warm_converged": warm.converged,
+    }
+    sys.stderr.write(f"eigen: {report['eigen']}\n")
+
     print(json.dumps(report, indent=1))
     return 0
 
