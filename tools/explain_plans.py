@@ -430,6 +430,30 @@ def main() -> int:
         "FULL PLAN (final state):\n" + plan17,
     ))
 
+    # -- 17. epoch guard diff (warm-start append-only evidence) -------------
+    from linkgraph.streaming import snapshot_diff
+
+    old_edges = g.edges.where((F.col("src") + F.col("dst")) % 5 != 0)
+    plan18 = formatted(snapshot_diff(old_edges, g.edges))
+    live18 = live_tree(plan18)
+    assert "CartesianProduct" not in plan18, plan18
+    assert "BroadcastNestedLoopJoin" not in plan18, plan18
+    # two side re-keys into the full-outer SMJ + the single-row final agg
+    n_ex18 = len(re.findall(r"\bExchange\b", live18))
+    assert n_ex18 <= 4, f"guard diff must be one co-keyed join pass, got {n_ex18}:\n{live18}"
+    assert "SortMergeJoin FullOuter" in live18, live18
+    sections.append((
+        "Epoch guard / snapshot diff (warm-start append-only evidence)",
+        "The round-5 fail-loud warm-start contract costs ONE co-keyed "
+        "(src, dst) full-outer SortMergeJoin — each epoch's edge set "
+        "shuffles once on the same key — and a 6-counter aggregate "
+        "riding the join output (map-side partial + 1-row final).  At "
+        "10^12 documents that is two edge-table shuffles total, orders "
+        "cheaper than the silently-wrong warm recompute it prevents; "
+        "asserted: no cartesian, no nested-loop, bounded exchanges.",
+        "LIVE TREE:\n" + live18 + "\n\nFULL PLAN:\n" + plan18,
+    ))
+
     out = ["# BENCH/PLANS.md — physical-plan evidence (asserted, not aspirational)\n"]
     out.append(
         "Generated by `python tools/explain_plans.py` on a 5,000-page "
